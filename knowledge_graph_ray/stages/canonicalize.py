@@ -1,0 +1,252 @@
+"""Canonicalization shuffles: mentions -> entities / relationships.
+
+This replaces the reference's single in-memory ``nx.Graph`` merge
+(/root/reference/graph/extractors/graph_extractor.py:203-290) with a
+two-phase distributed aggregation (SURVEY.md G1/G2):
+
+1. **partial combine** inside ``map_batches`` — one partial row per key
+   per batch (associative/commutative state), which is what bounds the
+   shuffle volume for hub entities (skew axis of the north rule: a key
+   appearing in 10% of all chunks contributes one row per batch, not one
+   row per mention);
+2. **final merge** via ``groupby(key).map_groups`` over the partials.
+
+Reference semantics reproduced exactly (validated by the differential
+oracle in tests/test_differential.py):
+
+* entity key = ``clean_str(name.upper())`` (graph_extractor.py:205);
+* description = set-union of mention descriptions joined "\\n"
+  (graph_extractor.py:212-218; set order is nondeterministic there — we
+  sort, justified by the reference itself sorting before summarize,
+  verbs/entities/summarization/description_summarize.py:34);
+* source_id = set-union of chunk ids joined ", " (graph_extractor.py:222-227);
+* type = LAST non-empty type in processing order (graph_extractor.py:228-230),
+  replayed via the total ``order_key``;
+* relationship endpoints auto-create stub nodes with empty type/description
+  and the creating edge's source id (graph_extractor.py:253-266) — a stub's
+  extra description ""/source id survives later entity mentions only when
+  the stub creation came FIRST in processing order, which we replay with
+  min/max order bookkeeping instead of sequential mutation;
+* edge key is undirected ``(min(src,dst), max(src,dst))`` (nx.Graph),
+  weight SUMMED across mentions (graph_extractor.py:267-270).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+ENTITY_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("name", pa.string()),
+        ("descs", pa.list_(pa.large_string())),
+        ("ent_chunks", pa.list_(pa.string())),
+        ("type_order", pa.string()),
+        ("type_val", pa.string()),
+        ("min_ent_order", pa.string()),
+        ("min_touch_order", pa.string()),
+        ("min_touch_chunk", pa.string()),
+        ("n_mentions", pa.int64()),
+    ]
+)
+
+EDGE_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("weight", pa.float64()),
+        ("descs", pa.list_(pa.large_string())),
+        ("chunks", pa.list_(pa.string())),
+        ("n_mentions", pa.int64()),
+    ]
+)
+
+_HI = "￿"  # sorts after any real order_key
+
+
+def entity_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: mention rows -> one partial row per entity name.
+
+    Consumes BOTH mention kinds: 'entity' rows carry descriptions/types,
+    'rel' rows contribute endpoint *touches* (stub bookkeeping).
+    """
+    state: dict[str, dict] = {}
+
+    def get(name: str) -> dict:
+        s = state.get(name)
+        if s is None:
+            s = state[name] = {
+                "descs": set(),
+                "ent_chunks": set(),
+                "type_order": "",
+                "type_val": "",
+                "min_ent_order": _HI,
+                "min_touch_order": _HI,
+                "min_touch_chunk": "",
+                "n_mentions": 0,
+            }
+        return s
+
+    kinds = batch.column("kind").to_pylist()
+    names = batch.column("name").to_pylist()
+    types = batch.column("type").to_pylist()
+    descs = batch.column("description").to_pylist()
+    chunks = batch.column("chunk_id").to_pylist()
+    orders = batch.column("order_key").to_pylist()
+    srcs = batch.column("src").to_pylist()
+    dsts = batch.column("dst").to_pylist()
+
+    for i in range(len(kinds)):
+        if kinds[i] == "entity":
+            s = get(names[i])
+            s["descs"].add(descs[i])
+            s["ent_chunks"].add(chunks[i])
+            s["n_mentions"] += 1
+            if orders[i] < s["min_ent_order"]:
+                s["min_ent_order"] = orders[i]
+            if types[i] and orders[i] >= s["type_order"]:
+                s["type_order"] = orders[i]
+                s["type_val"] = types[i]
+        else:  # rel: both endpoints touched
+            for endpoint in (srcs[i], dsts[i]):
+                s = get(endpoint)
+                if orders[i] < s["min_touch_order"]:
+                    s["min_touch_order"] = orders[i]
+                    s["min_touch_chunk"] = chunks[i]
+
+    rows = [
+        {
+            "name": name,
+            "descs": sorted(s["descs"]),
+            "ent_chunks": sorted(s["ent_chunks"]),
+            **{k: s[k] for k in (
+                "type_order", "type_val", "min_ent_order",
+                "min_touch_order", "min_touch_chunk", "n_mentions",
+            )},
+        }
+        for name, s in state.items()
+    ]
+    return pa.Table.from_pylist(rows, schema=ENTITY_PARTIAL_SCHEMA)
+
+
+def _merge_entity_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Final merge of partial rows for one entity name."""
+    descs: set[str] = set()
+    ent_chunks: set[str] = set()
+    for d in group["descs"]:
+        descs.update(d)
+    for c in group["ent_chunks"]:
+        ent_chunks.update(c)
+    type_order, type_val = "", ""
+    for to, tv in zip(group["type_order"], group["type_val"]):
+        if tv and to >= type_order:
+            type_order, type_val = to, tv
+    min_ent = min(group["min_ent_order"])
+    touch_idx = group["min_touch_order"].idxmin()
+    min_touch = group["min_touch_order"][touch_idx]
+    touch_chunk = group["min_touch_chunk"][touch_idx]
+    n_mentions = int(group["n_mentions"].sum())
+
+    stub_first = min_touch < min_ent  # stub node created before any entity record
+    if min_ent == _HI:  # pure stub: only ever an edge endpoint
+        description = ""
+        sources = {touch_chunk}
+    else:
+        if stub_first:
+            # reference: entity desc merges into the stub's "" description and
+            # the stub's source id stays in the set (graph_extractor.py:212-227)
+            descs.add("")
+            sources = ent_chunks | {touch_chunk}
+        else:
+            sources = ent_chunks
+        description = "\n".join(sorted(descs)) if len(descs) > 1 else next(iter(descs))
+    return pd.DataFrame(
+        [
+            {
+                "name": group["name"].iloc[0],
+                "type": type_val,
+                "description": description,
+                "source_id": ", ".join(sorted(sources)),
+                "text_unit_ids": sorted(sources),
+                "n_mentions": n_mentions,
+            }
+        ]
+    )
+
+
+def canonicalize_entities(mentions, batch_size: int = 4096):
+    """Dataset[mention] -> Dataset[entity] (the G1 shuffle)."""
+    partials = mentions.map_batches(
+        entity_partials_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    return partials.groupby("name").map_groups(
+        _merge_entity_group, batch_format="pandas"
+    )
+
+
+def edge_partials_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for relationship mentions, undirected key."""
+    state: dict[tuple[str, str], dict] = {}
+    kinds = batch.column("kind").to_pylist()
+    srcs = batch.column("src").to_pylist()
+    dsts = batch.column("dst").to_pylist()
+    descs = batch.column("description").to_pylist()
+    chunks = batch.column("chunk_id").to_pylist()
+    weights = batch.column("weight").to_pylist()
+    for i in range(len(kinds)):
+        if kinds[i] != "rel":
+            continue
+        a, b = srcs[i], dsts[i]
+        key = (a, b) if a <= b else (b, a)
+        s = state.get(key)
+        if s is None:
+            s = state[key] = {"weight": 0.0, "descs": set(), "chunks": set(), "n": 0}
+        s["weight"] += weights[i]
+        s["descs"].add(descs[i])
+        s["chunks"].add(chunks[i])
+        s["n"] += 1
+    rows = [
+        {
+            "src": k[0],
+            "dst": k[1],
+            "weight": s["weight"],
+            "descs": sorted(s["descs"]),
+            "chunks": sorted(s["chunks"]),
+            "n_mentions": s["n"],
+        }
+        for k, s in state.items()
+    ]
+    return pa.Table.from_pylist(rows, schema=EDGE_PARTIAL_SCHEMA)
+
+
+def _merge_edge_group(group: pd.DataFrame) -> pd.DataFrame:
+    descs: set[str] = set()
+    chunks: set[str] = set()
+    for d in group["descs"]:
+        descs.update(d)
+    for c in group["chunks"]:
+        chunks.update(c)
+    description = "\n".join(sorted(descs)) if len(descs) > 1 else next(iter(descs))
+    return pd.DataFrame(
+        [
+            {
+                "src": group["src"].iloc[0],
+                "dst": group["dst"].iloc[0],
+                "weight": float(group["weight"].sum()),
+                "description": description,
+                "source_id": ", ".join(sorted(chunks)),
+                "text_unit_ids": sorted(chunks),
+                "n_mentions": int(group["n_mentions"].sum()),
+            }
+        ]
+    )
+
+
+def canonicalize_relationships(mentions, batch_size: int = 4096):
+    """Dataset[mention] -> Dataset[relationship] (the G2 shuffle)."""
+    partials = mentions.map_batches(
+        edge_partials_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    return partials.groupby(["src", "dst"]).map_groups(
+        _merge_edge_group, batch_format="pandas"
+    )

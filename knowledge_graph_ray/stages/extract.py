@@ -1,0 +1,176 @@
+"""Triple-extraction stage: actor-pool ``map_batches`` over text units.
+
+The reference runs a sequential per-chunk LLM loop
+(/root/reference/graph/extractors/graph_extractor.py:102-108) whose output
+is the delimited-record protocol parsed by graph_extractor.py:196-292.
+Here the extractor is a callable CLASS so Ray Data runs it as an actor
+pool: model/gazetteer/regex state is built ONCE per actor in ``__init__``
+(the reference rebuilds its LLM client per call — llm/__init__.py:5-9),
+and ``__call__`` handles a batch of chunks.
+
+Strategies (mirroring the reference's strategy loaders,
+verbs/entities/extraction/entity_extract.py:15-54):
+
+* ``PatternExtractor`` — deterministic gazetteer + relation-verb matcher,
+  the shape of the reference's nltk strategy
+  (verbs/entities/extraction/graph_nltk/run.py:20-60).  It EMITS the wire
+  format and re-parses it through the shared parser so the parse path is
+  identical to what an LLM strategy would exercise.
+* an LLM strategy would subclass and override ``_extract_raw`` — no LLM
+  is available in this sandbox.
+
+Output: one *mention* dataset (not a global graph) with columns::
+
+    chunk_id, doc_id, order_key, kind('entity'|'rel'), name, type,
+    description, src, dst, weight
+
+``order_key`` is a totally-ordered string ``doc_id:chunk_index:record``;
+the reference's order-sensitive merge rules (last-non-empty type,
+first-mention stub source) are replayed against this order downstream.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from knowledge_graph_ray.corpus import REL_VERBS, VOCABULARY
+from knowledge_graph_ray.functions.records import (
+    format_entity_record,
+    format_relationship_record,
+    join_records,
+    parse_graph_records,
+)
+
+MENTION_SCHEMA = pa.schema(
+    [
+        ("chunk_id", pa.string()),
+        ("doc_id", pa.string()),
+        ("order_key", pa.string()),
+        ("kind", pa.string()),
+        ("name", pa.string()),
+        ("type", pa.string()),
+        ("description", pa.large_string()),
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("weight", pa.float64()),
+    ]
+)
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+|\n+")
+
+
+class PatternExtractor:
+    """Deterministic entity/relationship extractor (gazetteer strategy).
+
+    Stand-in for the LLM extractor with identical output protocol; the
+    vocabulary defaults to the synthetic corpus's closed vocabulary
+    (knowledge_graph_ray.corpus) and can be overridden — e.g. bench runs
+    over the driver's flat ``documents`` table pass a word-list gazetteer.
+    """
+
+    def __init__(self, vocabulary: list[tuple[str, str]] | None = None,
+                 rel_verbs: list[tuple[str, float]] | None = None):
+        vocab = vocabulary if vocabulary is not None else VOCABULARY
+        self.rel_verbs = rel_verbs if rel_verbs is not None else REL_VERBS
+        # canonical surface -> type, plus a case-insensitive alternation that
+        # also matches html-escaped '&' variants. Longest-first so multiword
+        # names win over prefixes.
+        self.types = {name.upper(): type_ for name, type_ in vocab}
+        alts = sorted((name for name, _ in vocab), key=len, reverse=True)
+        pattern = "|".join(
+            re.escape(name).replace(re.escape("&"), "(?:&|&amp;)") for name in alts
+        )
+        self.entity_re = re.compile(rf"\b(?:{pattern})\b", re.IGNORECASE)
+        self.verb_res = [
+            (re.compile(rf"\b{re.escape(v)}\b", re.IGNORECASE), v, w)
+            for v, w in self.rel_verbs
+        ]
+
+    # --- strategy hook -------------------------------------------------
+    def _extract_raw(self, text: str) -> str:
+        """chunk text -> delimited-record wire output (what the LLM returns)."""
+        records: list[str] = []
+        for sentence in _SENT_SPLIT.split(text):
+            matches = list(self.entity_re.finditer(sentence))
+            for m in matches:
+                surface = m.group(0)
+                etype = self.types.get(
+                    surface.upper().replace("&AMP;", "&"), ""
+                )
+                records.append(
+                    format_entity_record(surface, etype, sentence.strip())
+                )
+            for a, b in zip(matches, matches[1:]):
+                between = sentence[a.end() : b.start()]
+                for verb_re, _verb, weight in self.verb_res:
+                    if verb_re.search(between):
+                        records.append(
+                            format_relationship_record(
+                                a.group(0), b.group(0), sentence.strip(), weight
+                            )
+                        )
+                        break
+        return join_records(records)
+
+    # --- actor-pool batch body -----------------------------------------
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        chunk_ids = batch.column("chunk_id").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        chunk_idx = batch.column("chunk_index").to_pylist()
+        texts = batch.column("text").to_pylist()
+        for chunk_id, doc_id, ci, text in zip(chunk_ids, doc_ids, chunk_idx, texts):
+            if not text:
+                continue
+            raw = self._extract_raw(text)
+            ents, rels = parse_graph_records(raw)
+            for e in ents:
+                rows.append(
+                    {
+                        "chunk_id": chunk_id,
+                        "doc_id": doc_id,
+                        "order_key": f"{doc_id}:{ci:08d}:{e['order']:08d}",
+                        "kind": "entity",
+                        "name": e["name"],
+                        "type": e["type"],
+                        "description": e["description"],
+                        "src": "",
+                        "dst": "",
+                        "weight": 0.0,
+                    }
+                )
+            for r in rels:
+                rows.append(
+                    {
+                        "chunk_id": chunk_id,
+                        "doc_id": doc_id,
+                        "order_key": f"{doc_id}:{ci:08d}:{r['order']:08d}",
+                        "kind": "rel",
+                        "name": "",
+                        "type": "",
+                        "description": r["description"],
+                        "src": r["src"],
+                        "dst": r["dst"],
+                        "weight": r["weight"],
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=MENTION_SCHEMA)
+
+
+def extract_mentions(
+    text_units,
+    extractor_cls=PatternExtractor,
+    batch_size: int = 256,
+    concurrency=(2, 8),
+    **extractor_kwargs,
+):
+    """Dataset[text_unit] -> Dataset[mention] via an actor pool."""
+    return text_units.map_batches(
+        extractor_cls,
+        fn_constructor_kwargs=extractor_kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

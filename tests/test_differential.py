@@ -1,0 +1,106 @@
+"""Differential test: Ray pipeline vs the sequential reference-semantics
+oracle on the synthetic interleaved corpus (SURVEY.md §5).
+
+Gate: triple P/R >= 0.95 (exact match expected), description/source SET
+equality per entity/edge, summed weights equal.
+"""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from knowledge_graph_ray import oracle
+from knowledge_graph_ray.config import PipelineConfig
+from knowledge_graph_ray.corpus import generate_corpus_table
+from knowledge_graph_ray.pipelines.build import build_graph
+from knowledge_graph_ray.stages.chunk import chunk_spans_batch
+from knowledge_graph_ray.stages.extract import PatternExtractor
+
+N_DOCS = 300
+CHUNK_SIZE, CHUNK_OVERLAP = 64, 16
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pa.Table:
+    return generate_corpus_table(N_DOCS, seed=6969)
+
+
+@pytest.fixture(scope="module")
+def oracle_tables(corpus):
+    """Sequential replay: chunk -> extract -> reference merge, in the same
+    total order the Ray engine's order_key encodes (doc_id, chunk_index)."""
+    chunks = chunk_spans_batch(corpus, CHUNK_SIZE, CHUNK_OVERLAP).to_pylist()
+    chunks.sort(key=lambda c: (c["doc_id"], c["chunk_index"]))
+    extractor = PatternExtractor()
+    results = {c["chunk_id"]: extractor._extract_raw(c["text"]) for c in chunks if c["text"]}
+    graph = oracle.process_results(results)
+    return oracle.graph_to_tables(graph)
+
+
+@pytest.fixture(scope="module")
+def ray_tables(corpus):
+    docs = ray.data.from_arrow(corpus).repartition(8)
+    cfg = PipelineConfig(chunk_size=CHUNK_SIZE, chunk_overlap=CHUNK_OVERLAP,
+                         extract_concurrency=2)
+    tables = build_graph(docs, cfg)
+    ents = {
+        r["name"]: r for r in tables.entities.to_pandas().to_dict("records")
+    }
+    rels = {
+        (r["src"], r["dst"]): r
+        for r in tables.relationships.to_pandas().to_dict("records")
+    }
+    return ents, rels
+
+
+def _prf(expected: set, got: set):
+    tp = len(expected & got)
+    p = tp / max(1, len(got))
+    r = tp / max(1, len(expected))
+    return p, r
+
+
+def test_entity_set_parity(oracle_tables, ray_tables):
+    o_ents, _ = oracle_tables
+    r_ents, _ = ray_tables
+    p, r = _prf(set(o_ents), set(r_ents))
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert set(o_ents) == set(r_ents)  # expect exact
+
+
+def test_triple_set_parity(oracle_tables, ray_tables):
+    _, o_rels = oracle_tables
+    _, r_rels = ray_tables
+    p, r = _prf(set(o_rels), set(r_rels))
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    assert set(o_rels) == set(r_rels)
+
+
+def test_entity_attribute_parity(oracle_tables, ray_tables):
+    o_ents, _ = oracle_tables
+    r_ents, _ = ray_tables
+    for name, o in o_ents.items():
+        g = r_ents[name]
+        assert g["type"] == o["type"], name
+        assert frozenset(g["description"].split("\n")) == o["descriptions"], name
+        assert frozenset(g["source_id"].split(", ")) == o["sources"], name
+
+
+def test_relationship_attribute_parity(oracle_tables, ray_tables):
+    _, o_rels = oracle_tables
+    _, r_rels = ray_tables
+    for key, o in o_rels.items():
+        g = r_rels[key]
+        assert g["weight"] == pytest.approx(o["weight"]), key
+        assert frozenset(g["description"].split("\n")) == o["descriptions"], key
+        assert frozenset(g["source_id"].split(", ")) == o["sources"], key
+
+
+def test_corpus_has_interesting_structure(oracle_tables):
+    """The fixtures actually exercise merges: variants collapse, hub is hot."""
+    o_ents, o_rels = oracle_tables
+    assert len(o_ents) >= 20
+    assert len(o_rels) >= 30
+    hub = o_ents["HELIOS ENERGY"]
+    assert len(hub["sources"]) >= 10  # hub entity appears in many chunks
+    assert "HART & SONS" in o_ents  # html-escape variant normalized

@@ -1,0 +1,80 @@
+"""Unit tests for normalizers + delimited-record parsers (FIXTURES.md F2).
+
+Edge cases mirror the reference parser quirks
+(/root/reference/graph/extractors/graph_extractor.py:196-292,
+graph/claims/graph_claims.py:218-259).
+"""
+
+from knowledge_graph_ray.functions import (
+    clean_str,
+    normalize_name,
+    parse_claim_records,
+    parse_graph_records,
+    token_count,
+    tokenize,
+)
+
+
+def test_clean_str_html_and_control():
+    # strip runs BEFORE control-char removal (utils/string.py:17-19), so a
+    # space shielded by a control char survives
+    assert clean_str("  Hart &amp; Sons \x00\x1f") == "Hart & Sons "
+    assert clean_str("  Hart &amp; Sons  ") == "Hart & Sons"
+    assert clean_str("a\x7fb\x9fc") == "abc"
+    assert clean_str(42) == 42  # non-strings pass through (utils/string.py:14-16)
+
+
+def test_normalize_name_variants():
+    # clean_str(name.upper()) — graph_extractor.py:205
+    assert normalize_name("hart &amp; sons") == "HART & SONS"
+    assert normalize_name("Helios Energy") == "HELIOS ENERGY"
+    assert normalize_name("  helios energy ") == "HELIOS ENERGY"
+
+
+def test_parse_entity_and_relationship():
+    raw = (
+        '("entity"<|>Acme<|>organization<|>desc one)##'
+        '("relationship"<|>Acme<|>Bob<|>works<|>7)##<|COMPLETE|>'
+    )
+    ents, rels = parse_graph_records(raw)
+    assert ents == [
+        {"name": "ACME", "type": "ORGANIZATION", "description": "desc one", "order": 0}
+    ]
+    assert rels[0]["src"] == "ACME" and rels[0]["dst"] == "BOB"
+    assert rels[0]["weight"] == 7.0
+
+
+def test_parse_arity_gates():
+    # <4 fields entity and <5 fields relationship are dropped (arity gates)
+    raw = '("entity"<|>A<|>T)##("relationship"<|>A<|>B<|>d)##<|COMPLETE|>'
+    ents, rels = parse_graph_records(raw)
+    assert ents == [] and rels == []
+
+
+def test_parse_weight_fallback():
+    # non-numeric last field -> weight 1.0 (graph_extractor.py:248-251)
+    raw = '("relationship"<|>A<|>B<|>desc<|>heavy)##'
+    _, rels = parse_graph_records(raw)
+    assert rels[0]["weight"] == 1.0
+
+
+def test_parse_empty_records_and_parens():
+    raw = '##("entity"<|>A<|>T<|>d)## ##<|COMPLETE|>'
+    ents, rels = parse_graph_records(raw)
+    assert len(ents) == 1 and rels == []
+
+
+def test_parse_claims_nine_fields():
+    raw = "(S<|>O<|>TYPE<|>TRUE<|>2024-01-01T00:00:00<|>2024-01-02T00:00:00<|>desc<|>quote)##<|COMPLETE|>"
+    claims = parse_claim_records(raw)
+    assert len(claims) == 1
+    c = claims[0]
+    assert c["subject_id"] == "S" and c["object_id"] == "O"
+    assert c["start_date"] == "2024-01-01T00:00:00"
+    assert c["doc_id"] is None  # stamped by code, not parsed (graph_claims.py:212-214)
+
+
+def test_tokenizer_deterministic():
+    assert tokenize("Hello, world!") == ["Hello", ",", "world", "!"]
+    assert token_count("a b c") == 3
+    assert token_count("") == 0
