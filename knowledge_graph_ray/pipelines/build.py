@@ -36,6 +36,9 @@ class GraphTables:
     mentions: Any
     entities: Any
     relationships: Any
+    communities: Any = None
+    reports: Any = None
+    claims: Any = None
 
 
 def build_graph(
@@ -74,3 +77,97 @@ def build_graph(
         entities=entities,
         relationships=relationships,
     )
+
+
+def build_knowledge_graph(
+    docs,
+    config: PipelineConfig | None = None,
+    extractor_cls=PatternExtractor,
+    num_partitions: int = 32,
+    **extractor_kwargs,
+) -> GraphTables:
+    """Full pipeline: the reference workflow build_workflow.py:20-83 as
+    streaming stages — chunk, extract, canonicalize, summarize, degree,
+    components, communities, reports (+ optional claims)."""
+    from knowledge_graph_ray.stages.summarize import summarize_descriptions
+    from knowledge_graph_ray.stages.degree import (
+        attach_edge_degrees,
+        attach_entity_degrees,
+        compute_degrees,
+    )
+    from knowledge_graph_ray.stages.components import connected_components
+    from knowledge_graph_ray.stages.community import assign_clusters, detect_communities
+    from knowledge_graph_ray.stages.report import generate_reports
+    from knowledge_graph_ray.stages.claims import extract_claims, merge_claims
+
+    cfg = config or PipelineConfig()
+    core = build_graph(docs, cfg, extractor_cls=extractor_cls, **extractor_kwargs)
+
+    entities = summarize_descriptions(
+        core.entities,
+        max_input_tokens=cfg.max_summary_input_tokens,
+        max_summary_length=cfg.max_summary_length,
+    ).materialize()
+    relationships = summarize_descriptions(core.relationships).materialize()
+
+    degrees = compute_degrees(relationships).materialize()
+    entities = attach_entity_degrees(entities, degrees, num_partitions).materialize()
+    relationships = attach_edge_degrees(
+        relationships, degrees, num_partitions
+    ).materialize()
+
+    components = connected_components(entities, relationships, num_partitions=num_partitions)
+    communities = detect_communities(
+        components,
+        relationships,
+        max_cluster_size=cfg.max_cluster_size,
+        seed=cfg.seed,
+        use_lcc=cfg.use_lcc,
+        num_partitions=num_partitions,
+    ).materialize()
+    entities = assign_clusters(entities, communities, num_partitions=num_partitions)
+    reports = generate_reports(communities, entities, relationships, num_partitions)
+
+    claims = None
+    if cfg.extract_claims:
+        claims = merge_claims(
+            extract_claims(core.text_units, batch_size=cfg.extract_batch_size)
+        )
+
+    return GraphTables(
+        text_units=core.text_units,
+        mentions=core.mentions,
+        entities=entities,
+        relationships=relationships,
+        communities=communities,
+        reports=reports,
+        claims=claims,
+    )
+
+
+def export_tables(tables: GraphTables, out_dir: str, fingerprint: str = "none"):
+    """Materialize the final tables as partitioned Parquet + manifests
+    (replaces the reference's 6-CSV export,
+    verbs/community_summarization/export.py:23-60; relationships are the
+    adjacency-sharded triple table, sorted by subject)."""
+    import os
+
+    from knowledge_graph_ray.state.checkpoint import write_checkpoint
+
+    manifests = {}
+    named = {
+        "text_units": tables.text_units,
+        "entities": tables.entities,
+        "relationships": tables.relationships.sort("src"),
+        "communities": tables.communities,
+        "community_reports": tables.reports,
+    }
+    if tables.claims is not None:
+        named["claims"] = tables.claims
+    for name, ds in named.items():
+        if ds is None:
+            continue
+        manifests[name] = write_checkpoint(
+            ds, os.path.join(out_dir, name), fingerprint=fingerprint, stage=name
+        )
+    return manifests

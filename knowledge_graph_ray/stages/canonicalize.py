@@ -63,6 +63,27 @@ EDGE_PARTIAL_SCHEMA = pa.schema(
 
 _HI = "￿"  # sorts after any real order_key
 
+ENTITY_SCHEMA = pa.schema(
+    [
+        ("name", pa.string()),
+        ("type", pa.string()),
+        ("description", pa.large_string()),
+        ("source_id", pa.large_string()),
+        ("n_mentions", pa.int64()),
+    ]
+)
+
+RELATIONSHIP_SCHEMA = pa.schema(
+    [
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("weight", pa.float64()),
+        ("description", pa.large_string()),
+        ("source_id", pa.large_string()),
+        ("n_mentions", pa.int64()),
+    ]
+)
+
 
 def entity_partials_batch(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: mention rows -> one partial row per entity name.
@@ -129,7 +150,7 @@ def entity_partials_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=ENTITY_PARTIAL_SCHEMA)
 
 
-def _merge_entity_group(group: pd.DataFrame) -> pd.DataFrame:
+def _merge_entity_group(group: pd.DataFrame) -> pa.Table:
     """Final merge of partial rows for one entity name."""
     descs: set[str] = set()
     ent_chunks: set[str] = set()
@@ -160,17 +181,17 @@ def _merge_entity_group(group: pd.DataFrame) -> pd.DataFrame:
         else:
             sources = ent_chunks
         description = "\n".join(sorted(descs)) if len(descs) > 1 else next(iter(descs))
-    return pd.DataFrame(
+    return pa.Table.from_pylist(
         [
             {
                 "name": group["name"].iloc[0],
                 "type": type_val,
                 "description": description,
                 "source_id": ", ".join(sorted(sources)),
-                "text_unit_ids": sorted(sources),
                 "n_mentions": n_mentions,
             }
-        ]
+        ],
+        schema=ENTITY_SCHEMA,
     )
 
 
@@ -219,7 +240,7 @@ def edge_partials_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=EDGE_PARTIAL_SCHEMA)
 
 
-def _merge_edge_group(group: pd.DataFrame) -> pd.DataFrame:
+def _merge_edge_group(group: pd.DataFrame) -> pa.Table:
     descs: set[str] = set()
     chunks: set[str] = set()
     for d in group["descs"]:
@@ -227,7 +248,7 @@ def _merge_edge_group(group: pd.DataFrame) -> pd.DataFrame:
     for c in group["chunks"]:
         chunks.update(c)
     description = "\n".join(sorted(descs)) if len(descs) > 1 else next(iter(descs))
-    return pd.DataFrame(
+    return pa.Table.from_pylist(
         [
             {
                 "src": group["src"].iloc[0],
@@ -235,10 +256,10 @@ def _merge_edge_group(group: pd.DataFrame) -> pd.DataFrame:
                 "weight": float(group["weight"].sum()),
                 "description": description,
                 "source_id": ", ".join(sorted(chunks)),
-                "text_unit_ids": sorted(chunks),
                 "n_mentions": int(group["n_mentions"].sum()),
             }
-        ]
+        ],
+        schema=RELATIONSHIP_SCHEMA,
     )
 
 

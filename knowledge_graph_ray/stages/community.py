@@ -1,0 +1,174 @@
+"""Hierarchical community detection, component-parallel.
+
+Reference: graspologic ``hierarchical_leiden(max_cluster_size=10,
+seed=6969)`` on the largest connected component only
+(/root/reference/verbs/community_detection/clustering/leiden.py:45-61,
+use_lcc=True default).  graspologic is not available in this sandbox, so
+the strategy is networkx ``louvain_communities`` with recursive
+re-clustering of clusters larger than ``max_cluster_size`` — the same
+hierarchy contract (level L+1 refines oversized level-L clusters; parity
+is asserted on community granularity, SURVEY.md §7.5).
+
+Scale shape: hierarchical Leiden/Louvain is not data-parallel, but it IS
+component-parallel (SURVEY.md §4) — components are computed first via
+distributed label propagation (stages/components.py), then each
+component's subgraph is clustered independently inside
+``groupby(component).map_groups``.  The giant component lands on one
+task; at extreme scale give that stage a high-memory resource request.
+Community ids are content-derived (md5 of component + path), so they are
+stable under any execution order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import networkx as nx
+import pandas as pd
+
+from knowledge_graph_ray.config import MAX_CLUSTER_SIZE, SEED
+from knowledge_graph_ray.functions.joins import hash_join
+
+COMMUNITY_COLUMNS = ["level", "community", "name"]
+
+COMMUNITY_SCHEMA = None  # built lazily to avoid importing pyarrow at module scope
+
+
+def _community_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [("level", pa.int64()), ("community", pa.string()), ("name", pa.string())]
+    )
+
+
+def _cid(component: str, path: str) -> str:
+    digest = hashlib.md5(f"{component}|{path}".encode()).hexdigest()[:12]
+    return f"c{digest}"
+
+
+def _cluster_component(
+    graph: nx.Graph, component: str, max_cluster_size: int, seed: int
+) -> list[dict]:
+    """Hierarchical louvain: rows (level, community, name)."""
+    rows: list[dict] = []
+
+    def recurse(subgraph: nx.Graph, level: int, path: str) -> None:
+        if subgraph.number_of_nodes() <= 1 or subgraph.number_of_edges() == 0:
+            clusters = [set(subgraph.nodes())] if subgraph.number_of_nodes() else []
+        else:
+            clusters = [
+                set(c)
+                for c in nx.community.louvain_communities(
+                    subgraph, weight="weight", seed=seed
+                )
+            ]
+        if len(clusters) <= 1 and subgraph.number_of_nodes() > max_cluster_size:
+            # no modularity split — force a deterministic bisection so the
+            # hierarchy terminates (graspologic bisects internally too)
+            ordered = sorted(subgraph.nodes())
+            clusters = [
+                set(ordered[i : i + max_cluster_size])
+                for i in range(0, len(ordered), max_cluster_size)
+            ]
+        for ci, cluster in enumerate(sorted(clusters, key=min)):
+            cid = _cid(component, f"{path}/{ci}")
+            for node in cluster:
+                rows.append({"level": level, "community": cid, "name": node})
+            if len(cluster) > max_cluster_size:
+                recurse(subgraph.subgraph(cluster).copy(), level + 1, f"{path}/{ci}")
+
+    recurse(graph, 0, "")
+    return rows
+
+
+def detect_communities(
+    components,
+    relationships,
+    max_cluster_size: int = MAX_CLUSTER_SIZE,
+    seed: int = SEED,
+    use_lcc: bool = True,
+    num_partitions: int = 32,
+):
+    """-> Dataset[(level:int, community:str, name:str)].
+
+    ``components``: Dataset[(name, component)] from connected_components.
+    ``use_lcc`` mirrors the reference default (cluster only the largest
+    connected component, leiden.py:51-52).
+    """
+    import pyarrow as pa
+
+    if use_lcc:
+        sizes = components.groupby("component").count().to_pandas()
+        largest = sizes.sort_values(
+            ["count()", "component"], ascending=[False, True]
+        )["component"].iloc[0]
+        components = components.filter(
+            expr=f"component == {largest!r}"
+        )
+
+    # tag edges with the component of their src (dst is in the same component)
+    edges = hash_join(
+        relationships.select_columns(["src", "dst", "weight"]),
+        components.rename_columns({"name": "src"}),
+        on=["src"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    edge_rows = edges.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "component": b.column("component"),
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "weight": b.column("weight"),
+                "name": pa.nulls(len(b), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    node_rows = components.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "component": b.column("component"),
+                "src": pa.nulls(len(b), pa.string()),
+                "dst": pa.nulls(len(b), pa.string()),
+                "weight": pa.nulls(len(b), pa.float64()),
+                "name": b.column("name"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def cluster_group(group: pd.DataFrame):
+        component = group["component"].iloc[0]
+        g = nx.Graph()
+        for name in group["name"]:
+            if isinstance(name, str):
+                g.add_node(name)
+        edge_mask = group["src"].notna()
+        for src, dst, w in zip(
+            group.loc[edge_mask, "src"],
+            group.loc[edge_mask, "dst"],
+            group.loc[edge_mask, "weight"],
+        ):
+            g.add_edge(src, dst, weight=w)
+        rows = _cluster_component(g, component, max_cluster_size, seed)
+        return pa.Table.from_pylist(rows, schema=_community_schema())
+
+    return edge_rows.union(node_rows).groupby("component").map_groups(
+        cluster_group, batch_format="pandas"
+    )
+
+
+def assign_clusters(entities, communities, level: int = 0, num_partitions: int = 32):
+    """Stamp each entity with its community at ``level`` (reference
+    cluster_graph.py:49-53 applies level==0 only); entities outside the
+    clustered component get null cluster."""
+    at_level = communities.filter(expr=f"level == {level}").rename_columns(
+        {"community": "cluster"}
+    ).select_columns(["name", "cluster"])
+    return hash_join(
+        entities, at_level, on=["name"], how="left_outer", num_partitions=num_partitions
+    )

@@ -1,0 +1,154 @@
+"""Distributed connected components: alternating star contraction.
+
+This is the north rule's "distributed union-find realized as iterative
+groupby-min label propagation over candidate-match pairs".  The reference
+has no distributed equivalent — it calls
+``stable_largest_connected_component`` on one in-memory graph
+(/root/reference/utils/graph.py, used by
+verbs/community_detection/clustering/leiden.py:51-52).
+
+Algorithm: alternating **large-star / small-star** contraction (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+algorithm).  Each round is a single ``groupby(node)`` over the adjacency
+list; per group with center u, m = min(neighbors ∪ {u}):
+
+* large-star: emit (v, m) for every neighbor v > u
+* small-star: emit (v, m) for every neighbor v <= u, plus (u, m)
+
+Edges converge in O(log²  n) rounds to a star forest where every node
+points at its component minimum.  Compared to label-propagation-with-join
+this needs NO join operator — only groupby shuffles with associative
+per-group work — which both sidesteps Ray 2.49's concurrent-hash-join
+planner race (two joins in one DAG intermittently fail finalize with
+"multiple matches for FieldRef") and matches the explicit
+partitioning story: every round shuffles on the node key only.  Hub
+nodes are group centers with large neighbor lists; emitted edges always
+point at the minimum, so hot groups shrink monotonically.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _edge_pairs(relationships):
+    """relationship table -> normalized (u, v) pairs, u < v, deduped later."""
+
+    def body(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        src = batch.column("src")
+        dst = batch.column("dst")
+        u = pc.min_element_wise(src, dst)
+        v = pc.max_element_wise(src, dst)
+        tbl = pa.Table.from_pydict({"u": u, "v": v})
+        return tbl.filter(pc.not_equal(tbl.column("u"), tbl.column("v")))
+
+    return relationships.select_columns(["src", "dst"]).map_batches(
+        body, batch_format="pyarrow"
+    )
+
+
+def _dedup_edges(edges):
+    """distinct (u, v) via groupby count (no join)."""
+    return edges.groupby(["u", "v"]).count().select_columns(["u", "v"])
+
+
+def _adjacency(edges):
+    def body(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").combine_chunks()
+        v = batch.column("v").combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "node": pa.concat_arrays([u, v]),
+                "nbr": pa.concat_arrays([v, u]),
+            }
+        )
+
+    return edges.map_batches(body, batch_format="pyarrow")
+
+
+def _star_round(edges, large: bool):
+    adj = _adjacency(edges)
+
+    def body(group: pd.DataFrame) -> pd.DataFrame:
+        u = group["node"].iloc[0]
+        nbrs = group["nbr"].tolist()
+        m = min(min(nbrs), u)
+        if large:
+            targets = [v for v in nbrs if v > u]
+        else:
+            targets = [v for v in nbrs if v <= u] + [u]
+        out_u, out_v = [], []
+        for v in targets:
+            if v != m:
+                a, b = (v, m) if v < m else (m, v)
+                out_u.append(a)
+                out_v.append(b)
+        return pd.DataFrame({"u": out_u, "v": out_v})
+
+    return _dedup_edges(
+        adj.groupby("node").map_groups(body, batch_format="pandas")
+    )
+
+
+def _signature(edges) -> tuple[int, int]:
+    """(row_count, order-insensitive hash) — convergence check."""
+    import zlib
+
+    def body(batch: pa.Table) -> pa.Table:
+        # zlib.crc32 is process-stable (Python str hash is salted per process)
+        h = [
+            zlib.crc32(f"{a}|{b}".encode())
+            for a, b in zip(batch.column("u").to_pylist(), batch.column("v").to_pylist())
+        ]
+        return pa.Table.from_pydict({"h": pa.array(h, type=pa.int64())})
+
+    hashed = edges.map_batches(body, batch_format="pyarrow")
+    total = hashed.sum("h") or 0
+    return edges.count(), total
+
+
+def connected_components(
+    entities,
+    relationships,
+    max_iters: int = 50,
+    num_partitions: int = 32,
+):
+    """-> Dataset[(name, component)]; component = min entity name in the
+    component (deterministic, content-derived id).  ``entities`` supplies
+    isolated nodes, which become their own singleton components."""
+    edges = _dedup_edges(_edge_pairs(relationships)).materialize()
+    prev_sig = None
+    for _ in range(max_iters):
+        edges = _star_round(edges, large=True).materialize()
+        edges = _star_round(edges, large=False).materialize()
+        sig = _signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # star forest: every non-root points at the component root
+    def to_labels(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"name": batch.column("v"), "component": batch.column("u")}
+        )
+
+    member_labels = edges.map_batches(to_labels, batch_format="pyarrow")
+
+    # roots + isolated nodes: every entity not appearing as a non-root
+    # gets itself as component; groupby-min merges the two row sources.
+    self_labels = entities.select_columns(["name"]).map_batches(
+        lambda b: pa.Table.from_pydict(
+            {"name": b.column("name"), "component": b.column("name")}
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Min
+
+    return (
+        member_labels.union(self_labels)
+        .groupby("name")
+        .aggregate(Min("component", alias_name="component"))
+    )

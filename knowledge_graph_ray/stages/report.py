@@ -1,0 +1,193 @@
+"""Community context assembly + report generation.
+
+Reference flow (/root/reference/verbs/community_summarization/): pandas
+joins J2/J3, per-community context sorted by combined edge degree under a
+token budget (graph/community_reports/sort_context.py:10-155), then one
+LLM call per community producing ``{title, summary, rating,
+rating_explanation, findings[]}``
+(graph/community_reports/community_reports_extractor.py:25-79), levels
+processed bottom-up (utils.py:26-29).
+
+Ray-Data-native: context rows are produced by hash joins
+(communities ⨝ entities on name; communities ⨝ edges on both endpoints,
+keeping same-community pairs — the reference's filter_edges_to_nodes,
+community_reports/utils.py:36-44), then one ``groupby(level, community)
+.map_groups`` assembles the ordered context and a deterministic report
+(an LLM strategy would replace ``_compose`` only).  Output mirrors the
+reference's community_report.csv columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pandas as pd
+
+from knowledge_graph_ray.config import COMMUNITY_REPORT_MAX_INPUT_LENGTH
+from knowledge_graph_ray.functions.joins import hash_join
+from knowledge_graph_ray.functions.text import token_count
+
+REPORT_COLUMNS = [
+    "id",
+    "community",
+    "title",
+    "summary",
+    "full_content",
+    "full_content_json",
+    "rank",
+    "level",
+    "rank_explanation",
+    "findings",
+]
+
+
+def _context_text(nodes: pd.DataFrame, edges: pd.DataFrame, budget: int) -> str:
+    """Greedy context under token budget: edges desc by rank, then their
+    endpoints' node details (sort_context.py semantics, deterministic)."""
+    lines = ["-----Entities-----"]
+    used = 0
+    for _, n in nodes.iterrows():
+        line = f"{n['name']},{n['type']},{n['description']}"
+        used += token_count(line)
+        if used > budget:
+            break
+        lines.append(line)
+    lines.append("-----Relationships-----")
+    for _, e in edges.iterrows():
+        line = f"{e['src']},{e['dst']},{e['rank']},{e['description']}"
+        used += token_count(line)
+        if used > budget:
+            break
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def _compose(community: str, level: int, nodes: pd.DataFrame, edges: pd.DataFrame) -> dict:
+    """Deterministic report strategy (LLM stand-in with the same schema)."""
+    top = nodes.head(5)
+    title = " & ".join(top["name"].head(2)) or f"Community {community}"
+    summary = (
+        f"Community of {len(nodes)} entities and {len(edges)} relationships "
+        f"centered on {', '.join(top['name'])}."
+    )
+    findings = [
+        {
+            "summary": f"{n['name']} ({n['type'] or 'UNKNOWN'}) has degree {int(n['degree'])}",
+            "explanation": (n["description"] or "")[:400],
+        }
+        for _, n in top.iterrows()
+    ]
+    rank = float(min(10.0, round(float(nodes["degree"].mean() or 0.0), 1)))
+    context = _context_text(nodes, edges, COMMUNITY_REPORT_MAX_INPUT_LENGTH)
+    full_content = f"# {title}\n\n{summary}\n\n{context}"
+    payload = {
+        "title": title,
+        "summary": summary,
+        "rating": rank,
+        "rating_explanation": "Deterministic rating: mean entity degree, capped at 10.",
+        "findings": findings,
+    }
+    return {
+        "id": "r" + hashlib.md5(f"{community}|{level}".encode()).hexdigest()[:12],
+        "community": community,
+        "title": title,
+        "summary": summary,
+        "full_content": full_content,
+        "full_content_json": json.dumps(payload, sort_keys=True),
+        "rank": rank,
+        "level": int(level),
+        "rank_explanation": payload["rating_explanation"],
+        "findings": json.dumps(findings, sort_keys=True),
+    }
+
+
+def generate_reports(communities, entities, relationships, num_partitions: int = 32):
+    """-> Dataset[community_report] (one row per (level, community))."""
+    import pyarrow as pa
+
+    node_ctx = hash_join(
+        communities,
+        entities.select_columns(["name", "type", "description", "degree"]),
+        on=["name"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+
+    edges = relationships.select_columns(["src", "dst", "weight", "rank", "description"])
+    e_src = hash_join(
+        edges,
+        communities.rename_columns({"name": "src"}),
+        on=["src"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    e_both = hash_join(
+        e_src,
+        communities.rename_columns(
+            {"name": "dst", "community": "community_dst", "level": "level_dst"}
+        ),
+        on=["dst"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    e_in = e_both.filter(
+        expr="community == community_dst and level == level_dst"
+    )
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "level": b.column("level"),
+                "community": b.column("community"),
+                "kind": pa.array(["node"] * len(b)),
+                "name": b.column("name"),
+                "type": b.column("type"),
+                "description": b.column("description"),
+                "degree": b.column("degree").cast(pa.float64()),
+                "src": pa.nulls(len(b), pa.string()),
+                "dst": pa.nulls(len(b), pa.string()),
+                "rank": pa.nulls(len(b), pa.float64()),
+            }
+        )
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "level": b.column("level"),
+                "community": b.column("community"),
+                "kind": pa.array(["edge"] * len(b)),
+                "name": pa.nulls(len(b), pa.string()),
+                "type": pa.nulls(len(b), pa.string()),
+                "description": b.column("description"),
+                "degree": pa.nulls(len(b), pa.float64()),
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "rank": b.column("rank").cast(pa.float64()),
+            }
+        )
+
+    ctx = node_ctx.map_batches(node_rows, batch_format="pyarrow").union(
+        e_in.map_batches(edge_rows, batch_format="pyarrow")
+    )
+
+    def make_report(group: pd.DataFrame) -> pd.DataFrame:
+        community = group["community"].iloc[0]
+        level = int(group["level"].iloc[0])
+        nodes = (
+            group[group["kind"] == "node"]
+            .sort_values(["degree", "name"], ascending=[False, True])
+            [["name", "type", "description", "degree"]]
+        )
+        edges = (
+            group[group["kind"] == "edge"]
+            .sort_values(["rank", "src", "dst"], ascending=[False, True, True])
+            [["src", "dst", "rank", "description"]]
+        )
+        import pyarrow as pa
+
+        return pa.Table.from_pylist([_compose(community, level, nodes, edges)])
+
+    return ctx.groupby(["level", "community"]).map_groups(
+        make_report, batch_format="pandas"
+    )

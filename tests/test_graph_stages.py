@@ -1,0 +1,132 @@
+"""Stage tests: degrees vs networkx, distributed components vs networkx,
+community granularity, reports shape, claim merge, summarizer shortcut
+rules, checkpoint resume."""
+
+import networkx as nx
+import pandas as pd
+import pytest
+import ray.data
+
+from knowledge_graph_ray.config import PipelineConfig
+from knowledge_graph_ray.corpus import generate_corpus_table
+from knowledge_graph_ray.pipelines.build import build_graph, build_knowledge_graph
+from knowledge_graph_ray.stages.components import connected_components
+from knowledge_graph_ray.stages.degree import (
+    attach_edge_degrees,
+    attach_entity_degrees,
+    compute_degrees,
+)
+from knowledge_graph_ray.stages.summarize import DescriptionSummarizer
+
+CFG = PipelineConfig(chunk_size=64, chunk_overlap=16, extract_concurrency=2)
+
+
+@pytest.fixture(scope="module")
+def graph_tables():
+    docs = ray.data.from_arrow(generate_corpus_table(200, seed=6969)).repartition(4)
+    t = build_graph(docs, CFG)
+    return t.entities.materialize(), t.relationships.materialize()
+
+
+def _nx_graph(entities, relationships):
+    g = nx.Graph()
+    for r in entities.to_pandas().itertuples():
+        g.add_node(r.name)
+    for r in relationships.to_pandas().itertuples():
+        g.add_edge(r.src, r.dst, weight=r.weight)
+    return g
+
+
+def test_degrees_match_networkx(graph_tables):
+    entities, relationships = graph_tables
+    g = _nx_graph(entities, relationships)
+    degrees = compute_degrees(relationships).to_pandas().set_index("name")["degree"]
+    for node in g.nodes():
+        assert degrees.get(node, 0) == g.degree(node), node
+    ent = attach_entity_degrees(entities, compute_degrees(relationships), 4).to_pandas()
+    assert (ent.set_index("name")["degree"] >= 0).all()
+    for r in ent.itertuples():
+        assert r.degree == g.degree(r.name), r.name
+
+
+def test_edge_rank(graph_tables):
+    entities, relationships = graph_tables
+    g = _nx_graph(entities, relationships)
+    edges = attach_edge_degrees(relationships, compute_degrees(relationships), 4).to_pandas()
+    for r in edges.itertuples():
+        assert r.rank == g.degree(r.src) + g.degree(r.dst)
+
+
+def test_connected_components_match_networkx(graph_tables):
+    entities, relationships = graph_tables
+    g = _nx_graph(entities, relationships)
+    got = connected_components(entities, relationships, num_partitions=4).to_pandas()
+    labels = got.set_index("name")["component"]
+    assert set(labels.index) == set(g.nodes())
+    for comp in nx.connected_components(g):
+        expected = min(comp)
+        for node in comp:
+            assert labels[node] == expected, node
+
+
+def test_full_pipeline_and_reports():
+    docs = ray.data.from_arrow(generate_corpus_table(150, seed=6969)).repartition(4)
+    cfg = PipelineConfig(chunk_size=64, chunk_overlap=16, extract_concurrency=2,
+                         extract_claims=True)
+    tables = build_knowledge_graph(docs, cfg, num_partitions=4)
+    comms = tables.communities.to_pandas()
+    assert not comms.empty
+    # granularity: every level-deepest cluster is <= max_cluster_size OR was
+    # force-terminated; check level-0 covers the LCC and deeper levels refine
+    level0 = comms[comms.level == 0]
+    assert level0.name.is_unique
+    reports = tables.reports.to_pandas()
+    assert set(reports.columns) == {
+        "id", "community", "title", "summary", "full_content",
+        "full_content_json", "rank", "level", "rank_explanation", "findings",
+    }
+    assert len(reports) == comms.groupby(["level", "community"]).ngroups
+    assert reports["rank"].between(0, 10).all()
+    claims = tables.claims.to_pandas()
+    assert not claims.empty
+    assert claims.subject_id.is_unique  # merged by subject (G3)
+    ents = tables.entities.to_pandas()
+    assert "cluster" in ents.columns and "degree" in ents.columns
+
+
+def test_summarizer_shortcut_rules():
+    s = DescriptionSummarizer(max_summary_length=5)
+    assert s.summarize_one(None) == ""
+    assert s.summarize_one("") == ""
+    assert s.summarize_one("one desc") == "one desc"  # single -> identity
+    multi = s.summarize_one("b desc\na desc")
+    assert multi.startswith("a desc")  # sorted fold
+    long = s.summarize_one("x y z w\nq r s t")
+    assert len(long.split()) <= 5  # token budget enforced
+
+
+def test_checkpoint_roundtrip(tmp_path, graph_tables):
+    from knowledge_graph_ray.state.checkpoint import (
+        checkpoint_complete,
+        checkpoint_or_compute,
+        write_checkpoint,
+    )
+
+    entities, _ = graph_tables
+    path = str(tmp_path / "entities")
+    manifest = write_checkpoint(entities, path, fingerprint="fp1", stage="entities")
+    assert manifest["status"] == "complete"
+    assert manifest["rows"] == entities.count()
+    assert sum(p["rows"] for p in manifest["partitions"]) == manifest["rows"]
+    assert checkpoint_complete(path, "fp1")
+    assert not checkpoint_complete(path, "fp2")  # fingerprint mismatch invalidates
+
+    calls = []
+
+    def make():
+        calls.append(1)
+        return entities
+
+    ds = checkpoint_or_compute(make, path, "fp1", "entities")
+    assert calls == []  # resumed from checkpoint, not recomputed
+    assert ds.count() == entities.count()
