@@ -110,16 +110,21 @@ def _signature(edges) -> tuple[int, int]:
     return edges.count(), total
 
 
-def connected_components(
-    entities,
-    relationships,
+def connected_components_from_edges(
+    edge_pairs,
+    nodes=None,
     max_iters: int = 50,
     num_partitions: int = 32,
 ):
-    """-> Dataset[(name, component)]; component = min entity name in the
-    component (deterministic, content-derived id).  ``entities`` supplies
-    isolated nodes, which become their own singleton components."""
-    edges = _dedup_edges(_edge_pairs(relationships)).materialize()
+    """Generic star-contraction CC over a Dataset[(u, v)] edge list.
+
+    -> Dataset[(name, component)]; component = min node id in the
+    component.  ``nodes`` (Dataset with a ``name`` column) supplies
+    isolated nodes, which become their own singleton components.  Also
+    reused by the near-duplicate stages to cluster duplicate pairs
+    (stages/dedup.py).
+    """
+    edges = _dedup_edges(edge_pairs).materialize()
     prev_sig = None
     for _ in range(max_iters):
         edges = _star_round(edges, large=True).materialize()
@@ -136,19 +141,40 @@ def connected_components(
         )
 
     member_labels = edges.map_batches(to_labels, batch_format="pyarrow")
-
-    # roots + isolated nodes: every entity not appearing as a non-root
-    # gets itself as component; groupby-min merges the two row sources.
-    self_labels = entities.select_columns(["name"]).map_batches(
+    root_labels = edges.map_batches(
         lambda b: pa.Table.from_pydict(
-            {"name": b.column("name"), "component": b.column("name")}
+            {"name": b.column("u"), "component": b.column("u")}
         ),
         batch_format="pyarrow",
     )
+    sources = member_labels.union(root_labels)
+
+    if nodes is not None:
+        # isolated nodes: every node not appearing in an edge gets itself
+        # as component; groupby-min merges the row sources.
+        self_labels = nodes.select_columns(["name"]).map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"name": b.column("name"), "component": b.column("name")}
+            ),
+            batch_format="pyarrow",
+        )
+        sources = sources.union(self_labels)
     from ray.data.aggregate import Min
 
-    return (
-        member_labels.union(self_labels)
-        .groupby("name")
-        .aggregate(Min("component", alias_name="component"))
+    return sources.groupby("name").aggregate(Min("component", alias_name="component"))
+
+
+def connected_components(
+    entities,
+    relationships,
+    max_iters: int = 50,
+    num_partitions: int = 32,
+):
+    """Entity-graph CC: canonical (src, dst) relationship table + entity
+    table (for isolated nodes) -> Dataset[(name, component)]."""
+    return connected_components_from_edges(
+        _edge_pairs(relationships),
+        nodes=entities,
+        max_iters=max_iters,
+        num_partitions=num_partitions,
     )

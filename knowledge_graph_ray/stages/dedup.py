@@ -1,0 +1,383 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference only has exact id-dedup and set-unions (SURVEY.md §2.7,
+"No near-dup (minhash/simhash) dedup exists"); these stages add the
+standard large-corpus family, each expressed as Ray Data shuffles:
+
+* exact dedup           — content hash -> groupby -> keep first
+* MinHash + LSH         — shingle -> minhash sig -> band -> bucket groupby
+                          -> candidate pairs -> sig-verify -> CC clusters
+* SimHash               — 64-bit simhash -> 4x16-bit band pigeonhole ->
+                          candidate pairs -> exact hamming verify
+* n-gram Jaccard        — exact pairwise Jaccard within a partition key
+                          (document the partition assumption; used as the
+                          SQL-checkable oracle for the sketch variants)
+* embedding cosine      — near-dup pairs by cosine within a bucket key
+
+Duplicate-pair outputs are clustered into duplicate groups with the same
+star-contraction connected components used for the entity graph
+(stages/components.py) — pick min doc_id per group as the survivor.
+All hashing is seeded/stable (no Python str hash).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from knowledge_graph_ray.stages.components import connected_components_from_edges
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def add_content_hash(batch: pa.Table, column: str = "text") -> pa.Table:
+    h = [
+        hashlib.md5((t or "").encode()).hexdigest()
+        for t in batch.column(column).to_pylist()
+    ]
+    return batch.append_column("content_hash", pa.array(h, type=pa.string()))
+
+
+def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
+    """Keep the first row (min id) per distinct content hash.
+
+    Hash-partition + per-group first (SURVEY.md D2 generalized from id
+    equality to content equality).
+    """
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, column), batch_format="pyarrow"
+    )
+
+    def keep_first(group: pd.DataFrame) -> pa.Table:
+        keep = group.sort_values(id_column).head(1).drop(columns=["content_hash"])
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+
+
+# ------------------------------------------------------------------- minhash
+
+
+def _shingles(text: str, n: int) -> set[int]:
+    toks = _WORD_RE.findall((text or "").lower())
+    if len(toks) < n:
+        return {zlib.crc32(" ".join(toks).encode())} if toks else set()
+    return {
+        zlib.crc32(" ".join(toks[i : i + n]).encode())
+        for i in range(len(toks) - n + 1)
+    }
+
+
+class MinHasher:
+    """Stateful minhash signer: permutation parameters built once per actor."""
+
+    MERSENNE = (1 << 61) - 1
+
+    def __init__(self, num_perm: int = 128, ngram: int = 3, seed: int = 6969,
+                 text_column: str = "text", id_column: str = "doc_id"):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, self.MERSENNE, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, self.MERSENNE, size=num_perm, dtype=np.int64)
+        self.num_perm = num_perm
+        self.ngram = ngram
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = np.fromiter(_shingles(text, self.ngram), dtype=np.int64, count=-1)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.int64)
+        # (a*x + b) mod p, vectorized over shingles x permutations
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % self.MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_column).to_pylist()
+        texts = batch.column(self.text_column).to_pylist()
+        sigs = [self.signature(t) for t in texts]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([str(i) for i in ids], type=pa.string()),
+                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_signatures(ds, num_perm=128, ngram=3, seed=6969,
+                       text_column="text", id_column="doc_id",
+                       concurrency=(1, 8), batch_size=1024):
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, ngram=ngram, seed=seed,
+            text_column=text_column, id_column=id_column,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
+    """(doc_id, sig) -> one row per band: (band, band_hash, doc_id, sig)."""
+    out_band, out_hash, out_doc, out_sig = [], [], [], []
+    for doc, sig in zip(
+        batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist()
+    ):
+        rows_per_band = len(sig) // num_bands
+        for b in range(num_bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            out_band.append(b)
+            out_hash.append(zlib.crc32(np.array(chunk, dtype=np.int64).tobytes()))
+            out_doc.append(doc)
+            out_sig.append(sig)
+    return pa.Table.from_pydict(
+        {
+            "band": pa.array(out_band, type=pa.int32()),
+            "band_hash": pa.array(out_hash, type=pa.int64()),
+            "doc_id": pa.array(out_doc, type=pa.string()),
+            "sig": pa.array(out_sig, type=pa.list_(pa.int64())),
+        }
+    )
+
+
+def minhash_lsh_pairs(sigs, num_bands: int = 16, threshold: float = 0.8,
+                      max_bucket: int = 2000):
+    """LSH candidate generation + signature-based Jaccard verification.
+
+    -> Dataset[(a, b, est_jaccard)], a < b, est >= threshold.  Buckets
+    larger than ``max_bucket`` are truncated deterministically (sorted by
+    doc_id) and the truncation is recorded in the ``truncated`` column of
+    the emitted pairs (no silent caps).
+    """
+    bands = sigs.map_batches(
+        lambda b: _band_rows(b, num_bands), batch_format="pyarrow"
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("doc_id").drop_duplicates("doc_id")
+        truncated = len(g) > max_bucket
+        g = g.head(max_bucket)
+        docs = g["doc_id"].tolist()
+        sigs_ = [np.asarray(s) for s in g["sig"]]
+        rows = []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                est = float((sigs_[i] == sigs_[j]).mean())
+                if est >= threshold:
+                    a, b_ = sorted((docs[i], docs[j]))
+                    rows.append(
+                        {"a": a, "b": b_, "est_jaccard": est, "truncated": truncated}
+                    )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("a", pa.string()), ("b", pa.string()),
+                 ("est_jaccard", pa.float64()), ("truncated", pa.bool_())]
+            ),
+        )
+
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # same pair can surface from several bands -> dedup on (a, b)
+    def first_pair(group: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(group.head(1), preserve_index=False)
+
+    return pairs.groupby(["a", "b"]).map_groups(first_pair, batch_format="pandas")
+
+
+def duplicate_groups(pairs, id_column_pair=("a", "b")):
+    """Duplicate pairs -> (name=doc_id, component=group id) via the same
+    distributed union-find used for the entity graph."""
+    a, b = id_column_pair
+    edges = pairs.map_batches(
+        lambda t: pa.Table.from_pydict({"u": t.column(a), "v": t.column(b)}),
+        batch_format="pyarrow",
+    )
+    return connected_components_from_edges(edges)
+
+
+# ------------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """64-bit simhash over word tokens; stateful actor (stable hashing)."""
+
+    def __init__(self, text_column="text", id_column="doc_id"):
+        self.text_column = text_column
+        self.id_column = id_column
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in _WORD_RE.findall((text or "").lower()):
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            bits = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)
+            ).astype(np.int64)
+            acc += 2 * bits - 1
+        out = 0
+        for i, v in enumerate(acc):
+            if v > 0:
+                out |= 1 << (63 - i)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = [str(i) for i in batch.column(self.id_column).to_pylist()]
+        hashes = [self.simhash64(t) for t in batch.column(self.text_column).to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.string()),
+                "simhash": pa.array(hashes, type=pa.uint64()),
+            }
+        )
+
+
+def simhash_pairs(ds, max_hamming: int = 3, text_column="text", id_column="doc_id",
+                  concurrency=(1, 8), max_bucket: int = 2000):
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole LSH: split 64 bits into 4 16-bit chunks; distance <= 3
+    guarantees at least one identical chunk -> bucket groupby per chunk,
+    exact hamming verify inside buckets (no false negatives for <= 3).
+    """
+    hashed = ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        docs, chunks, vals, full = [], [], [], []
+        for doc, h in zip(
+            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
+        ):
+            for c in range(4):
+                docs.append(doc)
+                chunks.append(c)
+                vals.append((h >> (16 * c)) & 0xFFFF)
+                full.append(h)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(docs, type=pa.string()),
+                "chunk": pa.array(chunks, type=pa.int32()),
+                "chunk_val": pa.array(vals, type=pa.int64()),
+                "simhash": pa.array(full, type=pa.uint64()),
+            }
+        )
+
+    banded = hashed.map_batches(chunk_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("doc_id").drop_duplicates("doc_id").head(max_bucket)
+        docs = g["doc_id"].tolist()
+        hs = g["simhash"].tolist()
+        rows = []
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                dist = bin(int(hs[i]) ^ int(hs[j])).count("1")
+                if dist <= max_hamming:
+                    a, b = sorted((docs[i], docs[j]))
+                    rows.append({"a": a, "b": b, "hamming": dist})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("a", pa.string()), ("b", pa.string()), ("hamming", pa.int32())]
+            ),
+        )
+
+    pairs = banded.groupby(["chunk", "chunk_val"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    def first_pair(group: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(group.head(1), preserve_index=False)
+
+    return pairs.groupby(["a", "b"]).map_groups(first_pair, batch_format="pandas")
+
+
+# ------------------------------------------------------------ exact jaccard
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 3,
+                        partition_column: str = "source",
+                        text_column: str = "text", id_column: str = "doc_id"):
+    """Exact n-gram Jaccard pairs >= threshold WITHIN a partition key.
+
+    Partitioning assumption (documented per SURVEY §2.10 custom-operator
+    rule): candidates are only sought inside ``partition_column`` groups —
+    the exact-oracle companion to the MinHash sketch path, and the shape
+    used when a corpus has a natural shard key (crawl, source, bucket).
+    """
+
+    def pairs_in_partition(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(id_column)
+        ids = [str(i) for i in g[id_column]]
+        shingle_sets = [_shingles(t, ngram) for t in g[text_column]]
+        rows = []
+        for i in range(len(ids)):
+            si = shingle_sets[i]
+            for j in range(i + 1, len(ids)):
+                sj = shingle_sets[j]
+                if not si and not sj:
+                    continue
+                jac = len(si & sj) / len(si | sj)
+                if jac >= threshold:
+                    rows.append({"a": ids[i], "b": ids[j], "jaccard": jac})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64())]
+            ),
+        )
+
+    return ds.groupby(partition_column).map_groups(
+        pairs_in_partition, batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.95,
+                             bucket_column: str = "label",
+                             vec_column: str = "embedding",
+                             id_column: str = "vec_id"):
+    """Cosine >= threshold pairs within a bucket key (numpy matmul per
+    group).  The bucket key bounds the O(n^2): use a coarse cluster id
+    (IVF assignment from stages/similarity.py) or any natural shard key."""
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(id_column)
+        ids = [str(i) for i in g[id_column]]
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in g[vec_column]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        sims = unit @ unit.T
+        ii, jj = np.where(np.triu(sims, k=1) >= threshold)
+        rows = [
+            {"a": ids[i], "b": ids[j], "cosine": float(sims[i, j])}
+            for i, j in zip(ii, jj)
+        ]
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("a", pa.string()), ("b", pa.string()), ("cosine", pa.float64())]
+            ),
+        )
+
+    return ds.groupby(bucket_column).map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+with ``ray.put`` and read in every map_batches task (never re-shipped per
+batch); each batch computes a numpy matmul against the broadcast matrix
+and emits its LOCAL top-k per query, then a small
+``groupby(query_id).map_groups`` merges local top-ks into the global
+top-k.  Shuffle volume is O(num_queries * k * num_blocks), independent
+of corpus size.
+
+Scale path: IVF — a coarse centroid codebook (seeded kmeans-lite trained
+on a sample) assigns every vector to its nearest centroid in one pass;
+queries probe only the ``nprobe`` nearest centroid buckets.  The
+assignment column also serves as the bucket key for
+dedup.embedding_near_dup_pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(vectors) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in vectors])
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     vec_column: str = "embedding", id_column: str = "vec_id"):
+    """-> Dataset[(query_id, vec_id, cosine, rk)] — global top-k per query.
+
+    ``queries``: (Q, dim) array.  Broadcast via ray.put once.
+    """
+    import ray
+
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q_unit)
+
+    class LocalTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = [str(i) for i in batch.column(id_column).to_pylist()]
+            mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
+            sims = self.q @ mat.T  # (Q, B)
+            take = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            rows = []
+            for qi in range(sims.shape[0]):
+                for j in idx[qi]:
+                    rows.append(
+                        {
+                            "query_id": qi,
+                            "vec_id": ids[j],
+                            "cosine": float(sims[qi, j]),
+                        }
+                    )
+            return pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [("query_id", pa.int64()), ("vec_id", pa.string()),
+                     ("cosine", pa.float64())]
+                ),
+            )
+
+    local = ds.map_batches(LocalTopK, batch_format="pyarrow", batch_size=4096,
+                           concurrency=(1, 8))
+
+    def merge_topk(group: pd.DataFrame) -> pa.Table:
+        top = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        top = top.assign(rk=np.arange(1, len(top) + 1))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def train_centroids(ds, num_centroids: int = 16, sample: int = 2048,
+                    iters: int = 5, seed: int = 6969,
+                    vec_column: str = "embedding") -> np.ndarray:
+    """Seeded kmeans-lite on a driver-side sample (codebooks are tiny;
+    the sample is bounded, not the corpus)."""
+    frac = 1.0
+    cnt = ds.count()
+    if cnt > sample:
+        frac = sample / cnt
+    sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    mat = _unit(_as_matrix(sampled.to_pandas()[vec_column]))
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(num_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _unit(cents)
+    return cents
+
+
+def ivf_assign(ds, centroids: np.ndarray, vec_column: str = "embedding"):
+    """Add an ``ivf_bucket`` column = nearest centroid (broadcast codebook)."""
+    import ray
+
+    c_ref = ray.put(_unit(np.asarray(centroids, dtype=np.float64)))
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(c_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
+            bucket = np.argmax(mat @ self.c.T, axis=1).astype(np.int32)
+            return batch.append_column("ivf_bucket", pa.array(bucket, type=pa.int32()))
+
+    return ds.map_batches(Assign, batch_format="pyarrow", batch_size=4096,
+                          concurrency=(1, 8))
+
+
+def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
+             k: int = 10, nprobe: int = 4,
+             vec_column: str = "embedding", id_column: str = "vec_id"):
+    """Approximate top-k: search only the nprobe nearest buckets per query.
+
+    The bucket filter is a vectorized predicate inside map_batches (rows
+    outside every probed bucket are dropped at the scan), then the same
+    local-topk + merge as the brute-force path.
+    """
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    c = _unit(np.asarray(centroids, dtype=np.float64))
+    probes = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = sorted({int(b) for row in probes for b in row})
+    filtered = ds_assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t.column("ivf_bucket"),
+                                            value_set=pa.array(wanted, type=pa.int32()))),
+        batch_format="pyarrow",
+    )
+    probe_sets = [set(int(b) for b in row) for row in probes]
+    import ray
+
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe_sets)
+
+    class LocalTopK:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+            self.probes = ray.get(probe_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = [str(i) for i in batch.column(id_column).to_pylist()]
+            buckets = batch.column("ivf_bucket").to_pylist()
+            mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
+            sims = self.q @ mat.T
+            rows = []
+            for qi in range(sims.shape[0]):
+                allowed = self.probes[qi]
+                order = np.argsort(-sims[qi])
+                taken = 0
+                for j in order:
+                    if buckets[j] in allowed:
+                        rows.append({"query_id": qi, "vec_id": ids[j],
+                                     "cosine": float(sims[qi, j])})
+                        taken += 1
+                        if taken >= k:
+                            break
+            return pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [("query_id", pa.int64()), ("vec_id", pa.string()),
+                     ("cosine", pa.float64())]
+                ),
+            )
+
+    local = filtered.map_batches(LocalTopK, batch_format="pyarrow",
+                                 batch_size=4096, concurrency=(1, 8))
+
+    def merge_topk(group: pd.DataFrame) -> pa.Table:
+        top = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        top = top.assign(rk=np.arange(1, len(top) + 1))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")

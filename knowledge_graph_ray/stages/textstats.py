@@ -1,0 +1,108 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All are stateless-per-row computations expressed as ``map_batches``
+with state (compiled regexes, stopword tables) held in a callable class
+so Ray runs them as an actor pool with per-actor setup (the reference
+rebuilds such state per call, e.g. llm/__init__.py:5-9 — the anti-pattern
+these stages avoid)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_CJK_RE = re.compile(r"[一-鿿]")
+
+# small closed stopword tables per language (n-gram heuristic langid)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "fr": {"le", "la", "et", "les", "des", "un", "une", "du", "est", "que"},
+    "es": {"el", "los", "las", "y", "una", "es", "por", "con", "para", "del"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"},
+}
+
+
+class TextAnalyzer:
+    """Adds n_tokens, n_distinct_tokens, stopword_ratio, punct_ratio,
+    quality_score, lang_pred, fingerprint columns."""
+
+    def __init__(self, text_column: str = "text", fingerprint_k: int = 8):
+        self.text_column = text_column
+        self.fingerprint_k = fingerprint_k
+
+    def _langid(self, tokens: list[str], text: str) -> str:
+        if _CJK_RE.search(text):
+            return "zh"
+        lower = [t.lower() for t in tokens[:200]]
+        best, best_hits = "en", -1
+        for lang, stops in _STOPWORDS.items():
+            hits = sum(1 for t in lower if t in stops)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best if best_hits > 0 else "unknown"
+
+    def _fingerprint(self, tokens: list[str]) -> str:
+        """Rolling-hash (Rabin–Karp over token trigrams) winnowing digest:
+        the k smallest trigram hashes, order-insensitive, hex-packed."""
+        if not tokens:
+            return ""
+        hs = sorted(
+            {
+                int.from_bytes(
+                    hashlib.blake2b(
+                        " ".join(tokens[i : i + 3]).encode(), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+                for i in range(max(1, len(tokens) - 2))
+            }
+        )[: self.fingerprint_k]
+        return "".join(f"{h:016x}" for h in hs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        n_tok, n_dist, stop_r, punct_r, quality, lang, fp = [], [], [], [], [], [], []
+        for text in texts:
+            text = text or ""
+            toks = _WORD_RE.findall(text)
+            lower = [t.lower() for t in toks]
+            n = len(toks)
+            n_tok.append(n)
+            n_dist.append(len(set(lower)))
+            stops = sum(1 for t in lower if t in _STOPWORDS["en"])
+            sr = stops / n if n else 0.0
+            stop_r.append(sr)
+            pr = len(_PUNCT_RE.findall(text)) / max(1, len(text))
+            punct_r.append(pr)
+            # quality: length score x lexical diversity x (1 - punct excess)
+            length_score = min(1.0, n / 100.0)
+            diversity = len(set(lower)) / n if n else 0.0
+            quality.append(round(length_score * diversity * (1.0 - min(pr, 0.5)), 6))
+            lang.append(self._langid(toks, text))
+            fp.append(self._fingerprint(lower))
+        return (
+            batch.append_column("n_tokens", pa.array(n_tok, type=pa.int64()))
+            .append_column("n_distinct_tokens", pa.array(n_dist, type=pa.int64()))
+            .append_column("stopword_ratio", pa.array(stop_r, type=pa.float64()))
+            .append_column("punct_ratio", pa.array(punct_r, type=pa.float64()))
+            .append_column("quality_score", pa.array(quality, type=pa.float64()))
+            .append_column("lang_pred", pa.array(lang, type=pa.string()))
+            .append_column("fingerprint", pa.array(fp, type=pa.string()))
+        )
+
+
+def analyze_text(ds, text_column: str = "text", concurrency=(1, 8),
+                 batch_size: int = 2048):
+    return ds.map_batches(
+        TextAnalyzer,
+        fn_constructor_kwargs=dict(text_column=text_column),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

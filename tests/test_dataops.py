@@ -1,0 +1,193 @@
+"""Tests for the training-data operators: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from knowledge_graph_ray.stages import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_ds():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_matches_pandas():
+    ds = _docs_ds()
+    got = dedup.exact_dedup(ds, column="text", id_column="doc_id").to_pandas()
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    expected = pdf.sort_values("doc_id").drop_duplicates("text")
+    assert len(got) == len(expected)
+    assert set(got.doc_id) == set(expected.doc_id)
+
+
+def _near_dup_corpus():
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        {"doc_id": "d1", "text": base},
+        {"doc_id": "d2", "text": base},  # exact dup of d1
+        {"doc_id": "d3", "text": base.replace("kappa", "lambda", 1)},  # near dup
+        {"doc_id": "d4", "text": "completely different words about other topics entirely " * 6},
+        {"doc_id": "d5", "text": "unrelated content with nothing shared at all here " * 6},
+    ]
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_minhash_lsh_finds_near_dups():
+    ds = _near_dup_corpus()
+    sigs = dedup.minhash_signatures(ds, num_perm=128, ngram=3, concurrency=1)
+    pairs = dedup.minhash_lsh_pairs(sigs, num_bands=16, threshold=0.7).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
+    assert ("d1", "d2") in found
+    assert ("d1", "d3") in found or ("d2", "d3") in found
+    assert not any("d4" in p or "d5" in p for p in found)
+    exact = pairs[(pairs.a == "d1") & (pairs.b == "d2")]
+    assert exact.est_jaccard.iloc[0] == 1.0
+    groups = dedup.duplicate_groups(rd.from_pandas(pairs)).to_pandas()
+    comp = groups.set_index("name")["component"]
+    assert comp["d1"] == comp["d2"] == comp["d3"] == "d1"
+
+
+def test_simhash_pairs():
+    ds = _near_dup_corpus()
+    pairs = dedup.simhash_pairs(ds, max_hamming=3, concurrency=1).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
+    assert ("d1", "d2") in found
+    zero = pairs[(pairs.a == "d1") & (pairs.b == "d2")]
+    assert zero.hamming.iloc[0] == 0
+    assert not any("d4" in p and "d5" in p for p in found)
+
+
+def test_ngram_jaccard_matches_bruteforce():
+    pdf = pd.read_parquet(f"{SF}/documents.parquet").head(100)
+    pdf["doc_id"] = pdf["doc_id"].astype(str)
+    ds = rd.from_pandas(pdf)
+    threshold = 0.04  # word-soup docs: 2-gram jaccard tops out ~0.08
+    got = dedup.ngram_jaccard_pairs(
+        ds, threshold=threshold, ngram=2, partition_column="source"
+    ).to_pandas()
+    expected = {}
+    for _, grp in pdf.groupby("source"):
+        rows = grp.sort_values("doc_id")
+        ids = rows.doc_id.tolist()
+        sets = [dedup._shingles(t, 2) for t in rows.text]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sets[i] or sets[j]:
+                    jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                    if jac >= threshold:
+                        expected[(ids[i], ids[j])] = jac
+    assert len(expected) > 0  # the fixture actually exercises the operator
+    got_pairs = {
+        tuple(sorted((a, b))): j for a, b, j in zip(got["a"], got["b"], got["jaccard"])
+    }
+    assert got_pairs.keys() == {tuple(sorted(p)) for p in expected}
+    for k, j in expected.items():
+        assert got_pairs[tuple(sorted(k))] == pytest.approx(j)
+
+
+def test_embedding_near_dup_and_topk():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    threshold = 0.3  # driver embeddings are near-random: max cosine ~0.45
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=threshold).to_pandas()
+    # brute-force within-label verification
+    expected = set()
+    for lab, grp in pdf.groupby("label"):
+        idx = grp.sort_values("vec_id").index.tolist()
+        sub = unit[idx]
+        sims = sub @ sub.T
+        ids = grp.sort_values("vec_id").vec_id.astype(str).tolist()
+        ii, jj = np.where(np.triu(sims, k=1) >= threshold)
+        for i, j in zip(ii, jj):
+            expected.add((ids[i], ids[j]))
+    assert expected  # fixture exercises the operator
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert got == expected
+
+    # brute-force top-k vs numpy
+    queries = mat[:3]
+    topk = similarity.brute_force_topk(emb, queries, k=5).to_pandas()
+    for qi in range(3):
+        qv = unit[qi]
+        sims = unit @ qv
+        order = np.argsort(-sims)[:5]
+        expected_ids = [str(pdf.vec_id.iloc[i]) for i in order]
+        got_ids = topk[topk.query_id == qi].sort_values("rk").vec_id.tolist()
+        assert got_ids == expected_ids, qi
+
+
+def test_ivf_topk_recall():
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    cents = similarity.train_centroids(emb, num_centroids=8, sample=256, seed=6969)
+    assigned = similarity.ivf_assign(emb, cents).materialize()
+    buckets = assigned.to_pandas()["ivf_bucket"]
+    assert buckets.nunique() > 1
+    queries = mat[:3]
+    approx = similarity.ivf_topk(assigned, cents, queries, k=5, nprobe=4).to_pandas()
+    exact = similarity.brute_force_topk(emb, queries, k=5).to_pandas()
+    recalls = []
+    for qi in range(3):
+        a = set(approx[approx.query_id == qi].vec_id)
+        e = set(exact[exact.query_id == qi].vec_id)
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_textstats():
+    ds = rd.from_items(
+        [
+            {"doc_id": "e", "text": "the cat and the dog sat in the garden of the house"},
+            {"doc_id": "f", "text": "le chat et le chien est dans la maison du jardin"},
+            {"doc_id": "z", "text": "这是一个中文句子"},
+            {"doc_id": "x", "text": ""},
+        ]
+    )
+    got = textstats.analyze_text(ds, concurrency=1).to_pandas().set_index("doc_id")
+    assert got.loc["e", "lang_pred"] == "en"
+    assert got.loc["f", "lang_pred"] == "fr"
+    assert got.loc["z", "lang_pred"] == "zh"
+    assert got.loc["e", "n_tokens"] == 12
+    assert got.loc["x", "n_tokens"] == 0 and got.loc["x", "quality_score"] == 0.0
+    assert got.loc["e", "stopword_ratio"] > 0.3
+    # fingerprint is stable + content-sensitive
+    a1 = textstats.TextAnalyzer()._fingerprint("a b c d e".split())
+    a2 = textstats.TextAnalyzer()._fingerprint("a b c d e".split())
+    b = textstats.TextAnalyzer()._fingerprint("a b c d x".split())
+    assert a1 == a2 != b
+
+
+def test_multimodal_plumbing():
+    from knowledge_graph_ray.corpus import generate_corpus_table
+
+    docs = rd.from_arrow(generate_corpus_table(100, seed=6969))
+    refs = multimodal.media_refs_from_docs(docs)
+    n_refs = refs.count()
+    assert n_refs > 0
+    media = multimodal.fetch_media(refs, payload_bytes=2048, concurrency=1)
+    feats = multimodal.decode_media(media, concurrency=1).to_pandas()
+    assert len(feats) == n_refs
+    assert all(len(f) == multimodal.FEATURE_DIM for f in feats.feature)
+    # determinism: same ref -> same feature
+    again = multimodal.decode_media(
+        multimodal.fetch_media(refs, payload_bytes=2048, concurrency=1), concurrency=1
+    ).to_pandas()
+    merged = feats.merge(again, on="media_ref")
+    assert all(
+        np.allclose(x, y) for x, y in zip(merged.feature_x, merged.feature_y)
+    )
+    frames = multimodal.sample_frames(
+        multimodal.fetch_media(refs, payload_bytes=2048, concurrency=1)
+    ).to_pandas()
+    assert (frames.byte_offset % 1024 == 0).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.RealCodec().decode("image", b"xx")
