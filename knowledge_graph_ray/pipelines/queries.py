@@ -1,0 +1,713 @@
+"""Driver-contract queries + DuckDB oracle SQL (SURVEY.md §2 coverage).
+
+Every SQL-expressible operator gets a (ray_impl, oracle_sql) pair over
+the driver's parquet tables; column names and float rounding match
+EXACTLY between both sides (the driver hash-compares values after
+sorting columns by name).  Genuinely non-SQL ops (sketch-based dedup,
+approximate ANN, the full KG pipeline) are rows-only entries.
+
+Token semantics note: the KG/text queries tokenize with ``split(' ')``
+on BOTH sides (DuckDB ``string_split``) — the engine's regex tokenizer
+is equivalent for the driver's punctuation-free word-soup documents and
+these queries pin the SQL-checkable contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Mean, Sum
+
+from knowledge_graph_ray.corpus import docs_table_to_interleaved
+
+GAZETTEER = ["spark", "customer", "table", "window", "vector"]
+GAZETTEER_SQL = "(" + ", ".join(f"'{w}'" for w in GAZETTEER) + ")"
+
+FLAGSHIP_GAZETTEER = [
+    "spark", "customer", "table", "window", "vector", "join",
+    "merge", "filter", "sort", "hash", "stream", "batch",
+]
+
+CHUNK_SIZE_Q = 32
+CHUNK_OVERLAP_Q = 8
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------- KG queries
+
+
+def kg_entity_merge(sf_dir: str):
+    """G1 canonicalization shape: mention rows -> groupby(name) merge."""
+    gaz = set(GAZETTEER)
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        doc_ids, names, counts = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            found: dict[str, int] = {}
+            for w in (text or "").split(" "):
+                if w in gaz:
+                    found[w.upper()] = found.get(w.upper(), 0) + 1
+            for name, cnt in found.items():
+                doc_ids.append(doc_id)
+                names.append(name)
+                counts.append(cnt)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "name": pa.array(names, type=pa.string()),
+                "cnt": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+    per_doc = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        mentions, batch_format="pyarrow"
+    )
+    return per_doc.groupby("name").aggregate(
+        Sum("cnt", alias_name="mention_count"), Count(alias_name="n_docs")
+    )
+
+
+KG_ENTITY_MERGE_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT upper(w) AS name, count(*) AS mention_count, count(DISTINCT doc_id) AS n_docs
+FROM toks WHERE w IN {GAZETTEER_SQL}
+GROUP BY upper(w)
+"""
+
+
+def _presence_pairs(sf_dir: str):
+    gaz = set(GAZETTEER)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for text in batch.column("text").to_pylist():
+            present = sorted({w.upper() for w in (text or "").split(" ") if w in gaz})
+            for i in range(len(present)):
+                for j in range(i + 1, len(present)):
+                    srcs.append(present[i])
+                    dsts.append(present[j])
+        return pa.Table.from_pydict(
+            {
+                "src": pa.array(srcs, type=pa.string()),
+                "dst": pa.array(dsts, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir).select_columns(["text"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
+def kg_edge_merge(sf_dir: str):
+    """G2 shape: co-occurrence edges, undirected key, weight = doc count."""
+    edges = _presence_pairs(sf_dir).groupby(["src", "dst"]).count()
+    return edges.rename_columns({"count()": "weight"})
+
+
+KG_EDGE_MERGE_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+pres AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks WHERE w IN {GAZETTEER_SQL})
+SELECT a.name AS src, b.name AS dst, count(*) AS weight
+FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.name < b.name
+GROUP BY a.name, b.name
+"""
+
+
+def kg_degree(sf_dir: str):
+    """G4: degree per entity from the canonical edge table."""
+    edges = kg_edge_merge(sf_dir)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").combine_chunks()
+        dst = batch.column("dst").combine_chunks()
+        return pa.Table.from_pydict({"name": pa.concat_arrays([src, dst])})
+
+    return (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("name")
+        .aggregate(Count(alias_name="degree"))
+    )
+
+
+KG_DEGREE_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+pres AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks WHERE w IN {GAZETTEER_SQL}),
+edges AS (
+  SELECT a.name AS src, b.name AS dst
+  FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.name < b.name
+  GROUP BY a.name, b.name
+),
+und AS (SELECT src AS name FROM edges UNION ALL SELECT dst FROM edges)
+SELECT name, count(*) AS degree FROM und GROUP BY name
+"""
+
+
+def kg_text_units(sf_dir: str):
+    """M1 window math: chunk counts from the REAL chunker (32/8 windows)."""
+    from knowledge_graph_ray.stages.chunk import chunk_documents
+
+    docs = _docs(sf_dir).map_batches(docs_table_to_interleaved, batch_format="pyarrow")
+    chunks = chunk_documents(docs, CHUNK_SIZE_Q, CHUNK_OVERLAP_Q)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id").cast(pa.int64())}
+        )
+
+    return (
+        chunks.map_batches(doc_rows, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_chunks"))
+    )
+
+
+KG_TEXT_UNITS_SQL = f"""
+SELECT doc_id,
+  CASE WHEN len(string_split(text, ' ')) <= {CHUNK_SIZE_Q} THEN 1
+       ELSE CAST(ceil((len(string_split(text, ' ')) - {CHUNK_SIZE_Q})
+                 / {CHUNK_SIZE_Q - CHUNK_OVERLAP_Q}.0) + 1 AS BIGINT)
+  END AS n_chunks
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ dedup queries
+
+
+def dedup_exact(sf_dir: str):
+    from knowledge_graph_ray.stages.dedup import exact_dedup
+
+    kept = exact_dedup(_docs(sf_dir), column="text", id_column="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+DEDUP_EXACT_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    from knowledge_graph_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), threshold=0.04, ngram=2, partition_column="source"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # exact integer output: jaccard_e6 = round(n_inter*1e6/n_union),
+        # computed identically to the SQL oracle (no float-engine skew)
+        n_inter = batch.column("n_inter").to_pylist()
+        n_union = batch.column("n_union").to_pylist()
+        j6 = [round(i * 1_000_000.0 / u) for i, u in zip(n_inter, n_union)]
+        return pa.Table.from_pydict(
+            {
+                "a": batch.column("a").cast(pa.int64()),
+                "b": batch.column("b").cast(pa.int64()),
+                "jaccard_e6": pa.array(j6, type=pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+DEDUP_NGRAM_JACCARD_SQL = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, source,
+         list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bgs
+  FROM toks
+),
+bgx AS (SELECT doc_id, source, unnest(bgs) AS g FROM bg),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+  FROM bgx a JOIN bgx b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(bgs) AS n FROM bg)
+SELECT least(da, db) AS a, greatest(da, db) AS b,
+       CAST(round(n_inter * 1000000.0 / (sa.n + sb.n - n_inter)) AS BIGINT) AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.04
+"""
+
+
+def dedup_embedding_cosine(sf_dir: str):
+    from knowledge_graph_ray.stages.dedup import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(_emb(sf_dir), threshold=0.3)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # ids only: DuckDB's list_cosine_similarity computes in float32 —
+        # the VALUE can't be made bit-identical across engines, membership
+        # at a threshold away from observed values is stable
+        return pa.Table.from_pydict(
+            {
+                "a": batch.column("a").cast(pa.int64()),
+                "b": batch.column("b").cast(pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+DEDUP_EMBEDDING_COSINE_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+"""
+
+
+def dedup_minhash_lsh(sf_dir: str):
+    """Rows-only: MinHash+LSH near-dup pairs (sketch-based, not ANSI-SQL)."""
+    from knowledge_graph_ray.stages.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(sf_dir), num_perm=64, ngram=2)
+    return minhash_lsh_pairs(sigs, num_bands=16, threshold=0.5)
+
+
+def dedup_simhash(sf_dir: str):
+    """Rows-only: SimHash hamming<=3 near-dup pairs."""
+    from knowledge_graph_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+# ------------------------------------------------------- similarity queries
+
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas()
+    row = df[df.vec_id == 0].iloc[0]
+    return np.asarray(row.embedding, dtype=np.float64)[None, :]
+
+
+def similarity_topk(sf_dir: str):
+    from knowledge_graph_ray.stages.similarity import brute_force_topk
+
+    top = brute_force_topk(_emb(sf_dir), _query_vector(sf_dir), k=10)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # (vec_id, rk) only — see dedup_embedding_cosine on float32 skew
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "rk": batch.column("rk").cast(pa.int64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+SIMILARITY_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, list_cosine_similarity(embedding, (SELECT qv FROM q)) AS c
+  FROM embeddings
+)
+SELECT vec_id, row_number() OVER (ORDER BY c DESC, vec_id) AS rk
+FROM scored ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+def similarity_topk_ivf(sf_dir: str):
+    """Rows-only: approximate IVF variant of the same query."""
+    from knowledge_graph_ray.stages.similarity import (
+        ivf_assign,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = _emb(sf_dir)
+    cents = train_centroids(emb, num_centroids=16, sample=1024, seed=6969)
+    assigned = ivf_assign(emb, cents).materialize()
+    return ivf_topk(assigned, cents, _query_vector(sf_dir), k=10, nprobe=4)
+
+
+# ------------------------------------------------------------- text queries
+
+
+def text_token_stats(sf_dir: str):
+    def stats(batch: pa.Table) -> pa.Table:
+        n_tok, n_dist = [], []
+        for text in batch.column("text").to_pylist():
+            ws = (text or "").split(" ")
+            n_tok.append(len(ws))
+            n_dist.append(len(set(ws)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+                "n_distinct": pa.array(n_dist, type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct
+FROM documents
+"""
+
+
+def text_lang_quality(sf_dir: str):
+    def per_doc(batch: pa.Table) -> pa.Table:
+        has_the = [
+            1 if " the " in f" {t or ''} " else 0
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {
+                "lang": batch.column("lang"),
+                "n_chars": batch.column("n_chars"),
+                "has_the": pa.array(has_the, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .select_columns(["lang", "n_chars", "text"])
+        .map_batches(per_doc, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("n_chars", alias_name="avg_chars"),
+            Sum("has_the", alias_name="docs_with_the"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        scaled = pc.round(pc.multiply(batch.column("avg_chars"), 100.0)).cast(pa.int64())
+        idx = batch.schema.get_field_index("avg_chars")
+        return batch.remove_column(idx).add_column(idx, "avg_chars_e2", scaled)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+TEXT_LANG_QUALITY_SQL = """
+SELECT lang, count(*) AS n_docs, CAST(round(avg(n_chars) * 100) AS BIGINT) AS avg_chars_e2,
+       sum(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END) AS docs_with_the
+FROM documents GROUP BY lang
+"""
+
+
+# ------------------------------------------------------------ events window
+
+
+def events_hourly_agg(sf_dir: str):
+    def windowed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_us = batch.column("ts").cast(pa.int64())
+        window = pc.multiply(
+            pc.floor(pc.divide(ts_us, 3_600_000_000)).cast(pa.int64()), 3600
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": window,
+                "value": batch.column("value"),
+            }
+        )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+        .map_batches(windowed, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        scaled = pc.round(pc.multiply(batch.column("sum_value"), 100.0)).cast(pa.int64())
+        idx = batch.schema.get_field_index("sum_value")
+        return batch.remove_column(idx).add_column(idx, "sum_value_cents", scaled)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_AGG_SQL = """
+SELECT event_type, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       count(*) AS n_events, CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type, window_start
+"""
+
+
+# --------------------------------------------------------- relational suite
+
+
+def agg_pricing_summary(sf_dir: str):
+    def revenue(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        disc = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("disc_price", disc)
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        )
+        .map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        for col, new, scale in [
+            ("sum_qty", "sum_qty_cents", 100.0),
+            ("sum_base_price", "sum_base_price_cents", 100.0),
+            ("sum_disc_price", "sum_disc_price_cents", 100.0),
+            ("avg_disc", "avg_disc_e4", 10000.0),
+        ]:
+            scaled = pc.round(pc.multiply(batch.column(col), scale)).cast(pa.int64())
+            idx = batch.schema.get_field_index(col)
+            batch = batch.remove_column(idx).add_column(idx, new, scaled)
+        return batch
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+AGG_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_cents,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_cents,
+       CAST(round(avg(l_discount) * 10000) AS BIGINT) AS avg_disc_e4,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def join_revenue_by_segment(sf_dir: str):
+    """Broadcast join: customer is the small side — shipped once via
+    ray.put, looked up per batch (never a shuffle)."""
+    import ray
+
+    seg = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .set_index("c_custkey")["c_mktsegment"]
+        .to_dict()
+    )
+    seg_ref = ray.put(seg)
+
+    class AttachSegment:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in batch.column("o_custkey").to_pylist()]
+            return batch.append_column(
+                "c_mktsegment", pa.array(segs, type=pa.string())
+            )
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(AttachSegment, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        scaled = pc.round(pc.multiply(batch.column("revenue"), 100.0)).cast(pa.int64())
+        idx = batch.schema.get_field_index("revenue")
+        return batch.remove_column(idx).add_column(idx, "revenue_cents", scaled)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+JOIN_REVENUE_BY_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def topk_parts_by_quantity(sf_dir: str):
+    agg = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+        .groupby("l_partkey")
+        .aggregate(Sum("l_quantity", alias_name="total_qty"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        scaled = pc.round(pc.multiply(batch.column("total_qty"), 100.0)).cast(pa.int64())
+        idx = batch.schema.get_field_index("total_qty")
+        return batch.remove_column(idx).add_column(idx, "total_qty_cents", scaled)
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["total_qty_cents", "l_partkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+TOPK_PARTS_SQL = """
+SELECT l_partkey, CAST(round(sum(l_quantity) * 100) AS BIGINT) AS total_qty_cents
+FROM lineitem GROUP BY l_partkey
+ORDER BY sum(l_quantity) DESC, l_partkey LIMIT 10
+"""
+
+
+def antijoin_customers_without_orders(sf_dir: str):
+    """Anti-join via broadcast key set (the guide's semi/anti pattern:
+    broadcast the key set, flag inside map_batches).  Reported per nation
+    so the output is non-empty even when every customer has orders."""
+    import ray
+
+    custkeys = set(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .to_pandas()["o_custkey"]
+    )
+    keys_ref = ray.put(custkeys)
+
+    class FlagNoOrders:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flags = [
+                0 if k in self.keys else 1
+                for k in batch.column("c_custkey").to_pylist()
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "c_nationkey": batch.column("c_nationkey"),
+                    "no_orders": pa.array(flags, type=pa.int64()),
+                }
+            )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+        .map_batches(FlagNoOrders, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_customers"), Sum("no_orders", alias_name="n_without_orders"))
+    )
+
+
+ANTIJOIN_CUSTOMERS_SQL = """
+SELECT c_nationkey, count(*) AS n_customers,
+       sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                THEN 1 ELSE 0 END) AS n_without_orders
+FROM customer GROUP BY c_nationkey
+"""
+
+
+# -------------------------------------------------------------- KG flagship
+
+
+def kg_pipeline_entities(sf_dir: str):
+    """Rows-only: the full KG construction pipeline over the driver's
+    documents table (wrapped as interleaved single-span docs) with the
+    co-occurrence gazetteer strategy; returns the canonical entity table
+    with degree + community columns."""
+    from knowledge_graph_ray.config import PipelineConfig
+    from knowledge_graph_ray.pipelines.build import build_knowledge_graph
+    from knowledge_graph_ray.stages.extract import CooccurrenceExtractor
+
+    docs = _docs(sf_dir).map_batches(docs_table_to_interleaved, batch_format="pyarrow")
+    cfg = PipelineConfig(chunk_size=256, chunk_overlap=16)
+    tables = build_knowledge_graph(
+        docs,
+        cfg,
+        extractor_cls=CooccurrenceExtractor,
+        vocabulary=[(w, "organization") for w in FLAGSHIP_GAZETTEER],
+    )
+    return tables.entities
+
+
+def kg_communities(sf_dir: str):
+    """Rows-only: communities table from the flagship pipeline."""
+    from knowledge_graph_ray.config import PipelineConfig
+    from knowledge_graph_ray.pipelines.build import build_knowledge_graph
+    from knowledge_graph_ray.stages.extract import CooccurrenceExtractor
+
+    docs = _docs(sf_dir).map_batches(docs_table_to_interleaved, batch_format="pyarrow")
+    tables = build_knowledge_graph(
+        docs,
+        PipelineConfig(chunk_size=256, chunk_overlap=16),
+        extractor_cls=CooccurrenceExtractor,
+        vocabulary=[(w, "organization") for w in FLAGSHIP_GAZETTEER],
+    )
+    return tables.communities
+
+
+QUERIES = {
+    "kg_entity_merge": kg_entity_merge,
+    "kg_edge_merge": kg_edge_merge,
+    "kg_degree": kg_degree,
+    "kg_text_units": kg_text_units,
+    "kg_pipeline_entities": kg_pipeline_entities,
+    "kg_communities": kg_communities,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "similarity_topk": similarity_topk,
+    "similarity_topk_ivf": similarity_topk_ivf,
+    "text_token_stats": text_token_stats,
+    "text_lang_quality": text_lang_quality,
+    "events_hourly_agg": events_hourly_agg,
+    "agg_pricing_summary": agg_pricing_summary,
+    "join_revenue_by_segment": join_revenue_by_segment,
+    "topk_parts_by_quantity": topk_parts_by_quantity,
+    "antijoin_customers_without_orders": antijoin_customers_without_orders,
+}
+
+ORACLE_SQL = {
+    "kg_entity_merge": KG_ENTITY_MERGE_SQL,
+    "kg_edge_merge": KG_EDGE_MERGE_SQL,
+    "kg_degree": KG_DEGREE_SQL,
+    "kg_text_units": KG_TEXT_UNITS_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+    "similarity_topk": SIMILARITY_TOPK_SQL,
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_lang_quality": TEXT_LANG_QUALITY_SQL,
+    "events_hourly_agg": EVENTS_HOURLY_AGG_SQL,
+    "agg_pricing_summary": AGG_PRICING_SUMMARY_SQL,
+    "join_revenue_by_segment": JOIN_REVENUE_BY_SEGMENT_SQL,
+    "topk_parts_by_quantity": TOPK_PARTS_SQL,
+    "antijoin_customers_without_orders": ANTIJOIN_CUSTOMERS_SQL,
+}

@@ -332,13 +332,19 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 3,
                 sj = shingle_sets[j]
                 if not si and not sj:
                     continue
-                jac = len(si & sj) / len(si | sj)
+                n_inter = len(si & sj)
+                n_union = len(si | sj)
+                jac = n_inter / n_union
                 if jac >= threshold:
-                    rows.append({"a": ids[i], "b": ids[j], "jaccard": jac})
+                    rows.append(
+                        {"a": ids[i], "b": ids[j], "jaccard": jac,
+                         "n_inter": n_inter, "n_union": n_union}
+                    )
         return pa.Table.from_pylist(
             rows,
             schema=pa.schema(
-                [("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64())]
+                [("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64()),
+                 ("n_inter", pa.int64()), ("n_union", pa.int64())]
             ),
         )
 

@@ -159,6 +159,35 @@ class PatternExtractor:
         return pa.Table.from_pylist(rows, schema=MENTION_SCHEMA)
 
 
+class CooccurrenceExtractor(PatternExtractor):
+    """Gazetteer strategy for corpora without relation verbs (e.g. the
+    driver's flat ``documents`` table): a relationship record is emitted
+    for each pair of gazetteer mentions within ``window`` tokens of each
+    other, weight 1.0 — the reference's nltk strategy does exactly this
+    clique-of-co-occurring-entities trick
+    (verbs/entities/extraction/graph_nltk/run.py:40-56)."""
+
+    def __init__(self, vocabulary: list[tuple[str, str]], window: int = 5):
+        super().__init__(vocabulary=vocabulary, rel_verbs=[])
+        self.window = window
+
+    def _extract_raw(self, text: str) -> str:
+        records: list[str] = []
+        tokens = text.split(" ")
+        positions: list[tuple[int, str]] = []
+        for pos, tok in enumerate(tokens):
+            etype = self.types.get(tok.upper())
+            if etype is not None:
+                context = " ".join(tokens[max(0, pos - 4) : pos + 5])
+                records.append(format_entity_record(tok, etype, context))
+                positions.append((pos, tok))
+        for (p1, t1), (p2, t2) in zip(positions, positions[1:]):
+            if t1 != t2 and p2 - p1 <= self.window:
+                context = " ".join(tokens[max(0, p1 - 2) : p2 + 3])
+                records.append(format_relationship_record(t1, t2, context, 1.0))
+        return join_records(records)
+
+
 def extract_mentions(
     text_units,
     extractor_cls=PatternExtractor,
