@@ -60,8 +60,17 @@ class PipelineConfig:
     max_summary_input_tokens: int = MAX_SUMMARY_INPUT_TOKENS
     max_summary_length: int = MAX_SUMMARY_LENGTH
 
+    # per-key state bounds (SURVEY §4 hub-entity rule): lexicographically
+    # smallest-N description/source sets, exact under partial aggregation.
+    # None = faithful unbounded reference semantics.
+    max_descriptions_per_key: int | None = None
+    max_sources_per_key: int | None = None
+
     # physical knobs
     chunk_batch_size: int = 256
     extract_batch_size: int = 256
     extract_concurrency: int | tuple[int, int] = (2, 8)
+    # actor pool for expensive extractor state (LLM); task pool + per-
+    # process cache for cheap pattern extractors (see stages/extract.py)
+    extract_use_actor_pool: bool = True
     agg_num_partitions: int | None = None  # None → let Ray pick

@@ -185,11 +185,19 @@ def generate_corpus_table(num_docs: int, seed: int = 6969, start: int = 0) -> pa
     return pa.Table.from_pylist(docs, schema=CORPUS_SCHEMA)
 
 
-def read_corpus(num_docs: int, seed: int = 6969, shard_size: int = 2048):
-    """Distributed corpus source: one Ray read task per shard.
+def read_corpus(num_docs: int, seed: int = 6969, shard_size: int = 2048,
+                materialize: bool = True):
+    """Distributed corpus source: one Ray generation task per shard.
 
-    Uses ``from_items`` of shard descriptors + ``flat_map``-style
-    ``map_batches`` generation so no doc is materialized on the driver.
+    One-row shard descriptors fan out to ``map_batches`` generation tasks
+    (no doc touches the driver).  ``materialize=True`` (default) pins the
+    generated docs in the object store so downstream stages see one block
+    per shard — WITHOUT it, Ray fuses the generator into the downstream
+    actor pool and that stage's row-oriented ``batch_size`` coalesces the
+    tiny descriptor blocks into a single batch, collapsing the whole
+    pipeline to one task (measured: 1 task for a 100k-doc corpus).  A
+    real deployment reads Lance/Parquet instead; this source exists for
+    tests and bench.
     """
     import ray.data
 
@@ -198,23 +206,18 @@ def read_corpus(num_docs: int, seed: int = 6969, shard_size: int = 2048):
         for s in range(0, num_docs, shard_size)
     ]
 
-    def gen(batch: pa.Table) -> list[pa.Table]:
-        out = []
-        for row in batch.to_pylist():
-            out.append(
-                generate_corpus_table(row["count"], seed=row["seed"], start=row["start"])
-            )
-        return out
-
     def gen_batches(batch: pa.Table):
-        for t in gen(batch):
-            yield t
+        for row in batch.to_pylist():
+            yield generate_corpus_table(
+                row["count"], seed=row["seed"], start=row["start"]
+            )
 
-    return ray.data.from_arrow(
+    ds = ray.data.from_arrow(
         pa.Table.from_pylist(shards)
     ).repartition(len(shards)).map_batches(
         gen_batches, batch_format="pyarrow", batch_size=1
     )
+    return ds.materialize() if materialize else ds
 
 
 def docs_table_to_interleaved(batch: pa.Table) -> pa.Table:

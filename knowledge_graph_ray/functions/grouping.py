@@ -1,0 +1,64 @@
+"""Bucketed group-map: groupby(key).map_groups without per-key overhead.
+
+Ray's ``groupby(key).map_groups(fn)`` invokes ``fn`` once per DISTINCT
+KEY (~1ms overhead each) — ruinous for high-cardinality keys (measured:
+8000 tiny groups ≈ 9s vs 1.2s for the same groupby as a vectorized
+aggregate).  ``bucketed_group_map`` shuffles once on a stable crc32
+bucket of the key (one Ray group per bucket) and iterates the per-key
+sub-groups with a pandas groupby inside the bucket — same semantics, one
+task per bucket.
+
+``num_buckets`` is also the skew lever: it bounds per-task memory to
+~|dataset|/num_buckets (hot KEYS still colocate — per-key state must fit
+one task, which holds for every use here since upstream partial
+aggregation bounds per-key rows).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+
+_BUCKET = "__gb"
+
+
+def bucketed_group_map(ds, keys: list[str], fn, num_buckets: int = 64,
+                       dropna: bool = False, empty_schema: pa.Schema | None = None):
+    """Apply ``fn(sub_df) -> pyarrow.Table`` per distinct key group.
+
+    ``fn`` must always return an Arrow table with a fixed schema (may be
+    empty).  ``dropna=True`` skips groups whose key is null (pandas
+    groupby semantics, used where the reference drops NaN keys);
+    ``empty_schema`` is returned for buckets left with zero groups.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cols = [batch.column(k).to_pylist() for k in keys]
+        buckets = [
+            zlib.crc32("|".join(map(str, t)).encode()) % num_buckets
+            for t in zip(*cols)
+        ]
+        return batch.append_column(_BUCKET, pa.array(buckets, type=pa.int32()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    group_keys = keys[0] if len(keys) == 1 else keys
+
+    def body(group: pd.DataFrame) -> pa.Table:
+        sub_groups = group.drop(columns=[_BUCKET]).groupby(
+            group_keys, sort=False, dropna=dropna
+        )
+        out = [fn(sub) for _, sub in sub_groups]
+        out = [t for t in out if t is not None]
+        if not out:
+            if empty_schema is not None:
+                return empty_schema.empty_table()
+            raise RuntimeError(
+                "bucketed_group_map: bucket produced no groups "
+                "(pass empty_schema when dropna can empty a bucket)"
+            )
+        return pa.concat_tables(out, promote_options="default")
+
+    return bucketed.groupby(_BUCKET).map_groups(body, batch_format="pandas")

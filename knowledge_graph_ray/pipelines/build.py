@@ -65,12 +65,21 @@ def build_graph(
         extractor_cls=extractor_cls,
         batch_size=cfg.extract_batch_size,
         concurrency=cfg.extract_concurrency,
+        use_actor_pool=cfg.extract_use_actor_pool,
         **extractor_kwargs,
     )
     if materialize_mentions:
         mentions = mentions.materialize()
-    entities = canonicalize_entities(mentions)
-    relationships = canonicalize_relationships(mentions)
+    entities = canonicalize_entities(
+        mentions,
+        max_descriptions=cfg.max_descriptions_per_key,
+        max_sources=cfg.max_sources_per_key,
+    )
+    relationships = canonicalize_relationships(
+        mentions,
+        max_descriptions=cfg.max_descriptions_per_key,
+        max_sources=cfg.max_sources_per_key,
+    )
     return GraphTables(
         text_units=text_units,
         mentions=mentions,

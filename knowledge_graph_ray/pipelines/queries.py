@@ -645,7 +645,9 @@ def kg_pipeline_entities(sf_dir: str):
     from knowledge_graph_ray.stages.extract import CooccurrenceExtractor
 
     docs = _docs(sf_dir).map_batches(docs_table_to_interleaved, batch_format="pyarrow")
-    cfg = PipelineConfig(chunk_size=256, chunk_overlap=16)
+    cfg = PipelineConfig(chunk_size=256, chunk_overlap=16,
+                         extract_use_actor_pool=False,
+                         max_descriptions_per_key=32, max_sources_per_key=256)
     tables = build_knowledge_graph(
         docs,
         cfg,
@@ -664,7 +666,9 @@ def kg_communities(sf_dir: str):
     docs = _docs(sf_dir).map_batches(docs_table_to_interleaved, batch_format="pyarrow")
     tables = build_knowledge_graph(
         docs,
-        PipelineConfig(chunk_size=256, chunk_overlap=16),
+        PipelineConfig(chunk_size=256, chunk_overlap=16,
+                       extract_use_actor_pool=False,
+                       max_descriptions_per_key=32, max_sources_per_key=256),
         extractor_cls=CooccurrenceExtractor,
         vocabulary=[(w, "organization") for w in FLAGSHIP_GAZETTEER],
     )

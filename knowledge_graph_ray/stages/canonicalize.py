@@ -85,11 +85,18 @@ RELATIONSHIP_SCHEMA = pa.schema(
 )
 
 
-def entity_partials_batch(batch: pa.Table) -> pa.Table:
+def entity_partials_batch(batch: pa.Table, max_descriptions: int | None = None,
+                          max_sources: int | None = None) -> pa.Table:
     """Per-batch combiner: mention rows -> one partial row per entity name.
 
     Consumes BOTH mention kinds: 'entity' rows carry descriptions/types,
     'rel' rows contribute endpoint *touches* (stub bookkeeping).
+
+    ``max_descriptions`` / ``max_sources`` bound per-key state (SURVEY §4
+    hub-entity rule): keep the lexicographically smallest N — min-N is
+    associative (min-N of unioned min-N partials == min-N of the full
+    union), so partial and final truncation compose exactly.  None =
+    faithful unbounded reference semantics (differential-test mode).
     """
     state: dict[str, dict] = {}
 
@@ -138,8 +145,8 @@ def entity_partials_batch(batch: pa.Table) -> pa.Table:
     rows = [
         {
             "name": name,
-            "descs": sorted(s["descs"]),
-            "ent_chunks": sorted(s["ent_chunks"]),
+            "descs": sorted(s["descs"])[:max_descriptions],
+            "ent_chunks": sorted(s["ent_chunks"])[:max_sources],
             **{k: s[k] for k in (
                 "type_order", "type_val", "min_ent_order",
                 "min_touch_order", "min_touch_chunk", "n_mentions",
@@ -150,7 +157,8 @@ def entity_partials_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=ENTITY_PARTIAL_SCHEMA)
 
 
-def _merge_entity_group(group: pd.DataFrame) -> pa.Table:
+def _merge_entity_group(group: pd.DataFrame, max_descriptions: int | None = None,
+                        max_sources: int | None = None) -> pa.Table:
     """Final merge of partial rows for one entity name."""
     descs: set[str] = set()
     ent_chunks: set[str] = set()
@@ -158,6 +166,10 @@ def _merge_entity_group(group: pd.DataFrame) -> pa.Table:
         descs.update(d)
     for c in group["ent_chunks"]:
         ent_chunks.update(c)
+    if max_descriptions is not None:
+        descs = set(sorted(descs)[:max_descriptions])
+    if max_sources is not None:
+        ent_chunks = set(sorted(ent_chunks)[:max_sources])
     type_order, type_val = "", ""
     for to, tv in zip(group["type_order"], group["type_val"]):
         if tv and to >= type_order:
@@ -195,17 +207,40 @@ def _merge_entity_group(group: pd.DataFrame) -> pa.Table:
     )
 
 
-def canonicalize_entities(mentions, batch_size: int = 4096):
-    """Dataset[mention] -> Dataset[entity] (the G1 shuffle)."""
+def canonicalize_entities(mentions, batch_size: int = 4096, num_buckets: int = 64,
+                          max_descriptions: int | None = None,
+                          max_sources: int | None = None):
+    """Dataset[mention] -> Dataset[entity] (the G1 shuffle).
+
+    Final merge runs via bucketed_group_map: one Ray task per key-hash
+    bucket, not one Python call per entity (high-cardinality keys)."""
+    import functools
+
+    from knowledge_graph_ray.functions.grouping import bucketed_group_map
+
     partials = mentions.map_batches(
-        entity_partials_batch, batch_format="pyarrow", batch_size=batch_size
+        functools.partial(
+            entity_partials_batch,
+            max_descriptions=max_descriptions,
+            max_sources=max_sources,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
-    return partials.groupby("name").map_groups(
-        _merge_entity_group, batch_format="pandas"
+    return bucketed_group_map(
+        partials,
+        ["name"],
+        functools.partial(
+            _merge_entity_group,
+            max_descriptions=max_descriptions,
+            max_sources=max_sources,
+        ),
+        num_buckets=num_buckets,
     )
 
 
-def edge_partials_batch(batch: pa.Table) -> pa.Table:
+def edge_partials_batch(batch: pa.Table, max_descriptions: int | None = None,
+                        max_sources: int | None = None) -> pa.Table:
     """Per-batch combiner for relationship mentions, undirected key."""
     state: dict[tuple[str, str], dict] = {}
     kinds = batch.column("kind").to_pylist()
@@ -231,8 +266,8 @@ def edge_partials_batch(batch: pa.Table) -> pa.Table:
             "src": k[0],
             "dst": k[1],
             "weight": s["weight"],
-            "descs": sorted(s["descs"]),
-            "chunks": sorted(s["chunks"]),
+            "descs": sorted(s["descs"])[:max_descriptions],
+            "chunks": sorted(s["chunks"])[:max_sources],
             "n_mentions": s["n"],
         }
         for k, s in state.items()
@@ -240,13 +275,18 @@ def edge_partials_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=EDGE_PARTIAL_SCHEMA)
 
 
-def _merge_edge_group(group: pd.DataFrame) -> pa.Table:
+def _merge_edge_group(group: pd.DataFrame, max_descriptions: int | None = None,
+                      max_sources: int | None = None) -> pa.Table:
     descs: set[str] = set()
     chunks: set[str] = set()
     for d in group["descs"]:
         descs.update(d)
     for c in group["chunks"]:
         chunks.update(c)
+    if max_descriptions is not None:
+        descs = set(sorted(descs)[:max_descriptions])
+    if max_sources is not None:
+        chunks = set(sorted(chunks)[:max_sources])
     description = "\n".join(sorted(descs)) if len(descs) > 1 else next(iter(descs))
     return pa.Table.from_pylist(
         [
@@ -263,11 +303,30 @@ def _merge_edge_group(group: pd.DataFrame) -> pa.Table:
     )
 
 
-def canonicalize_relationships(mentions, batch_size: int = 4096):
+def canonicalize_relationships(mentions, batch_size: int = 4096, num_buckets: int = 64,
+                               max_descriptions: int | None = None,
+                               max_sources: int | None = None):
     """Dataset[mention] -> Dataset[relationship] (the G2 shuffle)."""
+    import functools
+
+    from knowledge_graph_ray.functions.grouping import bucketed_group_map
+
     partials = mentions.map_batches(
-        edge_partials_batch, batch_format="pyarrow", batch_size=batch_size
+        functools.partial(
+            edge_partials_batch,
+            max_descriptions=max_descriptions,
+            max_sources=max_sources,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
-    return partials.groupby(["src", "dst"]).map_groups(
-        _merge_edge_group, batch_format="pandas"
+    return bucketed_group_map(
+        partials,
+        ["src", "dst"],
+        functools.partial(
+            _merge_edge_group,
+            max_descriptions=max_descriptions,
+            max_sources=max_sources,
+        ),
+        num_buckets=num_buckets,
     )

@@ -175,7 +175,11 @@ def _merge_claim_group(group: pd.DataFrame) -> pa.Table:
 
 
 def merge_claims(claims):
-    """groupby(subject_id) merge — reference extract_covariates.py:69-83."""
-    return claims.groupby("subject_id").map_groups(
-        _merge_claim_group, batch_format="pandas"
+    """groupby(subject_id) merge — reference extract_covariates.py:69-83
+    (pandas groupby drops null subjects there; dropna=True matches)."""
+    from knowledge_graph_ray.functions.grouping import bucketed_group_map
+
+    return bucketed_group_map(
+        claims, ["subject_id"], _merge_claim_group,
+        dropna=True, empty_schema=MERGED_CLAIM_SCHEMA,
     )

@@ -69,10 +69,15 @@ def _adjacency(edges):
     return edges.map_batches(body, batch_format="pyarrow")
 
 
-def _star_round(edges, large: bool):
+_EDGE_SCHEMA = pa.schema([("u", pa.string()), ("v", pa.string())])
+
+
+def _star_round(edges, large: bool, num_buckets: int = 64):
+    from knowledge_graph_ray.functions.grouping import bucketed_group_map
+
     adj = _adjacency(edges)
 
-    def body(group: pd.DataFrame) -> pd.DataFrame:
+    def body(group: pd.DataFrame) -> pa.Table:
         u = group["node"].iloc[0]
         nbrs = group["nbr"].tolist()
         m = min(min(nbrs), u)
@@ -86,10 +91,14 @@ def _star_round(edges, large: bool):
                 a, b = (v, m) if v < m else (m, v)
                 out_u.append(a)
                 out_v.append(b)
-        return pd.DataFrame({"u": out_u, "v": out_v})
+        return pa.Table.from_pydict(
+            {"u": pa.array(out_u, type=pa.string()),
+             "v": pa.array(out_v, type=pa.string())},
+            schema=_EDGE_SCHEMA,
+        )
 
     return _dedup_edges(
-        adj.groupby("node").map_groups(body, batch_format="pandas")
+        bucketed_group_map(adj, ["node"], body, num_buckets=num_buckets)
     )
 
 

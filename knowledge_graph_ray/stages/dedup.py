@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from knowledge_graph_ray.functions.grouping import bucketed_group_map
 from knowledge_graph_ray.stages.components import connected_components_from_edges
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
@@ -59,7 +60,7 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
         keep = group.sort_values(id_column).head(1).drop(columns=["content_hash"])
         return pa.Table.from_pandas(keep, preserve_index=False)
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    return bucketed_group_map(hashed, ["content_hash"], keep_first)
 
 
 # ------------------------------------------------------------------- minhash
@@ -149,7 +150,7 @@ def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
 
 
 def minhash_lsh_pairs(sigs, num_bands: int = 16, threshold: float = 0.8,
-                      max_bucket: int = 2000):
+                      max_bucket: int = 2000, twomb: int = 2_000_000):
     """LSH candidate generation + signature-based Jaccard verification.
 
     -> Dataset[(a, b, est_jaccard)], a < b, est >= threshold.  Buckets
@@ -161,37 +162,97 @@ def minhash_lsh_pairs(sigs, num_bands: int = 16, threshold: float = 0.8,
         lambda b: _band_rows(b, num_bands), batch_format="pyarrow"
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values("doc_id").drop_duplicates("doc_id")
-        truncated = len(g) > max_bucket
-        g = g.head(max_bucket)
-        docs = g["doc_id"].tolist()
-        sigs_ = [np.asarray(s) for s in g["sig"]]
-        rows = []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                est = float((sigs_[i] == sigs_[j]).mean())
-                if est >= threshold:
-                    a, b_ = sorted((docs[i], docs[j]))
-                    rows.append(
-                        {"a": a, "b": b_, "est_jaccard": est, "truncated": truncated}
-                    )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [("a", pa.string()), ("b", pa.string()),
-                 ("est_jaccard", pa.float64()), ("truncated", pa.bool_())]
-            ),
-        )
-
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    pair_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()),
+         ("est_jaccard", pa.float64()), ("truncated", pa.bool_())]
     )
-    # same pair can surface from several bands -> dedup on (a, b)
-    def first_pair(group: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(group.head(1), preserve_index=False)
 
-    return pairs.groupby(["a", "b"]).map_groups(first_pair, batch_format="pandas")
+    def _segment_pairs(docs: list[str], sig_mat: np.ndarray, truncated: bool,
+                       rows: list[dict]):
+        n = len(docs)
+        chunk = max(1, twomb // max(1, n * sig_mat.shape[1]))
+        for lo in range(0, n, chunk):
+            hi = min(n, lo + chunk)
+            est_blk = (sig_mat[lo:hi, None, :] == sig_mat[None, :, :]).mean(axis=2)
+            ii, jj = np.where(est_blk >= threshold)
+            for i_, j in zip(ii, jj):
+                i = lo + i_
+                if j <= i:
+                    continue
+                a, b_ = sorted((docs[i], docs[j]))
+                rows.append(
+                    {"a": a, "b": b_, "est_jaccard": float(est_blk[i_, j]),
+                     "truncated": truncated}
+                )
+
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        # sorted-run scan: most (band, band_hash) buckets are singletons —
+        # find multi-row runs vectorized and only those pay pair generation
+        g = group.sort_values(["band", "band_hash", "doc_id"])
+        keys = list(zip(g["band"].tolist(), g["band_hash"].tolist()))
+        docs_all = g["doc_id"].tolist()
+        sigs_all = g["sig"].tolist()
+        rows: list[dict] = []
+        start = 0
+        n = len(keys)
+        for i in range(1, n + 1):
+            if i == n or keys[i] != keys[start]:
+                seg = i - start
+                if seg >= 2:
+                    truncated = seg > max_bucket
+                    end = start + min(seg, max_bucket)
+                    docs = docs_all[start:end]
+                    sig_mat = np.stack(
+                        [np.asarray(s) for s in sigs_all[start:end]]
+                    )
+                    _segment_pairs(docs, sig_mat, truncated, rows)
+                start = i
+        return pa.Table.from_pylist(rows, schema=pair_schema)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        bands_col = batch.column("band").to_pylist()
+        hashes = batch.column("band_hash").to_pylist()
+        buckets = [
+            _z.crc32(f"{b}|{h}".encode()) % 64 for b, h in zip(bands_col, hashes)
+        ]
+        return batch.append_column("__gb", pa.array(buckets, type=pa.int32()))
+
+    pairs = (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop(columns=["__gb"])),
+            batch_format="pandas",
+        )
+    )
+
+    # same pair can surface from several bands -> dedup on (a, b): cheap
+    # sorted-scan drop_duplicates per hash bucket
+    def dedup_pairs(group: pd.DataFrame) -> pa.Table:
+        keep = group.sort_values(["a", "b"]).drop_duplicates(["a", "b"])
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    from knowledge_graph_ray.functions.grouping import _BUCKET as _GB
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        buckets = [
+            _z.crc32(f"{a}|{b}".encode()) % 64
+            for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist())
+        ]
+        return batch.append_column("__gb", pa.array(buckets, type=pa.int32()))
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(
+            lambda g: dedup_pairs(g.drop(columns=["__gb"])),
+            batch_format="pandas",
+        )
+    )
 
 
 def duplicate_groups(pairs, id_column_pair=("a", "b")):
@@ -279,32 +340,77 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column="text", id_column="doc_i
 
     banded = hashed.map_batches(chunk_rows, batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values("doc_id").drop_duplicates("doc_id").head(max_bucket)
-        docs = g["doc_id"].tolist()
-        hs = g["simhash"].tolist()
-        rows = []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                dist = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                if dist <= max_hamming:
-                    a, b = sorted((docs[i], docs[j]))
-                    rows.append({"a": a, "b": b, "hamming": dist})
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [("a", pa.string()), ("b", pa.string()), ("hamming", pa.int32())]
-            ),
-        )
+    pair_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("hamming", pa.int32())]
+    )
+    popcount8 = np.array([bin(x).count("1") for x in range(256)], dtype=np.int32)
 
-    pairs = banded.groupby(["chunk", "chunk_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        # sorted-run scan over (chunk, chunk_val) segments (see minhash)
+        g = group.sort_values(["chunk", "chunk_val", "doc_id"])
+        keys = list(zip(g["chunk"].tolist(), g["chunk_val"].tolist()))
+        docs_all = g["doc_id"].tolist()
+        hs_all = g["simhash"].tolist()
+        rows: list[dict] = []
+        start = 0
+        n = len(keys)
+        for i in range(1, n + 1):
+            if i == n or keys[i] != keys[start]:
+                seg = i - start
+                if seg >= 2:
+                    end = start + min(seg, max_bucket)
+                    docs = docs_all[start:end]
+                    hs = np.asarray(hs_all[start:end], dtype=np.uint64)
+                    m = len(docs)
+                    xor = hs[:, None] ^ hs[None, :]
+                    dist = popcount8[xor.view(np.uint8).reshape(m, m, 8)].sum(axis=2)
+                    ii, jj = np.where(np.triu(dist <= max_hamming, k=1))
+                    for i_, j in zip(ii, jj):
+                        a, b = sorted((docs[i_], docs[j]))
+                        rows.append({"a": a, "b": b, "hamming": int(dist[i_, j])})
+                start = i
+        return pa.Table.from_pylist(rows, schema=pair_schema)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        buckets = [
+            _z.crc32(f"{c}|{v}".encode()) % 64
+            for c, v in zip(batch.column("chunk").to_pylist(),
+                            batch.column("chunk_val").to_pylist())
+        ]
+        return batch.append_column("__gb", pa.array(buckets, type=pa.int32()))
+
+    pairs = (
+        banded.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop(columns=["__gb"])),
+            batch_format="pandas",
+        )
     )
 
-    def first_pair(group: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(group.head(1), preserve_index=False)
+    def dedup_pairs(group: pd.DataFrame) -> pa.Table:
+        keep = group.sort_values(["a", "b"]).drop_duplicates(["a", "b"])
+        return pa.Table.from_pandas(keep, preserve_index=False)
 
-    return pairs.groupby(["a", "b"]).map_groups(first_pair, batch_format="pandas")
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        import zlib as _z
+
+        buckets = [
+            _z.crc32(f"{a}|{b}".encode()) % 64
+            for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist())
+        ]
+        return batch.append_column("__gb", pa.array(buckets, type=pa.int32()))
+
+    return (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__gb")
+        .map_groups(
+            lambda g: dedup_pairs(g.drop(columns=["__gb"])),
+            batch_format="pandas",
+        )
+    )
 
 
 # ------------------------------------------------------------ exact jaccard

@@ -188,18 +188,48 @@ class CooccurrenceExtractor(PatternExtractor):
         return join_records(records)
 
 
+_PROCESS_EXTRACTOR_CACHE: dict = {}
+
+
 def extract_mentions(
     text_units,
     extractor_cls=PatternExtractor,
     batch_size: int = 256,
     concurrency=(2, 8),
+    use_actor_pool: bool = True,
     **extractor_kwargs,
 ):
-    """Dataset[text_unit] -> Dataset[mention] via an actor pool."""
+    """Dataset[text_unit] -> Dataset[mention].
+
+    ``use_actor_pool=True`` (default): callable-class actor pool — the
+    right shape when extractor setup is expensive (LLM client, model
+    weights), state built once per actor (reference rebuilds per call,
+    llm/__init__.py:5-9).
+
+    ``use_actor_pool=False``: stateless task pool with a per-worker-
+    process extractor cache — for cheap-to-build extractors (compiled
+    regex gazetteers) this removes actor-pool startup latency (~2-4s per
+    fresh pool) and scales elastically with the cluster; construction
+    happens once per worker process, not per batch.
+    """
+    if use_actor_pool:
+        return text_units.map_batches(
+            extractor_cls,
+            fn_constructor_kwargs=extractor_kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    cache_key = (extractor_cls.__module__, extractor_cls.__qualname__,
+                 repr(sorted(extractor_kwargs.items())))
+
+    def extract_fn(batch):
+        ext = _PROCESS_EXTRACTOR_CACHE.get(cache_key)
+        if ext is None:
+            ext = _PROCESS_EXTRACTOR_CACHE[cache_key] = extractor_cls(**extractor_kwargs)
+        return ext(batch)
+
     return text_units.map_batches(
-        extractor_cls,
-        fn_constructor_kwargs=extractor_kwargs,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+        extract_fn, batch_format="pyarrow", batch_size=batch_size
     )
