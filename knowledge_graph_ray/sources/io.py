@@ -1,0 +1,97 @@
+"""Input sources for the interleaved-document corpus + resume filtering.
+
+Reference behavior replaced (SURVEY.md S1/S2/D1): LangChain
+DirectoryLoader + a ``checkpoint.txt`` newline list of processed paths
+(/root/reference/verbs/documents/load_documents/run.py:13-53).  Here the
+input is a columnar table (Lance when the ``lance`` package is present,
+Parquet otherwise — same logical schema per BASELINE.json input_hint)
+and resume is an anti-join of ``doc_id`` against the completed output
+manifest, evaluated as a broadcast-set filter inside ``map_batches``
+(doc-id sets for completed partitions are small relative to the corpus;
+for larger completed sets swap in a Bloom filter — same stage shape).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def read_documents(path: str, columns: list[str] | None = None):
+    """Read an interleaved-document table (directory or file).
+
+    Prefers Lance (`ray.data.read_lance`) when the format/package is
+    available, else Parquet — identical downstream schema.
+    """
+    import ray.data
+
+    if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+        try:
+            import lance  # noqa: F401
+
+            return ray.data.read_lance(path, columns=columns)
+        except ImportError as err:
+            raise ImportError(
+                "input looks like a Lance dataset but the 'lance' package "
+                "is not installed; re-materialize as Parquet or install lance"
+            ) from err
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def completed_doc_ids(manifest_dir: str) -> set[str]:
+    """doc ids recorded as completed by a prior run's output manifest.
+
+    The export manifest (state/checkpoint.py) lists per-partition files;
+    a companion ``_completed_docs.json`` (written by
+    ``record_completed_docs``) lists the doc ids each partition covered.
+    """
+    path = os.path.join(manifest_dir, "_completed_docs.json")
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        payload = json.load(f)
+    done: set[str] = set()
+    for part in payload.get("partitions", []):
+        done.update(part.get("doc_ids", []))
+    return done
+
+
+def record_completed_docs(manifest_dir: str, partition_key: str, doc_ids: list[str]):
+    """Append a completed partition's doc ids (atomic read-modify-write)."""
+    os.makedirs(manifest_dir, exist_ok=True)
+    path = os.path.join(manifest_dir, "_completed_docs.json")
+    payload = {"partitions": []}
+    if os.path.exists(path):
+        with open(path) as f:
+            payload = json.load(f)
+    payload["partitions"] = [
+        p for p in payload["partitions"] if p.get("key") != partition_key
+    ] + [{"key": partition_key, "doc_ids": sorted(doc_ids)}]
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def filter_pending(docs, manifest_dir: str):
+    """Anti-join against completed doc ids: broadcast the done-set once,
+    filter inside map_batches (guide's semi/anti pattern — no shuffle)."""
+    import pyarrow as pa
+    import ray
+
+    done = completed_doc_ids(manifest_dir)
+    if not done:
+        return docs
+    done_ref = ray.put(done)
+
+    class Pending:
+        def __init__(self):
+            self.done = ray.get(done_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.array(
+                [d not in self.done for d in batch.column("doc_id").to_pylist()]
+            )
+            return batch.filter(mask)
+
+    return docs.map_batches(Pending, batch_format="pyarrow", concurrency=(1, 4))

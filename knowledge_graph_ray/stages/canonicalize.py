@@ -330,3 +330,118 @@ def canonicalize_relationships(mentions, batch_size: int = 4096, num_buckets: in
         ),
         num_buckets=num_buckets,
     )
+
+
+# --------------------------------------------------------- incremental (G8)
+
+
+def entities_to_partials(batch: pa.Table) -> pa.Table:
+    """Canonical entity rows -> partial rows, for incremental re-merge.
+
+    Reference incremental mode string-concatenates old/new descriptions
+    ("Old Information---\\n...", utils/graph.py:68-115); our merge is an
+    associative set union, so a previous run's canonical table converts
+    back to partials and re-merges exactly (SURVEY.md G8).  Old rows get
+    the lowest order sentinel "" so a NEW non-empty type wins, matching
+    the reference's dict.update(new-over-old) semantics.
+    """
+    rows = []
+    for r in batch.to_pylist():
+        rows.append(
+            {
+                "name": r["name"],
+                "descs": sorted(set(r["description"].split("\n"))) if r["description"] else [],
+                "ent_chunks": sorted(set(r["source_id"].split(", "))) if r["source_id"] else [],
+                "type_order": "",
+                "type_val": r["type"] or "",
+                "min_ent_order": "",
+                "min_touch_order": _HI,
+                "min_touch_chunk": "",
+                "n_mentions": r.get("n_mentions", 0) or 0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=ENTITY_PARTIAL_SCHEMA)
+
+
+def relationships_to_partials(batch: pa.Table) -> pa.Table:
+    """Canonical relationship rows -> partial rows (weights re-sum)."""
+    rows = []
+    for r in batch.to_pylist():
+        rows.append(
+            {
+                "src": r["src"],
+                "dst": r["dst"],
+                "weight": r["weight"],
+                "descs": sorted(set(r["description"].split("\n"))) if r["description"] else [],
+                "chunks": sorted(set(r["source_id"].split(", "))) if r["source_id"] else [],
+                "n_mentions": r.get("n_mentions", 0) or 0,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=EDGE_PARTIAL_SCHEMA)
+
+
+def incremental_canonicalize_entities(prev_entities, new_mentions,
+                                      batch_size: int = 4096, num_buckets: int = 64,
+                                      max_descriptions: int | None = None,
+                                      max_sources: int | None = None):
+    """Union a previous run's canonical entities with new mentions and
+    re-merge — the incremental path (reference cluster_graph.py:32-36 /
+    utils/graph.py:68-115, associative here so no special-case strings)."""
+    import functools
+
+    from knowledge_graph_ray.functions.grouping import bucketed_group_map
+
+    prev_partials = prev_entities.map_batches(
+        entities_to_partials, batch_format="pyarrow"
+    )
+    new_partials = new_mentions.map_batches(
+        functools.partial(
+            entity_partials_batch,
+            max_descriptions=max_descriptions,
+            max_sources=max_sources,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return bucketed_group_map(
+        prev_partials.union(new_partials),
+        ["name"],
+        functools.partial(
+            _merge_entity_group,
+            max_descriptions=max_descriptions,
+            max_sources=max_sources,
+        ),
+        num_buckets=num_buckets,
+    )
+
+
+def incremental_canonicalize_relationships(prev_relationships, new_mentions,
+                                           batch_size: int = 4096, num_buckets: int = 64,
+                                           max_descriptions: int | None = None,
+                                           max_sources: int | None = None):
+    import functools
+
+    from knowledge_graph_ray.functions.grouping import bucketed_group_map
+
+    prev_partials = prev_relationships.map_batches(
+        relationships_to_partials, batch_format="pyarrow"
+    )
+    new_partials = new_mentions.map_batches(
+        functools.partial(
+            edge_partials_batch,
+            max_descriptions=max_descriptions,
+            max_sources=max_sources,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return bucketed_group_map(
+        prev_partials.union(new_partials),
+        ["src", "dst"],
+        functools.partial(
+            _merge_edge_group,
+            max_descriptions=max_descriptions,
+            max_sources=max_sources,
+        ),
+        num_buckets=num_buckets,
+    )

@@ -1,0 +1,167 @@
+"""Tests: incremental G8 merge, resume source filtering, hash_join,
+embedding stage, strategy registry."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from knowledge_graph_ray.config import PipelineConfig
+from knowledge_graph_ray.corpus import generate_corpus_table
+from knowledge_graph_ray.functions.joins import hash_join
+from knowledge_graph_ray.pipelines.build import build_graph
+from knowledge_graph_ray.stages.canonicalize import (
+    incremental_canonicalize_entities,
+    incremental_canonicalize_relationships,
+)
+
+CFG = PipelineConfig(chunk_size=64, chunk_overlap=16, extract_concurrency=1)
+
+
+def _tables(lo, hi):
+    tbl = generate_corpus_table(hi - lo, seed=6969, start=lo)
+    return build_graph(rd.from_arrow(tbl).repartition(2), CFG)
+
+
+def test_incremental_merge_equals_full_run():
+    full = _tables(0, 200)
+    run1 = _tables(0, 120)
+    run2 = _tables(120, 200)
+
+    inc_ents = incremental_canonicalize_entities(
+        run1.entities.materialize(), run2.mentions
+    ).to_pandas().set_index("name")
+    full_ents = full.entities.to_pandas().set_index("name")
+    assert set(inc_ents.index) == set(full_ents.index)
+    for name in full_ents.index:
+        f, g = full_ents.loc[name], inc_ents.loc[name]
+        assert f["type"] == g["type"], name
+        # description/source sets (minus stub-"" bookkeeping, which is
+        # order-dependent across run splits) must agree
+        fd = set(f["description"].split("\n")) - {""}
+        gd = set(g["description"].split("\n")) - {""}
+        assert fd == gd, name
+        assert f["n_mentions"] == g["n_mentions"], name
+
+    inc_rels = incremental_canonicalize_relationships(
+        run1.relationships.materialize(), run2.mentions
+    ).to_pandas().set_index(["src", "dst"])
+    full_rels = full.relationships.to_pandas().set_index(["src", "dst"])
+    assert set(inc_rels.index) == set(full_rels.index)
+    for key in full_rels.index:
+        assert full_rels.loc[key, "weight"] == pytest.approx(inc_rels.loc[key, "weight"])
+        assert full_rels.loc[key, "n_mentions"] == inc_rels.loc[key, "n_mentions"]
+
+
+def test_resume_filter(tmp_path):
+    from knowledge_graph_ray.sources.io import (
+        completed_doc_ids,
+        filter_pending,
+        record_completed_docs,
+    )
+
+    docs = rd.from_arrow(generate_corpus_table(50, seed=6969))
+    mdir = str(tmp_path / "out")
+    assert completed_doc_ids(mdir) == set()
+    assert filter_pending(docs, mdir).count() == 50
+
+    done = [f"doc-{i:08d}" for i in range(20)]
+    record_completed_docs(mdir, "part-0", done)
+    pending = filter_pending(docs, mdir)
+    assert pending.count() == 30
+    got = set(pending.to_pandas().doc_id)
+    assert got.isdisjoint(done)
+    # re-recording the same partition is idempotent
+    record_completed_docs(mdir, "part-0", done)
+    assert len(completed_doc_ids(mdir)) == 20
+
+
+def test_read_documents_parquet(tmp_path):
+    import pyarrow.parquet as pq
+
+    from knowledge_graph_ray.sources.io import read_documents
+
+    tbl = generate_corpus_table(20, seed=1)
+    pq.write_table(tbl, str(tmp_path / "docs.parquet"))
+    ds = read_documents(str(tmp_path / "docs.parquet"))
+    assert ds.count() == 20
+    assert set(ds.schema().names) == {"doc_id", "spans"}
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_hash_join_matches_pandas(how):
+    rng = np.random.RandomState(0)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 50, 200), "x": rng.randn(200)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.randint(0, 60, 80), "y": rng.randint(0, 1000, 80)}
+    ).drop_duplicates("k")
+    got = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["k"], how=how, num_partitions=8
+    ).to_pandas()
+    expected = left.merge(right, on="k", how="left" if how == "left_outer" else "inner")
+    assert len(got) == len(expected)
+    g = got.sort_values(["k", "x"]).reset_index(drop=True)
+    e = expected.sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(g["x"], e["x"])
+    assert g["y"].isna().sum() == e["y"].isna().sum()
+    pd.testing.assert_series_equal(
+        g["y"].fillna(-1).astype(np.int64),
+        e["y"].fillna(-1).astype(np.int64),
+        check_names=False,
+    )
+
+
+def test_hash_join_composite_key_and_collision_guard():
+    left = rd.from_items([{"a": "x", "b": 1, "v": 10}, {"a": "y", "b": 2, "v": 20}])
+    right = rd.from_items([{"a": "x", "b": 1, "w": 7}])
+    got = hash_join(left, right, on=["a", "b"], how="inner", num_partitions=4).to_pandas()
+    assert len(got) == 1 and got.w.iloc[0] == 7
+    clash = rd.from_items([{"a": "x", "b": 1, "v": 99}])
+    with pytest.raises(AssertionError):
+        hash_join(left, clash, on=["a", "b"], how="inner")
+
+
+def test_embedding_stage_and_vector_sink(tmp_path):
+    from knowledge_graph_ray.stages.embed import HashingEmbedder, embed_descriptions, write_vector_table
+
+    ds = rd.from_items(
+        [
+            {"name": "A", "description": "alpha beta gamma"},
+            {"name": "B", "description": "alpha beta gamma"},
+            {"name": "C", "description": "totally different words"},
+            {"name": "D", "description": ""},
+        ]
+    )
+    out = embed_descriptions(ds, concurrency=1, dim=32).to_pandas()
+    vecs = {r["name"]: np.asarray(r["embedding"]) for _, r in out.iterrows()}
+    assert np.allclose(vecs["A"], vecs["B"])  # deterministic
+    assert not np.allclose(vecs["A"], vecs["C"])
+    assert np.allclose(vecs["D"], 0)
+    assert all(len(v) == 32 for v in vecs.values())
+    for name in ("A", "C"):
+        assert np.isclose(np.linalg.norm(vecs[name]), 1.0)
+
+    manifest = write_vector_table(
+        embed_descriptions(ds, concurrency=1, dim=32), str(tmp_path / "vec"), "fp"
+    )
+    assert manifest["rows"] == 4
+
+
+def test_registry():
+    from knowledge_graph_ray import registry
+
+    assert registry.get_extractor("pattern").__name__ == "PatternExtractor"
+    assert registry.get_extractor("cooccurrence").__name__ == "CooccurrenceExtractor"
+    with pytest.raises(NotImplementedError):
+        registry.get_extractor("graph_intelligence")()
+    with pytest.raises(ValueError):
+        registry.get_extractor("nope")
+
+    class Custom:  # user extension
+        pass
+
+    registry.register_extractor("custom", Custom)
+    assert registry.get_extractor("custom") is Custom
