@@ -93,11 +93,21 @@ def build_knowledge_graph(
     config: PipelineConfig | None = None,
     extractor_cls=PatternExtractor,
     num_partitions: int = 32,
+    checkpoint_dir: str | None = None,
+    fingerprint: str = "default",
     **extractor_kwargs,
 ) -> GraphTables:
     """Full pipeline: the reference workflow build_workflow.py:20-83 as
     streaming stages — chunk, extract, canonicalize, summarize, degree,
-    components, communities, reports (+ optional claims)."""
+    components, communities, reports (+ optional claims).
+
+    ``checkpoint_dir``: when set, the expensive stage boundaries
+    (canonical entities/relationships-with-degrees, communities) persist
+    to Parquet checkpoints with lineage manifests; a rerun with the same
+    ``fingerprint`` resumes from the last complete stage instead of
+    recomputing (north rule: resumable from checkpoint).  A changed
+    fingerprint (new input) invalidates downstream checkpoints.
+    """
     from knowledge_graph_ray.stages.summarize import summarize_descriptions
     from knowledge_graph_ray.stages.degree import (
         attach_edge_degrees,
@@ -109,31 +119,71 @@ def build_knowledge_graph(
     from knowledge_graph_ray.stages.report import generate_reports
     from knowledge_graph_ray.stages.claims import extract_claims, merge_claims
 
-    cfg = config or PipelineConfig()
-    core = build_graph(docs, cfg, extractor_cls=extractor_cls, **extractor_kwargs)
+    import os
 
-    entities = summarize_descriptions(
-        core.entities,
-        max_input_tokens=cfg.max_summary_input_tokens,
-        max_summary_length=cfg.max_summary_length,
-    ).materialize()
-    relationships = summarize_descriptions(core.relationships).materialize()
+    from knowledge_graph_ray.state.checkpoint import checkpoint_or_compute
+
+    cfg = config or PipelineConfig()
+
+    def staged(make, stage: str):
+        """Materialize a stage output — via a resumable checkpoint when
+        checkpoint_dir is set, else in the object store."""
+        if checkpoint_dir is None:
+            return make().materialize()
+        return checkpoint_or_compute(
+            make, os.path.join(checkpoint_dir, stage), fingerprint, stage
+        )
+
+    # on a full resume the extraction stage is never executed — skip
+    # pinning mentions so build_graph stays lazy and unused
+    from knowledge_graph_ray.state.checkpoint import checkpoint_complete
+
+    resume_ready = checkpoint_dir is not None and all(
+        checkpoint_complete(os.path.join(checkpoint_dir, s), fingerprint)
+        for s in ("entities_summarized", "relationships_summarized")
+    )
+    core = build_graph(
+        docs,
+        cfg,
+        extractor_cls=extractor_cls,
+        materialize_mentions=not resume_ready,
+        **extractor_kwargs,
+    )
+
+    entities = staged(
+        lambda: summarize_descriptions(
+            core.entities,
+            max_input_tokens=cfg.max_summary_input_tokens,
+            max_summary_length=cfg.max_summary_length,
+        ),
+        "entities_summarized",
+    )
+    relationships = staged(
+        lambda: summarize_descriptions(core.relationships), "relationships_summarized"
+    )
 
     degrees = compute_degrees(relationships).materialize()
-    entities = attach_entity_degrees(entities, degrees, num_partitions).materialize()
-    relationships = attach_edge_degrees(
-        relationships, degrees, num_partitions
-    ).materialize()
+    entities = staged(
+        lambda: attach_entity_degrees(entities, degrees, num_partitions),
+        "entities_degreed",
+    )
+    relationships = staged(
+        lambda: attach_edge_degrees(relationships, degrees, num_partitions),
+        "relationships_degreed",
+    )
 
     components = connected_components(entities, relationships, num_partitions=num_partitions)
-    communities = detect_communities(
-        components,
-        relationships,
-        max_cluster_size=cfg.max_cluster_size,
-        seed=cfg.seed,
-        use_lcc=cfg.use_lcc,
-        num_partitions=num_partitions,
-    ).materialize()
+    communities = staged(
+        lambda: detect_communities(
+            components,
+            relationships,
+            max_cluster_size=cfg.max_cluster_size,
+            seed=cfg.seed,
+            use_lcc=cfg.use_lcc,
+            num_partitions=num_partitions,
+        ),
+        "communities",
+    )
     entities = assign_clusters(entities, communities, num_partitions=num_partitions)
     reports = generate_reports(communities, entities, relationships, num_partitions)
 

@@ -119,11 +119,44 @@ def _signature(edges) -> tuple[int, int]:
     return edges.count(), total
 
 
+def _driver_union_find(edges) -> "pa.Table":
+    """Small-graph fast path: classic union-find on the driver.
+
+    Legitimate only because the caller has PROVEN the distinct edge set
+    is small (guide rule: union-find on the driver only if the candidate
+    set is provably small) — the distributed star contraction costs
+    several shuffle rounds of fixed latency that dominate tiny graphs.
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for u, v in zip(batch.column("u").to_pylist(), batch.column("v").to_pylist()):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min so the root IS the component min
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+    names = list({*parent.keys(), *(parent.values())})
+    return pa.Table.from_pydict(
+        {"u": [find(n) for n in names], "v": names},
+        schema=pa.schema([("u", pa.string()), ("v", pa.string())]),
+    )
+
+
 def connected_components_from_edges(
     edge_pairs,
     nodes=None,
     max_iters: int = 50,
     num_partitions: int = 32,
+    driver_threshold: int = 100_000,
 ):
     """Generic star-contraction CC over a Dataset[(u, v)] edge list.
 
@@ -132,8 +165,20 @@ def connected_components_from_edges(
     isolated nodes, which become their own singleton components.  Also
     reused by the near-duplicate stages to cluster duplicate pairs
     (stages/dedup.py).
+
+    Graphs with <= ``driver_threshold`` distinct edges take a driver-side
+    union-find fast path (one pass, no shuffle rounds); larger graphs run
+    the distributed star contraction.  Entity graphs are usually tiny
+    relative to the corpus, but at 10^12-doc scale they are not — the
+    threshold keeps both regimes first-class.
     """
     edges = _dedup_edges(edge_pairs).materialize()
+    if edges.count() <= driver_threshold:
+        import ray.data
+
+        star = _driver_union_find(edges)
+        edges = ray.data.from_arrow(star)
+        return _labels_from_star(edges, nodes)
     prev_sig = None
     for _ in range(max_iters):
         edges = _star_round(edges, large=True).materialize()
@@ -142,8 +187,12 @@ def connected_components_from_edges(
         if sig == prev_sig:
             break
         prev_sig = sig
+    return _labels_from_star(edges, nodes)
 
-    # star forest: every non-root points at the component root
+
+def _labels_from_star(edges, nodes=None):
+    """Star-forest edges (u=root, v=member) -> (name, component) labels."""
+
     def to_labels(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
             {"name": batch.column("v"), "component": batch.column("u")}

@@ -57,10 +57,23 @@ def test_edge_rank(graph_tables):
         assert r.rank == g.degree(r.src) + g.degree(r.dst)
 
 
-def test_connected_components_match_networkx(graph_tables):
+@pytest.mark.parametrize("driver_threshold", [100_000, 0])
+def test_connected_components_match_networkx(graph_tables, driver_threshold):
+    """Both regimes: driver union-find fast path and distributed star
+    contraction (forced with driver_threshold=0)."""
+    from knowledge_graph_ray.stages.components import (
+        _edge_pairs,
+        connected_components_from_edges,
+    )
+
     entities, relationships = graph_tables
     g = _nx_graph(entities, relationships)
-    got = connected_components(entities, relationships, num_partitions=4).to_pandas()
+    got = connected_components_from_edges(
+        _edge_pairs(relationships),
+        nodes=entities,
+        num_partitions=4,
+        driver_threshold=driver_threshold,
+    ).to_pandas()
     labels = got.set_index("name")["component"]
     assert set(labels.index) == set(g.nodes())
     for comp in nx.connected_components(g):

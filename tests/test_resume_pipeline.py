@@ -1,0 +1,49 @@
+"""Full-pipeline resume: stage checkpoints skip recomputation on rerun;
+a changed fingerprint invalidates them."""
+
+import json
+import os
+
+import ray.data as rd
+
+from knowledge_graph_ray.config import PipelineConfig
+from knowledge_graph_ray.corpus import generate_corpus_table
+from knowledge_graph_ray.pipelines.build import build_knowledge_graph
+
+CFG = PipelineConfig(chunk_size=64, chunk_overlap=16, extract_concurrency=1)
+
+
+def _manifest(path):
+    with open(os.path.join(path, "_manifest.json")) as f:
+        return json.load(f)
+
+
+def test_pipeline_resume(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    docs = rd.from_arrow(generate_corpus_table(80, seed=6969)).repartition(2)
+
+    t1 = build_knowledge_graph(docs, CFG, num_partitions=4,
+                               checkpoint_dir=ckpt, fingerprint="fp-a")
+    n_ents = t1.entities.count()
+    stages = ["entities_summarized", "relationships_summarized",
+              "entities_degreed", "relationships_degreed", "communities"]
+    first = {s: _manifest(os.path.join(ckpt, s))["written_at"] for s in stages}
+    for s in stages:
+        assert _manifest(os.path.join(ckpt, s))["fingerprint"] == "fp-a"
+
+    # same fingerprint -> resumed, no checkpoint rewritten
+    t2 = build_knowledge_graph(docs, CFG, num_partitions=4,
+                               checkpoint_dir=ckpt, fingerprint="fp-a")
+    assert t2.entities.count() == n_ents
+    second = {s: _manifest(os.path.join(ckpt, s))["written_at"] for s in stages}
+    assert second == first
+
+    # new fingerprint (new input) -> stages recomputed
+    docs2 = rd.from_arrow(generate_corpus_table(100, seed=6969)).repartition(2)
+    t3 = build_knowledge_graph(docs2, CFG, num_partitions=4,
+                               checkpoint_dir=ckpt, fingerprint="fp-b")
+    assert t3.entities.count() >= n_ents
+    third = {s: _manifest(os.path.join(ckpt, s))["written_at"] for s in stages}
+    assert all(third[s] > first[s] for s in stages)
+    for s in stages:
+        assert _manifest(os.path.join(ckpt, s))["fingerprint"] == "fp-b"
