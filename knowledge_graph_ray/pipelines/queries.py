@@ -715,3 +715,76 @@ ORACLE_SQL = {
     "topk_parts_by_quantity": TOPK_PARTS_SQL,
     "antijoin_customers_without_orders": ANTIJOIN_CUSTOMERS_SQL,
 }
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user — the stream-shaped operator
+    family (stages/windows.py); SQL oracle uses lag + cumulative sum."""
+    from knowledge_graph_ray.stages.windows import sessionize
+
+    return sessionize(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]),
+        gap_seconds=1800,
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sessions AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id, min(ts_s) AS session_start, max(ts_s) AS session_end,
+       count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM sessions GROUP BY user_id, sess_id
+"""
+
+
+def join_revenue_by_brand(sf_dir: str):
+    """Partitioned hash join (functions/joins.hash_join) lineitem x part,
+    then groupby aggregate — the shuffle-join path under the SQL gate."""
+    from knowledge_graph_ray.functions.joins import hash_join
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).rename_columns({"p_partkey": "l_partkey"})
+    joined = hash_join(lineitem, part, on=["l_partkey"], how="inner", num_partitions=32)
+    agg = joined.groupby("p_brand").aggregate(
+        Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="revenue")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        scaled = pc.round(pc.multiply(batch.column("revenue"), 100.0)).cast(pa.int64())
+        idx = batch.schema.get_field_index("revenue")
+        return batch.remove_column(idx).add_column(idx, "revenue_cents", scaled)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+JOIN_REVENUE_BY_BRAND_SQL = """
+SELECT p_brand, count(*) AS n_items,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+QUERIES["events_sessionize"] = events_sessionize
+QUERIES["join_revenue_by_brand"] = join_revenue_by_brand
+ORACLE_SQL["events_sessionize"] = EVENTS_SESSIONIZE_SQL
+ORACLE_SQL["join_revenue_by_brand"] = JOIN_REVENUE_BY_BRAND_SQL
