@@ -135,7 +135,7 @@ def entity_partials_batch(batch: pa.Table, max_descriptions: int | None = None,
             if types[i] and orders[i] >= s["type_order"]:
                 s["type_order"] = orders[i]
                 s["type_val"] = types[i]
-        else:  # rel: both endpoints touched
+        elif kinds[i] == "rel":  # both endpoints touched ('error' rows skip)
             for endpoint in (srcs[i], dsts[i]):
                 s = get(endpoint)
                 if orders[i] < s["min_touch_order"]:

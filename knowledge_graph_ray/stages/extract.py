@@ -35,6 +35,7 @@ import re
 
 import pyarrow as pa
 
+from knowledge_graph_ray.config import RECORD_DELIMITER
 from knowledge_graph_ray.corpus import REL_VERBS, VOCABULARY
 from knowledge_graph_ray.functions.records import (
     format_entity_record,
@@ -114,9 +115,29 @@ class PatternExtractor:
                         break
         return join_records(records)
 
+    # --- gleaning protocol (reference graph_extractor.py:139-174) -------
+    max_gleanings: int = 0
+
+    def _glean(self, text: str, round_index: int, previous: str) -> str | None:
+        """Extra extraction rounds after the first (the reference's
+        CONTINUE_PROMPT loop, up to max_gleanings, with a YES/NO stop
+        probe).  Deterministic strategies have nothing to add -> None
+        stops; LLM strategies override to issue the continue prompt."""
+        return None
+
+    def _extract_all_rounds(self, text: str) -> str:
+        raw = self._extract_raw(text)
+        for round_index in range(self.max_gleanings):
+            more = self._glean(text, round_index, raw)
+            if not more:
+                break
+            raw = raw + RECORD_DELIMITER + more
+        return raw
+
     # --- actor-pool batch body -----------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
+        quarantined: list[dict] = []
         chunk_ids = batch.column("chunk_id").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
         chunk_idx = batch.column("chunk_index").to_pylist()
@@ -124,8 +145,28 @@ class PatternExtractor:
         for chunk_id, doc_id, ci, text in zip(chunk_ids, doc_ids, chunk_idx, texts):
             if not text:
                 continue
-            raw = self._extract_raw(text)
-            ents, rels = parse_graph_records(raw)
+            try:
+                raw = self._extract_all_rounds(text)
+                ents, rels = parse_graph_records(raw)
+            except Exception as err:  # noqa: BLE001
+                # poison-row quarantine: the reference silently drops
+                # failed chunks (graph_extractor.py:103-108); emit an
+                # 'error' mention row instead so P/R accounting sees it
+                quarantined.append(
+                    {
+                        "chunk_id": chunk_id,
+                        "doc_id": doc_id,
+                        "order_key": f"{doc_id}:{ci:08d}:00000000",
+                        "kind": "error",
+                        "name": "",
+                        "type": type(err).__name__,
+                        "description": str(err)[:500],
+                        "src": "",
+                        "dst": "",
+                        "weight": 0.0,
+                    }
+                )
+                continue
             for e in ents:
                 rows.append(
                     {
@@ -156,7 +197,12 @@ class PatternExtractor:
                         "weight": r["weight"],
                     }
                 )
-        return pa.Table.from_pylist(rows, schema=MENTION_SCHEMA)
+        return pa.Table.from_pylist(rows + quarantined, schema=MENTION_SCHEMA)
+
+
+def quarantined_mentions(mentions):
+    """Rows the extractor failed on (kind='error') — inspect or re-drive."""
+    return mentions.filter(expr="kind == 'error'")
 
 
 class CooccurrenceExtractor(PatternExtractor):

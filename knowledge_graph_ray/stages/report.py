@@ -63,7 +63,27 @@ def _context_text(nodes: pd.DataFrame, edges: pd.DataFrame, budget: int) -> str:
     return "\n".join(lines)
 
 
-def _compose(community: str, level: int, nodes: pd.DataFrame, edges: pd.DataFrame) -> dict:
+def _mixed_context(nodes: pd.DataFrame, edges: pd.DataFrame, budget: int,
+                   sub_summaries: list[tuple[str, str]]) -> str:
+    """Parent-community context over budget: substitute sub-community
+    report summaries (largest first) for raw detail until it fits —
+    the reference's build_mixed_context
+    (graph/community_reports/build_mixed_context.py:12-68)."""
+    lines = ["-----Sub-community reports-----"]
+    used = 0
+    for cid, summary in sub_summaries:
+        line = f"{cid}: {summary}"
+        used += token_count(line)
+        if used > budget:
+            break
+        lines.append(line)
+    remaining = max(0, budget - used)
+    return "\n".join(lines) + "\n" + _context_text(nodes, edges, remaining)
+
+
+def _compose(community: str, level: int, nodes: pd.DataFrame, edges: pd.DataFrame,
+             max_input_tokens: int = COMMUNITY_REPORT_MAX_INPUT_LENGTH,
+             sub_summaries: list[tuple[str, str]] | None = None) -> dict:
     """Deterministic report strategy (LLM stand-in with the same schema)."""
     top = nodes.head(5)
     title = " & ".join(top["name"].head(2)) or f"Community {community}"
@@ -79,7 +99,20 @@ def _compose(community: str, level: int, nodes: pd.DataFrame, edges: pd.DataFram
         for _, n in top.iterrows()
     ]
     rank = float(min(10.0, round(float(nodes["degree"].mean() or 0.0), 1)))
-    context = _context_text(nodes, edges, COMMUNITY_REPORT_MAX_INPUT_LENGTH)
+    raw_tokens = sum(
+        token_count(f"{n['name']},{n['type']},{n['description']}")
+        for _, n in nodes.iterrows()
+    ) + sum(
+        token_count(f"{e['src']},{e['dst']},{e['rank']},{e['description']}")
+        for _, e in edges.iterrows()
+    )
+    if sub_summaries and raw_tokens > max_input_tokens:
+        # bottom-up mixed context: this parent's full detail is over
+        # budget — substitute the already-generated deeper-level report
+        # summaries (O3 build_mixed_context)
+        context = _mixed_context(nodes, edges, max_input_tokens, sub_summaries)
+    else:
+        context = _context_text(nodes, edges, max_input_tokens)
     full_content = f"# {title}\n\n{summary}\n\n{context}"
     payload = {
         "title": title,
@@ -102,8 +135,8 @@ def _compose(community: str, level: int, nodes: pd.DataFrame, edges: pd.DataFram
     }
 
 
-def generate_reports(communities, entities, relationships, num_partitions: int = 32):
-    """-> Dataset[community_report] (one row per (level, community))."""
+def _context_rows(communities, entities, relationships, num_partitions: int = 32):
+    """Joined per-community context rows (nodes + same-community edges)."""
     import pyarrow as pa
 
     node_ctx = hash_join(
@@ -171,7 +204,15 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
         e_in.map_batches(edge_rows, batch_format="pyarrow")
     )
 
-    def make_report(group: pd.DataFrame) -> pd.DataFrame:
+    return ctx
+
+
+def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: int):
+    """Reports for one level's context rows (sub summaries broadcast in
+    the closure — community-count-sized, SURVEY J5)."""
+    import pyarrow as pa
+
+    def make_report(group: pd.DataFrame) -> pa.Table:
         community = group["community"].iloc[0]
         level = int(group["level"].iloc[0])
         nodes = (
@@ -184,10 +225,69 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
             .sort_values(["rank", "src", "dst"], ascending=[False, True, True])
             [["src", "dst", "rank", "description"]]
         )
-        import pyarrow as pa
+        return pa.Table.from_pylist(
+            [
+                _compose(
+                    community, level, nodes, edges,
+                    max_input_tokens=max_input_tokens,
+                    sub_summaries=sub_summaries_by_parent.get(community),
+                )
+            ]
+        )
 
-        return pa.Table.from_pylist([_compose(community, level, nodes, edges)])
-
-    return ctx.groupby(["level", "community"]).map_groups(
+    return ctx_level.groupby(["level", "community"]).map_groups(
         make_report, batch_format="pandas"
     )
+
+
+def generate_reports(communities, entities, relationships, num_partitions: int = 32,
+                     max_input_tokens: int = COMMUNITY_REPORT_MAX_INPUT_LENGTH):
+    """-> Dataset[community_report], generated bottom-up per level.
+
+    Levels are processed DESCENDING (reference utils.py:26-29 /
+    summarization.py:71-85): deeper-level reports are generated first and
+    a parent community whose raw context exceeds the token budget
+    substitutes its children's report summaries (build_mixed_context, O3).
+    The level loop is inherently sequential with a barrier per level
+    (SURVEY §7.5 'Level-sequential report generation').
+    """
+    import ray.data
+
+    ctx = _context_rows(communities, entities, relationships, num_partitions)
+    comm_pdf = communities.to_pandas()  # (level, community, name) — small
+    if comm_pdf.empty:
+        return _report_level(ctx, {}, max_input_tokens)
+    levels = sorted(comm_pdf["level"].unique(), reverse=True)
+
+    per_level = []
+    prev_summaries: dict[str, str] = {}
+    prev_level: int | None = None
+    for level in levels:
+        sub_by_parent: dict[str, list[tuple[str, str]]] = {}
+        if prev_level is not None and prev_summaries:
+            # parent of a deeper community = the community its first node
+            # belongs to at this level
+            here = comm_pdf[comm_pdf.level == level][["community", "name"]]
+            deeper = comm_pdf[comm_pdf.level == prev_level][["community", "name"]]
+            joined = deeper.merge(here, on="name", suffixes=("_sub", "_parent"))
+            pairs = joined.drop_duplicates(["community_sub", "community_parent"])
+            for _, row in pairs.iterrows():
+                summary = prev_summaries.get(row["community_sub"])
+                if summary is not None:
+                    sub_by_parent.setdefault(row["community_parent"], []).append(
+                        (row["community_sub"], summary)
+                    )
+        level_reports = _report_level(
+            ctx.filter(expr=f"level == {int(level)}"), sub_by_parent, max_input_tokens
+        ).materialize()
+        per_level.append(level_reports)
+        prev_summaries = {
+            r["community"]: r["summary"]
+            for r in level_reports.select_columns(["community", "summary"]).to_pandas().to_dict("records")
+        }
+        prev_level = level
+
+    out = per_level[0]
+    for extra in per_level[1:]:
+        out = out.union(extra)
+    return out

@@ -78,3 +78,50 @@ def test_tokenizer_deterministic():
     assert tokenize("Hello, world!") == ["Hello", ",", "world", "!"]
     assert token_count("a b c") == 3
     assert token_count("") == 0
+
+
+def test_gleaning_seam():
+    """Multi-round extraction protocol (reference gleaning loop shape)."""
+    from knowledge_graph_ray.stages.extract import PatternExtractor
+
+    class Gleaner(PatternExtractor):
+        max_gleanings = 2
+
+        def _glean(self, text, round_index, previous):
+            if round_index == 0:
+                return '("entity"<|>Extra<|>event<|>gleaned)'
+            return None  # second probe says stop
+
+    raw = Gleaner()._extract_all_rounds("Ada Winter visited Port Aurora.")
+    ents, _ = parse_graph_records(raw)
+    names = {e["name"] for e in ents}
+    assert "ADA WINTER" in names and "EXTRA" in names
+
+
+def test_quarantine_rows():
+    """Extractor failures become kind='error' rows, not silent drops."""
+    import pyarrow as pa
+
+    from knowledge_graph_ray.stages.chunk import TEXT_UNIT_SCHEMA
+    from knowledge_graph_ray.stages.extract import PatternExtractor
+
+    class Exploding(PatternExtractor):
+        def _extract_raw(self, text):
+            if "boom" in text:
+                raise ValueError("bad chunk")
+            return super()._extract_raw(text)
+
+    batch = pa.Table.from_pylist(
+        [
+            {"chunk_id": "c0", "doc_id": "d", "chunk_index": 0,
+             "text": "Ada Winter visited Port Aurora.", "n_tokens": 5, "span_seq": []},
+            {"chunk_id": "c1", "doc_id": "d", "chunk_index": 1,
+             "text": "boom", "n_tokens": 1, "span_seq": []},
+        ],
+        schema=TEXT_UNIT_SCHEMA,
+    )
+    out = Exploding()(batch).to_pylist()
+    errors = [r for r in out if r["kind"] == "error"]
+    assert len(errors) == 1
+    assert errors[0]["chunk_id"] == "c1" and errors[0]["type"] == "ValueError"
+    assert any(r["kind"] == "entity" for r in out)  # good chunk still extracted

@@ -143,3 +143,32 @@ def test_checkpoint_roundtrip(tmp_path, graph_tables):
     ds = checkpoint_or_compute(make, path, "fp1", "entities")
     assert calls == []  # resumed from checkpoint, not recomputed
     assert ds.count() == entities.count()
+
+
+def test_leveled_reports_with_mixed_context(graph_tables):
+    """Bottom-up level loop + mixed-context substitution (O3/O4): with a
+    tiny token budget and deep hierarchy, parent reports embed their
+    children's summaries."""
+    from knowledge_graph_ray.stages.community import detect_communities
+    from knowledge_graph_ray.stages.components import connected_components
+    from knowledge_graph_ray.stages.degree import (
+        attach_edge_degrees,
+        attach_entity_degrees,
+        compute_degrees,
+    )
+    from knowledge_graph_ray.stages.report import generate_reports
+
+    entities, relationships = graph_tables
+    degrees = compute_degrees(relationships).materialize()
+    ents = attach_entity_degrees(entities, degrees, 4).materialize()
+    rels = attach_edge_degrees(relationships, degrees, 4).materialize()
+    comps = connected_components(ents, rels, num_partitions=4).materialize()
+    comms = detect_communities(comps, rels, max_cluster_size=3,
+                               num_partitions=4).materialize()
+    levels = sorted(comms.to_pandas().level.unique())
+    assert len(levels) >= 2  # hierarchy actually refined
+
+    reports = generate_reports(comms, ents, rels, 4, max_input_tokens=30).to_pandas()
+    assert set(reports.level.unique()) == set(levels)
+    parents = reports[reports.level == 0]
+    assert any("Sub-community reports" in fc for fc in parents.full_content)
