@@ -207,17 +207,48 @@ def build_knowledge_graph(
 def export_tables(tables: GraphTables, out_dir: str, fingerprint: str = "none"):
     """Materialize the final tables as partitioned Parquet + manifests
     (replaces the reference's 6-CSV export,
-    verbs/community_summarization/export.py:23-60; relationships are the
-    adjacency-sharded triple table, sorted by subject)."""
+    verbs/community_summarization/export.py:23-60).
+
+    Entities sort by name, relationships by subject (adjacency-sharded
+    triples) — the reference's stabilize_graph ordering (utils/graph.py:
+    33-56) — and both get contiguous ``human_readable_id`` via a
+    distributed prefix-sum plus a content-derived ``id`` (deterministic
+    md5-based, replacing the reference's enumeration-order seeded uuid4,
+    cluster_graph.py:60-68 — content-derived ids are order-independent,
+    hence parallel/incremental-safe).
+    """
+    import hashlib
     import os
 
+    import pyarrow as pa
+
+    from knowledge_graph_ray.functions.index import with_row_index
     from knowledge_graph_ray.state.checkpoint import write_checkpoint
+
+    def add_id(key_cols):
+        def body(batch: pa.Table) -> pa.Table:
+            ids = [
+                hashlib.md5(
+                    "|".join(str(batch.column(c)[i].as_py()) for c in key_cols).encode()
+                ).hexdigest()
+                for i in range(len(batch))
+            ]
+            return batch.append_column("id", pa.array(ids, type=pa.string()))
+
+        return body
+
+    entities = with_row_index(tables.entities, sort_key="name").map_batches(
+        add_id(["name"]), batch_format="pyarrow"
+    )
+    relationships = with_row_index(
+        tables.relationships, sort_key=["src", "dst"]
+    ).map_batches(add_id(["src", "dst"]), batch_format="pyarrow")
 
     manifests = {}
     named = {
         "text_units": tables.text_units,
-        "entities": tables.entities,
-        "relationships": tables.relationships.sort("src"),
+        "entities": entities,
+        "relationships": relationships,
         "communities": tables.communities,
         "community_reports": tables.reports,
     }

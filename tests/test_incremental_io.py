@@ -165,3 +165,47 @@ def test_registry():
 
     registry.register_extractor("custom", Custom)
     assert registry.get_extractor("custom") is Custom
+
+
+def test_with_row_index():
+    from knowledge_graph_ray.functions.index import with_row_index
+
+    ds = rd.from_items([{"name": n} for n in "dcabfe"]).repartition(3)
+    out = with_row_index(ds, sort_key="name").to_pandas()
+    assert out.sort_values("human_readable_id").name.tolist() == list("abcdef")
+    assert sorted(out.human_readable_id) == list(range(6))
+
+
+def test_export_shape(tmp_path):
+    """F3 golden-shape: exported tables carry the reference-analog columns
+    (node.csv / relationship.csv / community_report.csv)."""
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_ray.pipelines.build import build_knowledge_graph, export_tables
+
+    docs = rd.from_arrow(generate_corpus_table(60, seed=6969)).repartition(2)
+    tables = build_knowledge_graph(docs, CFG, num_partitions=4)
+    export_tables(tables, str(tmp_path / "out"), fingerprint="t")
+
+    ents = pads.dataset(str(tmp_path / "out" / "entities"), format="parquet").to_table()
+    assert {"id", "name", "type", "description", "source_id", "degree",
+            "cluster", "human_readable_id"} <= set(ents.schema.names)
+    hr = sorted(ents.column("human_readable_id").to_pylist())
+    assert hr == list(range(len(hr)))  # contiguous enumeration
+    names = ents.to_pandas().sort_values("human_readable_id").name.tolist()
+    assert names == sorted(names)  # stabilize_graph ordering
+
+    rels = pads.dataset(str(tmp_path / "out" / "relationships"), format="parquet").to_table()
+    assert {"id", "src", "dst", "weight", "description", "source_id",
+            "source_degree", "target_degree", "rank", "human_readable_id"} <= set(rels.schema.names)
+
+    reports = pads.dataset(str(tmp_path / "out" / "community_reports"), format="parquet").to_table()
+    assert {"id", "community", "title", "summary", "full_content",
+            "full_content_json", "rank", "level", "rank_explanation",
+            "findings"} <= set(reports.schema.names)
+
+    tus = pads.dataset(str(tmp_path / "out" / "text_units"), format="parquet").to_table()
+    assert {"chunk_id", "doc_id", "text", "n_tokens", "span_seq"} <= set(tus.schema.names)
+    # span-sequence survives the parquet round trip (per-row invariant)
+    spans = tus.column("span_seq").to_pylist()
+    assert any(s for s in spans)
