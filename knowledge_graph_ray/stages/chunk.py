@@ -46,7 +46,14 @@ def _chunk_doc(
     spans: list[dict],
     chunk_size: int,
     chunk_overlap: int,
+    carry_span_text: bool = True,
 ) -> list[dict]:
+    """``carry_span_text=False`` blanks text-span payloads in ``span_seq``
+    (kind/media_ref/offset kept): a text span overlapping k windows is
+    otherwise copied k times, a ~2-3x byte amplification that matters at
+    corpus scale.  The full per-row invariant holds only with True (the
+    default); False keeps the structural invariant (kind, media_ref,
+    order) for pipelines that re-read span text from the source table."""
     # token stream over text spans: (span_index, char_start, char_end)
     tokens: list[tuple[int, int, int]] = []
     for si, span in enumerate(spans):
@@ -85,6 +92,11 @@ def _chunk_doc(
             lo -= 1
         while hi + 1 < len(spans) and spans[hi + 1]["kind"] != "text":
             hi += 1
+        span_seq = [dict(spans[si]) for si in range(lo, hi + 1)]
+        if not carry_span_text:
+            for sp in span_seq:
+                if sp["kind"] == "text":
+                    sp["text"] = ""
         chunks.append(
             {
                 "chunk_id": f"{doc_id}:{chunk_index}",
@@ -92,7 +104,7 @@ def _chunk_doc(
                 "chunk_index": chunk_index,
                 "text": "\n".join(parts),
                 "n_tokens": len(window),
-                "span_seq": [dict(spans[si]) for si in range(lo, hi + 1)],
+                "span_seq": span_seq,
             }
         )
         if pos + chunk_size >= len(tokens):
@@ -106,20 +118,24 @@ def chunk_spans_batch(
     batch: pa.Table,
     chunk_size: int = CHUNK_SIZE,
     chunk_overlap: int = CHUNK_OVERLAP,
+    carry_span_text: bool = True,
 ) -> pa.Table:
     """map_batches body: interleaved docs -> text units."""
     out: list[dict] = []
     doc_ids = batch.column("doc_id").to_pylist()
     spans_col = batch.column("spans").to_pylist()
     for doc_id, spans in zip(doc_ids, spans_col):
-        out.extend(_chunk_doc(doc_id, spans or [], chunk_size, chunk_overlap))
+        out.extend(
+            _chunk_doc(doc_id, spans or [], chunk_size, chunk_overlap, carry_span_text)
+        )
     return pa.Table.from_pylist(out, schema=TEXT_UNIT_SCHEMA)
 
 
-def chunk_documents(ds, chunk_size: int = CHUNK_SIZE, chunk_overlap: int = CHUNK_OVERLAP, batch_size: int = 256):
+def chunk_documents(ds, chunk_size: int = CHUNK_SIZE, chunk_overlap: int = CHUNK_OVERLAP,
+                    batch_size: int = 256, carry_span_text: bool = True):
     """Dataset[interleaved docs] -> Dataset[text units] (stateless stage)."""
     return ds.map_batches(
-        lambda b: chunk_spans_batch(b, chunk_size, chunk_overlap),
+        lambda b: chunk_spans_batch(b, chunk_size, chunk_overlap, carry_span_text),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -75,3 +75,22 @@ def test_media_span_between_text_spans_is_covered():
     rows = chunk_spans_batch(_doc("d", spans), chunk_size=3, chunk_overlap=1).to_pylist()
     covered = {s["offset"] for r in rows for s in r["span_seq"]}
     assert covered == {0, 22, 23}
+
+
+def test_carry_span_text_flag():
+    """Scale mode: span text blanked, structural invariant kept."""
+    docs = generate_corpus_table(30, seed=6969)
+    lean = chunk_spans_batch(docs, chunk_size=64, chunk_overlap=16,
+                             carry_span_text=False).to_pylist()
+    full = chunk_spans_batch(docs, chunk_size=64, chunk_overlap=16).to_pylist()
+    assert len(lean) == len(full)
+    for a, b in zip(lean, full):
+        assert a["text"] == b["text"]  # chunk text unaffected
+        assert [(s["kind"], s["media_ref"], s["offset"]) for s in a["span_seq"]] == [
+            (s["kind"], s["media_ref"], s["offset"]) for s in b["span_seq"]
+        ]
+        for s in a["span_seq"]:
+            if s["kind"] == "text":
+                assert s["text"] == ""
+            else:
+                assert s["media_ref"]
