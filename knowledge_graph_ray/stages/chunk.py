@@ -139,3 +139,74 @@ def chunk_documents(ds, chunk_size: int = CHUNK_SIZE, chunk_overlap: int = CHUNK
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+# ------------------------------------------------------ sentence strategy
+
+_SENTENCE_RE = None
+
+
+def _sentence_re():
+    global _SENTENCE_RE
+    if _SENTENCE_RE is None:
+        import re
+
+        _SENTENCE_RE = re.compile(r"(?<=[.!?])\s+")
+    return _SENTENCE_RE
+
+
+def chunk_sentences_batch(batch: pa.Table) -> pa.Table:
+    """Alternative chunker strategy (SURVEY M3): one text unit per
+    sentence (reference text/chunk/strategies/sentence.py:10-20 uses
+    nltk.sent_tokenize; this uses the same compiled-regex splitter as the
+    extractors — nltk data is not available here).  Media spans attach to
+    the chunk of the nearest preceding sentence (first chunk if none)."""
+    out: list[dict] = []
+    for doc_id, spans in zip(
+        batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+    ):
+        sentences: list[tuple[str, dict]] = []  # (sentence, owning span)
+        media: list[dict] = []
+        for span in spans or []:
+            if span["kind"] == "text" and span["text"]:
+                for s in _sentence_re().split(span["text"]):
+                    if s.strip():
+                        sentences.append((s.strip(), span))
+            else:
+                media.append(span)
+        if not sentences:
+            out.append(
+                {
+                    "chunk_id": f"{doc_id}:0",
+                    "doc_id": doc_id,
+                    "chunk_index": 0,
+                    "text": "",
+                    "n_tokens": 0,
+                    "span_seq": list(spans or []),
+                }
+            )
+            continue
+        from knowledge_graph_ray.functions.text import token_count
+
+        for ci, (sentence, span) in enumerate(sentences):
+            span_seq = [dict(span)]
+            if ci == 0 and media:
+                span_seq = [dict(m) for m in media] + span_seq
+            out.append(
+                {
+                    "chunk_id": f"{doc_id}:{ci}",
+                    "doc_id": doc_id,
+                    "chunk_index": ci,
+                    "text": sentence,
+                    "n_tokens": token_count(sentence),
+                    "span_seq": span_seq,
+                }
+            )
+    return pa.Table.from_pylist(out, schema=TEXT_UNIT_SCHEMA)
+
+
+def chunk_documents_by_sentence(ds, batch_size: int = 256):
+    """Dataset[interleaved docs] -> one text unit per sentence (M3)."""
+    return ds.map_batches(
+        chunk_sentences_batch, batch_format="pyarrow", batch_size=batch_size
+    )

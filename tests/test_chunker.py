@@ -94,3 +94,18 @@ def test_carry_span_text_flag():
                 assert s["text"] == ""
             else:
                 assert s["media_ref"]
+
+
+def test_sentence_chunker():
+    from knowledge_graph_ray.stages.chunk import chunk_sentences_batch
+
+    spans = [
+        _text_span("First sentence. Second one! Third?", 0),
+        {"kind": "image", "text": "", "media_ref": "media://image/z", "offset": 40},
+    ]
+    rows = chunk_sentences_batch(_doc("d", spans)).to_pylist()
+    assert [r["text"] for r in rows] == ["First sentence.", "Second one!", "Third?"]
+    assert [r["chunk_index"] for r in rows] == [0, 1, 2]
+    # media attached to the first chunk
+    assert any(s["kind"] == "image" for s in rows[0]["span_seq"])
+    assert rows[0]["n_tokens"] == 3
