@@ -1,0 +1,86 @@
+"""Edge-case robustness: unicode, empty/degenerate docs, huge docs,
+duplicate mentions in one sentence (self-loop semantics vs oracle)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from knowledge_graph_ray import oracle
+from knowledge_graph_ray.config import PipelineConfig
+from knowledge_graph_ray.corpus import CORPUS_SCHEMA
+from knowledge_graph_ray.pipelines.build import build_graph
+from knowledge_graph_ray.stages.chunk import chunk_spans_batch
+from knowledge_graph_ray.stages.extract import PatternExtractor
+
+CFG = PipelineConfig(chunk_size=64, chunk_overlap=16, extract_concurrency=1)
+
+
+def _doc(doc_id, text):
+    return {
+        "doc_id": doc_id,
+        "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+    }
+
+
+def _run(docs_rows, **extractor_kwargs):
+    tbl = pa.Table.from_pylist(docs_rows, schema=CORPUS_SCHEMA)
+    return build_graph(rd.from_arrow(tbl), CFG, **extractor_kwargs)
+
+
+def test_unicode_names_and_text():
+    vocab = [("Café Münchner", "organization"), ("東京商事", "organization")]
+    t = _run(
+        [
+            _doc("u1", "Café Münchner partnered with 東京商事."),
+            _doc("u2", "News about CAFÉ MÜNCHNER today."),
+        ],
+        vocabulary=vocab,
+    )
+    ents = t.entities.to_pandas().set_index("name")
+    assert "CAFÉ MÜNCHNER" in ents.index
+    assert "東京商事" in ents.index
+    assert ents.loc["CAFÉ MÜNCHNER", "n_mentions"] == 2
+    rels = t.relationships.to_pandas()
+    assert len(rels) == 1 and rels.weight.iloc[0] == 2.0
+
+
+def test_degenerate_docs():
+    t = _run(
+        [
+            _doc("e1", ""),
+            _doc("e2", "... !!! ???"),
+            {"doc_id": "e3", "spans": []},
+            _doc("e4", "Ada Winter visited Port Aurora."),
+        ]
+    )
+    ents = t.entities.to_pandas()
+    assert set(ents.name) == {"ADA WINTER", "PORT AURORA"}
+
+
+def test_huge_doc_many_chunks():
+    sentence = "Ada Winter partnered with Boris Chen. "
+    text = sentence * 2000  # ~14k tokens -> many 64-token windows
+    t = _run([_doc("big", text)])
+    ents = t.entities.to_pandas().set_index("name")
+    rels = t.relationships.to_pandas()
+    assert len(rels) == 1
+    # mention counts scale with chunk coverage (overlap duplicates expected)
+    assert ents.loc["ADA WINTER", "n_mentions"] > 2000
+    n_chunks = t.text_units.count()
+    assert n_chunks > 200
+
+
+def test_self_loop_matches_oracle():
+    """'A ... with A' sentences: reference nx.Graph keeps a self-loop."""
+    text = "Ada Winter partnered with Ada Winter."
+    chunks = chunk_spans_batch(
+        pa.Table.from_pylist([_doc("s", text)], schema=CORPUS_SCHEMA), 64, 16
+    ).to_pylist()
+    ex = PatternExtractor()
+    graph = oracle.process_results({c["chunk_id"]: ex._extract_raw(c["text"]) for c in chunks})
+    o_ents, o_rels = oracle.graph_to_tables(graph)
+
+    t = _run([_doc("s", text)])
+    rels = t.relationships.to_pandas()
+    got = {(r.src, r.dst) for r in rels.itertuples()}
+    assert got == set(o_rels)
+    assert ("ADA WINTER", "ADA WINTER") in got
