@@ -184,13 +184,22 @@ def build_knowledge_graph(
         ),
         "communities",
     )
-    entities = assign_clusters(entities, communities, num_partitions=num_partitions)
-    reports = generate_reports(communities, entities, relationships, num_partitions)
+    entities = staged(
+        lambda: assign_clusters(entities, communities, num_partitions=num_partitions),
+        "entities_clustered",
+    )
+    reports = staged(
+        lambda: generate_reports(communities, entities, relationships, num_partitions),
+        "reports",
+    )
 
     claims = None
     if cfg.extract_claims:
-        claims = merge_claims(
-            extract_claims(core.text_units, batch_size=cfg.extract_batch_size)
+        claims = staged(
+            lambda: merge_claims(
+                extract_claims(core.text_units, batch_size=cfg.extract_batch_size)
+            ),
+            "claims",
         )
 
     return GraphTables(
