@@ -46,15 +46,18 @@ def build_graph(
     config: PipelineConfig | None = None,
     extractor_cls=PatternExtractor,
     materialize_mentions: bool = True,
+    mentions_checkpoint: str | None = None,
+    fingerprint: str = "default",
     **extractor_kwargs,
 ) -> GraphTables:
     """docs Dataset (interleaved schema) -> canonical entity/relationship tables.
 
     ``materialize_mentions`` pins the mention dataset in the object store so
     the two downstream canonicalization shuffles don't re-run extraction
-    (the expensive stage).  Mentions are a small fraction of input bytes;
-    at extreme scale pass False and checkpoint mentions to Parquet instead
-    (pipelines.checkpoint) — same effect, spillable to disk.
+    (the expensive stage).  At extreme scale pass ``mentions_checkpoint``
+    (a directory) instead: mentions persist to Parquet with a lineage
+    manifest — disk-backed rather than object-store-pinned, and a rerun
+    with the same fingerprint resumes past extraction entirely.
     """
     cfg = config or PipelineConfig()
     text_units = chunk_documents(
@@ -68,7 +71,14 @@ def build_graph(
         use_actor_pool=cfg.extract_use_actor_pool,
         **extractor_kwargs,
     )
-    if materialize_mentions:
+    if mentions_checkpoint is not None:
+        from knowledge_graph_ray.state.checkpoint import checkpoint_or_compute
+
+        captured = mentions
+        mentions = checkpoint_or_compute(
+            lambda: captured, mentions_checkpoint, fingerprint, "mentions"
+        )
+    elif materialize_mentions:
         mentions = mentions.materialize()
     entities = canonicalize_entities(
         mentions,

@@ -47,3 +47,19 @@ def test_pipeline_resume(tmp_path):
     assert all(third[s] > first[s] for s in stages)
     for s in stages:
         assert _manifest(os.path.join(ckpt, s))["fingerprint"] == "fp-b"
+
+
+def test_mentions_checkpoint(tmp_path):
+    from knowledge_graph_ray.pipelines.build import build_graph
+
+    docs = rd.from_arrow(generate_corpus_table(60, seed=6969)).repartition(2)
+    path = str(tmp_path / "mentions")
+    t1 = build_graph(docs, CFG, mentions_checkpoint=path, fingerprint="m1")
+    n = t1.mentions.count()
+    assert n > 0
+    first = _manifest(path)["written_at"]
+    # resume: mention extraction skipped, same rows
+    t2 = build_graph(docs, CFG, mentions_checkpoint=path, fingerprint="m1")
+    assert t2.mentions.count() == n
+    assert _manifest(path)["written_at"] == first
+    assert t2.entities.count() == t1.entities.count()
