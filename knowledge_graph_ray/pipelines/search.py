@@ -116,3 +116,28 @@ def build_local_context(
     tu_out = pd.DataFrame(kept, columns=tu_rows.columns)
 
     return {"entities": ent_rows, "relationships": rel_rows, "text_units": tu_out}
+
+
+def build_global_context(reports, k: int = 10, shuffle_seed: int = 6969,
+                         token_budget: int = 8000) -> pd.DataFrame:
+    """Global-search retrieval (reference query/structured_search/
+    global_search/search.py:82-142): community reports are shuffled with
+    a fixed seed (process_context/community_context.py:68-70), mapped in
+    batches for relevance scores — here the deterministic score is the
+    report ``rank`` (the LLM map-scoring seam) — and reduced to the
+    top-k by (score desc, community) under a token budget."""
+    scored = (
+        reports.random_shuffle(seed=shuffle_seed)
+        .sort(["rank", "community"], descending=[True, False])
+        .limit(k * 2)
+        .to_pandas()
+    )
+    kept, used = [], 0
+    for _, row in scored.iterrows():
+        used += token_count(row["full_content"] or "")
+        if used > token_budget:
+            break
+        kept.append(row)
+        if len(kept) >= k:
+            break
+    return pd.DataFrame(kept, columns=scored.columns)

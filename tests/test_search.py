@@ -39,3 +39,19 @@ def test_local_context():
     sources = " ".join(ctx["entities"]["source_id"])
     for cid in ctx["text_units"]["chunk_id"]:
         assert cid in sources
+
+
+def test_global_context():
+    from knowledge_graph_ray.pipelines.search import build_global_context
+
+    docs = rd.from_arrow(generate_corpus_table(150, seed=6969)).repartition(4)
+    cfg = PipelineConfig(chunk_size=64, chunk_overlap=16, extract_concurrency=1,
+                         max_cluster_size=3)
+    tables = build_knowledge_graph(docs, cfg, num_partitions=4)
+    ctx = build_global_context(tables.reports, k=3, token_budget=10000)
+    assert 1 <= len(ctx) <= 3
+    ranks = ctx["rank"].tolist()
+    assert ranks == sorted(ranks, reverse=True)  # top by score
+    # determinism
+    ctx2 = build_global_context(tables.reports, k=3, token_budget=10000)
+    assert ctx["community"].tolist() == ctx2["community"].tolist()
