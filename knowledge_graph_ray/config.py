@@ -73,4 +73,3 @@ class PipelineConfig:
     # actor pool for expensive extractor state (LLM); task pool + per-
     # process cache for cheap pattern extractors (see stages/extract.py)
     extract_use_actor_pool: bool = True
-    agg_num_partitions: int | None = None  # None → let Ray pick
