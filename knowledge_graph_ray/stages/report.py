@@ -135,38 +135,121 @@ def _compose(community: str, level: int, nodes: pd.DataFrame, edges: pd.DataFram
     }
 
 
-def _context_rows(communities, entities, relationships, num_partitions: int = 32):
-    """Joined per-community context rows (nodes + same-community edges)."""
+BROADCAST_COMMUNITIES_MAX = 1_000_000
+
+
+def _context_rows(communities, entities, relationships, num_partitions: int = 32,
+                  communities_pdf: "pd.DataFrame | None" = None):
+    """Joined per-community context rows (nodes + same-community edges).
+
+    When the communities table is small (<= BROADCAST_COMMUNITIES_MAX
+    rows) it is broadcast via ray.put and attached inside map_batches —
+    no shuffle (guide small-side rule; the caller usually already has it
+    as pandas for the level loop).  Larger community tables fall back to
+    partitioned hash joins.
+    """
     import pyarrow as pa
 
-    node_ctx = hash_join(
-        communities,
-        entities.select_columns(["name", "type", "description", "degree"]),
-        on=["name"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
+    if communities_pdf is None:
+        try:
+            communities_pdf = communities.to_pandas(limit=BROADCAST_COMMUNITIES_MAX)
+        except Exception:
+            communities_pdf = None
 
-    edges = relationships.select_columns(["src", "dst", "weight", "rank", "description"])
-    e_src = hash_join(
-        edges,
-        communities.rename_columns({"name": "src"}),
-        on=["src"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
-    e_both = hash_join(
-        e_src,
-        communities.rename_columns(
-            {"name": "dst", "community": "community_dst", "level": "level_dst"}
-        ),
-        on=["dst"],
-        how="inner",
-        num_partitions=num_partitions,
-    )
-    e_in = e_both.filter(
-        expr="community == community_dst and level == level_dst"
-    )
+    if communities_pdf is not None and len(communities_pdf) <= BROADCAST_COMMUNITIES_MAX:
+        import ray
+
+        # name -> [(level, community)] (a name appears once per level)
+        mapping: dict[str, list[tuple[int, str]]] = {}
+        for r in communities_pdf.itertuples():
+            mapping.setdefault(r.name, []).append((int(r.level), r.community))
+        map_ref = ray.put(mapping)
+
+        def node_ctx_batch(b: pa.Table) -> pa.Table:
+            m = ray.get(map_ref)
+            rows = []
+            for row in b.to_pylist():
+                for level, community in m.get(row["name"], ()):
+                    rows.append(
+                        {
+                            "level": level,
+                            "community": community,
+                            "name": row["name"],
+                            "type": row["type"],
+                            "description": row["description"],
+                            "degree": float(row["degree"] or 0),
+                        }
+                    )
+            return pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [("level", pa.int64()), ("community", pa.string()),
+                     ("name", pa.string()), ("type", pa.string()),
+                     ("description", pa.large_string()), ("degree", pa.float64())]
+                ),
+            )
+
+        def edge_ctx_batch(b: pa.Table) -> pa.Table:
+            m = ray.get(map_ref)
+            rows = []
+            for row in b.to_pylist():
+                dst_map = set(m.get(row["dst"], ()))
+                for level, community in m.get(row["src"], ()):
+                    if (level, community) in dst_map:
+                        rows.append(
+                            {
+                                "level": level,
+                                "community": community,
+                                "src": row["src"],
+                                "dst": row["dst"],
+                                "rank": float(row["rank"] or 0),
+                                "description": row["description"],
+                            }
+                        )
+            return pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [("level", pa.int64()), ("community", pa.string()),
+                     ("src", pa.string()), ("dst", pa.string()),
+                     ("rank", pa.float64()), ("description", pa.large_string())]
+                ),
+            )
+
+        node_ctx = entities.select_columns(
+            ["name", "type", "description", "degree"]
+        ).map_batches(node_ctx_batch, batch_format="pyarrow")
+        e_in = relationships.select_columns(
+            ["src", "dst", "rank", "description"]
+        ).map_batches(edge_ctx_batch, batch_format="pyarrow")
+    else:
+        node_ctx = hash_join(
+            communities,
+            entities.select_columns(["name", "type", "description", "degree"]),
+            on=["name"],
+            how="inner",
+            num_partitions=num_partitions,
+        )
+
+        edges = relationships.select_columns(["src", "dst", "weight", "rank", "description"])
+        e_src = hash_join(
+            edges,
+            communities.rename_columns({"name": "src"}),
+            on=["src"],
+            how="inner",
+            num_partitions=num_partitions,
+        )
+        e_both = hash_join(
+            e_src,
+            communities.rename_columns(
+                {"name": "dst", "community": "community_dst", "level": "level_dst"}
+            ),
+            on=["dst"],
+            how="inner",
+            num_partitions=num_partitions,
+        )
+        e_in = e_both.filter(
+            expr="community == community_dst and level == level_dst"
+        )
 
     def node_rows(b: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -253,8 +336,9 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
     """
     import ray.data
 
-    ctx = _context_rows(communities, entities, relationships, num_partitions)
     comm_pdf = communities.to_pandas()  # (level, community, name) — small
+    ctx = _context_rows(communities, entities, relationships, num_partitions,
+                        communities_pdf=comm_pdf)
     if comm_pdf.empty:
         return _report_level(ctx, {}, max_input_tokens)
     levels = sorted(comm_pdf["level"].unique(), reverse=True)
