@@ -63,12 +63,36 @@ class DescriptionSummarizer:
         )
 
 
-def summarize_descriptions(ds, concurrency=(1, 4), batch_size: int = 1024, **kwargs):
-    """Dataset[entity|relationship] -> same with summarized description."""
-    return ds.map_batches(
-        DescriptionSummarizer,
-        fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+_PROCESS_SUMMARIZER_CACHE: dict = {}
+
+
+def summarize_descriptions(ds, concurrency=(1, 4), batch_size: int = 1024,
+                           summarizer_cls=DescriptionSummarizer,
+                           use_actor_pool: bool = False, **kwargs):
+    """Dataset[entity|relationship] -> same with summarized description.
+
+    The deterministic default summarizer is trivial to construct, so the
+    stage runs as a task pool with a per-worker-process cache (actor-pool
+    startup is ~1-2s of pure overhead per stage).  LLM summarizer
+    strategies pass ``use_actor_pool=True`` to hold the warm client per
+    actor instead.
+    """
+    if use_actor_pool:
+        return ds.map_batches(
+            summarizer_cls,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    cache_key = (summarizer_cls.__module__, summarizer_cls.__qualname__,
+                 repr(sorted(kwargs.items())))
+
+    def body(batch):
+        s = _PROCESS_SUMMARIZER_CACHE.get(cache_key)
+        if s is None:
+            s = _PROCESS_SUMMARIZER_CACHE[cache_key] = summarizer_cls(**kwargs)
+        return s(batch)
+
+    return ds.map_batches(body, batch_format="pyarrow", batch_size=batch_size)
