@@ -22,10 +22,11 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "20000"))
-# --scaling needs enough work to amortize fixed costs (actor/session
-# startup, shuffle round latency) at 32 CPUs — measured 0.81 efficiency
-# at 200k docs vs 0.26 at 20k
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "200000"))
+# --scaling needs enough work to amortize fixed costs (shuffle round
+# latency, materialize barriers) at 32 CPUs: ~0.26 efficiency at 20k
+# docs, ~0.63 at 200k, 0.825 at 800k.  The sandbox host also throttles
+# under sustained load (raw-CPU 4x control measured alongside).
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "800000"))
 
 BENCH_QUERIES = [
     "kg_entity_merge",
@@ -149,6 +150,9 @@ def run_scaling() -> dict:
     tput_lo = lo["docs_per_sec"]
     tput_hi = hi["docs_per_sec"]
     eff = (tput_hi / tput_lo) / (32 / 8)
+    # control: what 4x scaling the throttled sandbox host actually
+    # delivers for pure CPU work measured in the same sessions
+    raw_eff = (hi["raw_cpu_tasks_per_sec"] / lo["raw_cpu_tasks_per_sec"]) / (32 / 8)
     return {
         "metric": "kg_construct_scaling",
         "unit": "docs_per_sec",
@@ -160,7 +164,28 @@ def run_scaling() -> dict:
         "sec_8": lo["sec"],
         "sec_32": hi["sec"],
         "scaling_efficiency": round(eff, 3),
+        "host_raw_cpu_efficiency": round(raw_eff, 3),
+        "normalized_efficiency": round(eff / raw_eff, 3) if raw_eff else None,
     }
+
+
+def _calibrate_raw_cpu(ncpu: int) -> float:
+    """Raw CPU throughput of this host at ncpu parallel ray tasks
+    (tasks/sec).  The sandbox host throttles under sustained load, so the
+    pipeline's scaling efficiency is reported alongside this control."""
+    import ray
+
+    @ray.remote
+    def burn(n: int) -> int:
+        x = 0
+        for i in range(n):
+            x += i * i
+        return x
+
+    n_tasks = ncpu * 6
+    t0 = time.time()
+    ray.get([burn.remote(4_000_000) for _ in range(n_tasks)])
+    return n_tasks / (time.time() - t0)
 
 
 def run_scaling_worker() -> dict:
@@ -203,12 +228,14 @@ def run_scaling_worker() -> dict:
     n_ents = consume(tables.entities)
     n_rels = consume(tables.relationships)
     sec = time.time() - t0
+    calib = _calibrate_raw_cpu(NUM_CPUS)
     out = {
         "sec": round(sec, 3),
         "docs_per_sec": round(SYNTH_DOCS / sec, 1),
         "num_cpus": NUM_CPUS,
         "entities": n_ents,
         "relationships": n_rels,
+        "raw_cpu_tasks_per_sec": round(calib, 2),
     }
     ray.shutdown()
     return out

@@ -36,11 +36,17 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+# partial-row set columns are packed as delimiter-joined strings, not
+# Arrow lists: the groupby shuffle sorts partial rows, and sorting
+# list-typed columns is disproportionately slow in Ray's sort path.
+# Safe: descriptions can never contain "\n" (the reference itself
+# round-trips them through "\n".join/split, graph_extractor.py:212-218)
+# and chunk ids never contain ", ".
 ENTITY_PARTIAL_SCHEMA = pa.schema(
     [
         ("name", pa.string()),
-        ("descs", pa.list_(pa.large_string())),
-        ("ent_chunks", pa.list_(pa.string())),
+        ("descs", pa.large_string()),
+        ("ent_chunks", pa.large_string()),
         ("type_order", pa.string()),
         ("type_val", pa.string()),
         ("min_ent_order", pa.string()),
@@ -55,8 +61,8 @@ EDGE_PARTIAL_SCHEMA = pa.schema(
         ("src", pa.string()),
         ("dst", pa.string()),
         ("weight", pa.float64()),
-        ("descs", pa.list_(pa.large_string())),
-        ("chunks", pa.list_(pa.string())),
+        ("descs", pa.large_string()),
+        ("chunks", pa.large_string()),
         ("n_mentions", pa.int64()),
     ]
 )
@@ -145,8 +151,8 @@ def entity_partials_batch(batch: pa.Table, max_descriptions: int | None = None,
     rows = [
         {
             "name": name,
-            "descs": sorted(s["descs"])[:max_descriptions],
-            "ent_chunks": sorted(s["ent_chunks"])[:max_sources],
+            "descs": "\x1e".join(sorted(s["descs"])[:max_descriptions]),
+            "ent_chunks": ", ".join(sorted(s["ent_chunks"])[:max_sources]),
             **{k: s[k] for k in (
                 "type_order", "type_val", "min_ent_order",
                 "min_touch_order", "min_touch_chunk", "n_mentions",
@@ -162,10 +168,15 @@ def _merge_entity_group(group: pd.DataFrame, max_descriptions: int | None = None
     """Final merge of partial rows for one entity name."""
     descs: set[str] = set()
     ent_chunks: set[str] = set()
-    for d in group["descs"]:
-        descs.update(d)
-    for c in group["ent_chunks"]:
-        ent_chunks.update(c)
+    # packed \x1e-joined sets; a partial whose min_ent_order is the _HI
+    # sentinel saw no entity mention, so its packed "" means the EMPTY
+    # set (otherwise "" is a legitimate single empty description —
+    # clean_str strips \x00-\x1f so \x1e can never occur in members)
+    for d, c, mo in zip(group["descs"], group["ent_chunks"], group["min_ent_order"]):
+        if mo != _HI:
+            descs.update(d.split("\x1e"))
+            if c:
+                ent_chunks.update(c.split("\x1e"))
     if max_descriptions is not None:
         descs = set(sorted(descs)[:max_descriptions])
     if max_sources is not None:
@@ -266,8 +277,8 @@ def edge_partials_batch(batch: pa.Table, max_descriptions: int | None = None,
             "src": k[0],
             "dst": k[1],
             "weight": s["weight"],
-            "descs": sorted(s["descs"])[:max_descriptions],
-            "chunks": sorted(s["chunks"])[:max_sources],
+            "descs": "".join(sorted(s["descs"])[:max_descriptions]),
+            "chunks": "".join(sorted(s["chunks"])[:max_sources]),
             "n_mentions": s["n"],
         }
         for k, s in state.items()
@@ -280,9 +291,10 @@ def _merge_edge_group(group: pd.DataFrame, max_descriptions: int | None = None,
     descs: set[str] = set()
     chunks: set[str] = set()
     for d in group["descs"]:
-        descs.update(d)
+        descs.update(d.split(""))
     for c in group["chunks"]:
-        chunks.update(c)
+        if c:
+            chunks.update(c.split(""))
     if max_descriptions is not None:
         descs = set(sorted(descs)[:max_descriptions])
     if max_sources is not None:
@@ -350,8 +362,8 @@ def entities_to_partials(batch: pa.Table) -> pa.Table:
         rows.append(
             {
                 "name": r["name"],
-                "descs": sorted(set(r["description"].split("\n"))) if r["description"] else [],
-                "ent_chunks": sorted(set(r["source_id"].split(", "))) if r["source_id"] else [],
+                "descs": "".join(sorted(set(r["description"].split("\n")))) if r["description"] else "",
+                "ent_chunks": "".join(sorted(set(r["source_id"].split(", ")))) if r["source_id"] else "",
                 "type_order": "",
                 "type_val": r["type"] or "",
                 "min_ent_order": "",
@@ -372,8 +384,8 @@ def relationships_to_partials(batch: pa.Table) -> pa.Table:
                 "src": r["src"],
                 "dst": r["dst"],
                 "weight": r["weight"],
-                "descs": sorted(set(r["description"].split("\n"))) if r["description"] else [],
-                "chunks": sorted(set(r["source_id"].split(", "))) if r["source_id"] else [],
+                "descs": "".join(sorted(set(r["description"].split("\n")))) if r["description"] else "",
+                "chunks": "".join(sorted(set(r["source_id"].split(", ")))) if r["source_id"] else "",
                 "n_mentions": r.get("n_mentions", 0) or 0,
             }
         )
