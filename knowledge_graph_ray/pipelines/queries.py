@@ -21,6 +21,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Mean, Sum
 
 from knowledge_graph_ray.corpus import docs_table_to_interleaved
+from knowledge_graph_ray.functions.numeric import round_half_away, scaled_int_column
 
 GAZETTEER = ["spark", "customer", "table", "window", "vector"]
 GAZETTEER_SQL = "(" + ", ".join(f"'{w}'" for w in GAZETTEER) + ")"
@@ -207,7 +208,7 @@ def dedup_ngram_jaccard(sf_dir: str):
         # computed identically to the SQL oracle (no float-engine skew)
         n_inter = batch.column("n_inter").to_pylist()
         n_union = batch.column("n_union").to_pylist()
-        j6 = [round(i * 1_000_000.0 / u) for i, u in zip(n_inter, n_union)]
+        j6 = [round_half_away(i * 1_000_000.0 / u) for i, u in zip(n_inter, n_union)]
         return pa.Table.from_pydict(
             {
                 "a": batch.column("a").cast(pa.int64()),
@@ -397,7 +398,7 @@ def text_lang_quality(sf_dir: str):
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        scaled = pc.round(pc.multiply(batch.column("avg_chars"), 100.0)).cast(pa.int64())
+        scaled = scaled_int_column(batch.column("avg_chars"), 100.0)
         idx = batch.schema.get_field_index("avg_chars")
         return batch.remove_column(idx).add_column(idx, "avg_chars_e2", scaled)
 
@@ -440,7 +441,7 @@ def events_hourly_agg(sf_dir: str):
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        scaled = pc.round(pc.multiply(batch.column("sum_value"), 100.0)).cast(pa.int64())
+        scaled = scaled_int_column(batch.column("sum_value"), 100.0)
         idx = batch.schema.get_field_index("sum_value")
         return batch.remove_column(idx).add_column(idx, "sum_value_cents", scaled)
 
@@ -493,7 +494,7 @@ def agg_pricing_summary(sf_dir: str):
             ("sum_disc_price", "sum_disc_price_cents", 100.0),
             ("avg_disc", "avg_disc_e4", 10000.0),
         ]:
-            scaled = pc.round(pc.multiply(batch.column(col), scale)).cast(pa.int64())
+            scaled = scaled_int_column(batch.column(col), scale)
             idx = batch.schema.get_field_index(col)
             batch = batch.remove_column(idx).add_column(idx, new, scaled)
         return batch
@@ -545,7 +546,7 @@ def join_revenue_by_segment(sf_dir: str):
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        scaled = pc.round(pc.multiply(batch.column("revenue"), 100.0)).cast(pa.int64())
+        scaled = scaled_int_column(batch.column("revenue"), 100.0)
         idx = batch.schema.get_field_index("revenue")
         return batch.remove_column(idx).add_column(idx, "revenue_cents", scaled)
 
@@ -570,7 +571,7 @@ def topk_parts_by_quantity(sf_dir: str):
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        scaled = pc.round(pc.multiply(batch.column("total_qty"), 100.0)).cast(pa.int64())
+        scaled = scaled_int_column(batch.column("total_qty"), 100.0)
         idx = batch.schema.get_field_index("total_qty")
         return batch.remove_column(idx).add_column(idx, "total_qty_cents", scaled)
 
@@ -769,7 +770,7 @@ def join_revenue_by_brand(sf_dir: str):
     def finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        scaled = pc.round(pc.multiply(batch.column("revenue"), 100.0)).cast(pa.int64())
+        scaled = scaled_int_column(batch.column("revenue"), 100.0)
         idx = batch.schema.get_field_index("revenue")
         return batch.remove_column(idx).add_column(idx, "revenue_cents", scaled)
 

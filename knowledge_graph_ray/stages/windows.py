@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from knowledge_graph_ray.functions.grouping import bucketed_group_map
+from knowledge_graph_ray.functions.numeric import round_half_away
 
 SESSION_SCHEMA = pa.schema(
     [
@@ -58,7 +59,7 @@ def sessionize(events, gap_seconds: int = 1800, key: str = "user_id",
                         "session_start": int(ts[start]),
                         "session_end": int(ts[i - 1]),
                         "n_events": i - start,
-                        "sum_value_cents": int(round(float(seg_vals.sum()) * 100)),
+                        "sum_value_cents": round_half_away(float(seg_vals.sum()) * 100),
                     }
                 )
                 start = i
