@@ -57,6 +57,9 @@ class PipelineConfig:
     max_cluster_size: int = MAX_CLUSTER_SIZE
     use_lcc: bool = USE_LCC
     extract_claims: bool = EXTRACT_COVARIATES
+    # decode media spans into a feature table (codecs are stubbed in this
+    # environment — stages/multimodal.py; the plumbing is real)
+    media_features: bool = False
     max_summary_input_tokens: int = MAX_SUMMARY_INPUT_TOKENS
     max_summary_length: int = MAX_SUMMARY_LENGTH
 

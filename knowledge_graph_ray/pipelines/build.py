@@ -39,6 +39,7 @@ class GraphTables:
     communities: Any = None
     reports: Any = None
     claims: Any = None
+    media_features: Any = None
 
 
 def build_graph(
@@ -212,6 +213,19 @@ def build_knowledge_graph(
             "claims",
         )
 
+    media_features = None
+    if cfg.media_features:
+        from knowledge_graph_ray.stages.multimodal import (
+            decode_media,
+            fetch_media,
+            media_refs_from_docs,
+        )
+
+        media_features = staged(
+            lambda: decode_media(fetch_media(media_refs_from_docs(docs))),
+            "media_features",
+        )
+
     return GraphTables(
         text_units=core.text_units,
         mentions=core.mentions,
@@ -220,6 +234,7 @@ def build_knowledge_graph(
         communities=communities,
         reports=reports,
         claims=claims,
+        media_features=media_features,
     )
 
 
@@ -273,6 +288,8 @@ def export_tables(tables: GraphTables, out_dir: str, fingerprint: str = "none"):
     }
     if tables.claims is not None:
         named["claims"] = tables.claims
+    if tables.media_features is not None:
+        named["media_features"] = tables.media_features
     for name, ds in named.items():
         if ds is None:
             continue

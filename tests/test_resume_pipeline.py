@@ -63,3 +63,19 @@ def test_mentions_checkpoint(tmp_path):
     assert t2.mentions.count() == n
     assert _manifest(path)["written_at"] == first
     assert t2.entities.count() == t1.entities.count()
+
+
+def test_media_features_branch(tmp_path):
+    from knowledge_graph_ray.config import PipelineConfig
+    from knowledge_graph_ray.pipelines.build import build_knowledge_graph, export_tables
+
+    cfg = PipelineConfig(chunk_size=64, chunk_overlap=16, extract_concurrency=1,
+                        media_features=True)
+    docs = rd.from_arrow(generate_corpus_table(80, seed=6969)).repartition(2)
+    tables = build_knowledge_graph(docs, cfg, num_partitions=4)
+    feats = tables.media_features.to_pandas()
+    assert not feats.empty
+    assert set(feats.columns) == {"doc_id", "media_ref", "kind", "feature"}
+    assert feats.kind.isin(["image", "audio", "table"]).all()
+    manifests = export_tables(tables, str(tmp_path / "out"), fingerprint="m")
+    assert manifests["media_features"]["rows"] == len(feats)
