@@ -390,24 +390,35 @@ def text_lang_quality(sf_dir: str):
         .groupby("lang")
         .aggregate(
             Count(alias_name="n_docs"),
-            Mean("n_chars", alias_name="avg_chars"),
+            Sum("n_chars", alias_name="sum_chars"),
             Sum("has_the", alias_name="docs_with_the"),
         )
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        scaled = scaled_int_column(batch.column("avg_chars"), 100.0)
-        idx = batch.schema.get_field_index("avg_chars")
-        return batch.remove_column(idx).add_column(idx, "avg_chars_e2", scaled)
+        # exact-integer mean: sum(n_chars) is an exact int64, so the single
+        # float op round(sum*100/count) is bit-identical to the SQL oracle
+        sums = batch.column("sum_chars").to_pylist()
+        counts = batch.column("n_docs").to_pylist()
+        avg_e2 = [round_half_away(s * 100.0 / c) for s, c in zip(sums, counts)]
+        return pa.Table.from_pydict(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": batch.column("n_docs").cast(pa.int64()),
+                "avg_chars_e2": pa.array(avg_e2, type=pa.int64()),
+                "docs_with_the": batch.column("docs_with_the").cast(pa.int64()),
+            }
+        )
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+# CASTs everywhere: DuckDB types uncast sum(CASE...) as HUGEINT (int128),
+# which hash-mismatches the engine's int64 even when values are equal.
 TEXT_LANG_QUALITY_SQL = """
-SELECT lang, count(*) AS n_docs, CAST(round(avg(n_chars) * 100) AS BIGINT) AS avg_chars_e2,
-       sum(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END) AS docs_with_the
+SELECT lang, count(*) AS n_docs,
+       CAST(round(sum(n_chars) * 100.0 / count(*)) AS BIGINT) AS avg_chars_e2,
+       CAST(sum(CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_the
 FROM documents GROUP BY lang
 """
 
@@ -626,9 +637,9 @@ def antijoin_customers_without_orders(sf_dir: str):
 
 
 ANTIJOIN_CUSTOMERS_SQL = """
-SELECT c_nationkey, count(*) AS n_customers,
-       sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-                THEN 1 ELSE 0 END) AS n_without_orders
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_customers,
+       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders
 FROM customer GROUP BY c_nationkey
 """
 

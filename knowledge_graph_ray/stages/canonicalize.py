@@ -152,7 +152,7 @@ def entity_partials_batch(batch: pa.Table, max_descriptions: int | None = None,
         {
             "name": name,
             "descs": "\x1e".join(sorted(s["descs"])[:max_descriptions]),
-            "ent_chunks": ", ".join(sorted(s["ent_chunks"])[:max_sources]),
+            "ent_chunks": "\x1e".join(sorted(s["ent_chunks"])[:max_sources]),
             **{k: s[k] for k in (
                 "type_order", "type_val", "min_ent_order",
                 "min_touch_order", "min_touch_chunk", "n_mentions",

@@ -44,6 +44,13 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         return problems
     if len(ray_df) != len(sql_df):
         problems.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
+    # dtype-strict: the driver value-hash is representation-sensitive
+    # (uncast DuckDB sum(CASE..) is HUGEINT and hash-mismatches int64)
+    for c in sorted(ray_df.columns):
+        if str(ray_df[c].dtype) != str(sql_df[c].dtype):
+            problems.append(
+                f"dtype[{c}]: ray={ray_df[c].dtype} sql={sql_df[c].dtype}"
+            )
     a, b = canonical(ray_df), canonical(sql_df)
     if len(a) == len(b):
         try:

@@ -82,8 +82,9 @@ def test_entity_attribute_parity(oracle_tables, ray_tables):
     for name, o in o_ents.items():
         g = r_ents[name]
         assert g["type"] == o["type"], name
-        assert frozenset(g["description"].split("\n")) == o["descriptions"], name
-        assert frozenset(g["source_id"].split(", ")) == o["sources"], name
+        # exact sorted/deduped strings — set compare would mask dup ids
+        assert g["description"] == "\n".join(sorted(o["descriptions"])), name
+        assert g["source_id"] == ", ".join(sorted(o["sources"])), name
 
 
 def test_relationship_attribute_parity(oracle_tables, ray_tables):
@@ -92,8 +93,8 @@ def test_relationship_attribute_parity(oracle_tables, ray_tables):
     for key, o in o_rels.items():
         g = r_rels[key]
         assert g["weight"] == pytest.approx(o["weight"]), key
-        assert frozenset(g["description"].split("\n")) == o["descriptions"], key
-        assert frozenset(g["source_id"].split(", ")) == o["sources"], key
+        assert g["description"] == "\n".join(sorted(o["descriptions"])), key
+        assert g["source_id"] == ", ".join(sorted(o["sources"])), key
 
 
 def test_corpus_has_interesting_structure(oracle_tables):

@@ -137,12 +137,14 @@ def test_partial_merge_matches_oracle_under_any_batching(mentions, splits):
     for name, o in o_ents.items():
         g = g_ents[name]
         assert g["type"] == o["type"], name
-        assert frozenset(g["description"].split("\n")) == o["descriptions"], name
-        assert frozenset(g["source_id"].split(", ")) == o["sources"], name
+        # EXACT string equality (sorted, deduped) — frozenset comparison
+        # masked a partial-pack delimiter bug that duplicated chunk ids
+        assert g["description"] == "\n".join(sorted(o["descriptions"])), name
+        assert g["source_id"] == ", ".join(sorted(o["sources"])), name
 
     assert set(g_rels) == set(o_rels)
     for key, o in o_rels.items():
         g = g_rels[key]
         assert abs(g["weight"] - o["weight"]) < 1e-9, key
-        assert frozenset(g["description"].split("\n")) == o["descriptions"], key
-        assert frozenset(g["source_id"].split(", ")) == o["sources"], key
+        assert g["description"] == "\n".join(sorted(o["descriptions"])), key
+        assert g["source_id"] == ", ".join(sorted(o["sources"])), key
