@@ -4,25 +4,29 @@ Ray 2.49's native ``Dataset.join`` intermittently fails when several
 hash-join operators land in one fused DAG (aggregator finalize raises
 "No match or multiple matches for key field reference FieldRef..."), so
 the engine uses the portable pattern instead: bucket both sides by a
-stable hash of the key, shuffle once with ``groupby(bucket)``, and run
-one vectorized pandas merge per bucket inside ``map_groups``.
+stable vectorized hash of the key, shuffle once with ``groupby(bucket)``,
+and run one vectorized pandas merge per bucket inside ``map_groups``.
 
 Scale properties: a single all-to-all exchange partitioned on the key
 hash; ``num_partitions`` bounds per-bucket memory; hot keys can be
 salted by raising ``num_partitions`` (same-key rows must share a bucket,
 so true key skew is bounded by the hot key's own row count — for the
 joins in this engine the right side is entity-keyed and near-unique).
-Join semantics: 'inner' and 'left_outer', composite keys supported.
-Non-key output columns must be disjoint between the two sides (callers
-rename first) — asserted.
+Join semantics: 'inner', 'left_outer', 'left_semi', 'left_anti';
+composite keys supported.  Non-key output columns must be disjoint
+between the two sides (callers rename first) — asserted.
+
+The semi/anti modes are the shuffle-side replacement for the broadcast
+key-set pattern (reference utils/dataframe.py:23-39 antijoin/union) when
+the "small" side is no longer small.
 """
 
 from __future__ import annotations
 
-import zlib
-
 import pandas as pd
 import pyarrow as pa
+
+from knowledge_graph_ray.functions.hashing import bucket_column
 
 _BUCKET = "__jb"
 _SIDE = "__js"
@@ -42,11 +46,17 @@ def _arrow_schema(ds) -> pa.Schema:
     )
 
 
-def _bucket_of(values, num_partitions: int):
-    return pa.array(
-        [zlib.crc32("|".join(map(str, v)).encode()) % num_partitions for v in zip(*values)],
-        type=pa.int32(),
-    )
+def _to_arrow_col(series: pd.Series, field: pa.Field) -> pa.Array:
+    """Vectorized pandas column -> Arrow array of the target field type.
+
+    pandas upcasts ints with NaN to float64 after a left merge;
+    ``from_pandas`` turns NaN into null, then the safe cast restores the
+    integer type (values are integral by construction).
+    """
+    arr = pa.Array.from_pandas(series)
+    if arr.type != field.type:
+        arr = arr.cast(field.type)
+    return arr
 
 
 def hash_join(
@@ -58,14 +68,18 @@ def hash_join(
 ):
     """left ⨝ right on key columns ``on`` -> Dataset.
 
-    Output columns: all left columns, then right's non-key columns.
+    Output columns: all left columns, then right's non-key columns
+    ('inner'/'left_outer'); left columns only ('left_semi'/'left_anti').
     """
-    assert how in ("inner", "left_outer"), how
+    assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
     on = list(on)
+    filter_only = how in ("left_semi", "left_anti")
     left_schema = _arrow_schema(left)
     right_schema = _arrow_schema(right)
     left_cols = left_schema.names
-    right_payload = [c for c in right_schema.names if c not in on]
+    right_payload = (
+        [] if filter_only else [c for c in right_schema.names if c not in on]
+    )
     overlap = set(left_cols) & set(right_payload)
     assert not overlap, f"rename right columns before joining: {overlap}"
 
@@ -80,11 +94,9 @@ def hash_join(
             for name, typ in add_cols:
                 cols[name] = pa.nulls(len(batch), typ)
             cols[_SIDE] = pa.array([side] * len(batch), type=pa.int8())
-            cols[_BUCKET] = _bucket_of(
-                [batch.column(k).to_pylist() for k in on], num_partitions
-            )
+            cols[_BUCKET] = bucket_column(batch, on, num_partitions)
             # fixed column order so the union schemas align
-            ordered = {f.name: cols[f.name] for f in out_fields}
+            ordered = {f.name: cols[f.name] for f in out_fields if f.name in cols}
             ordered[_SIDE] = cols[_SIDE]
             ordered[_BUCKET] = cols[_BUCKET]
             return pa.Table.from_pydict(ordered)
@@ -95,6 +107,9 @@ def hash_join(
         tag(0, [(f.name, f.type) for f in out_fields if f.name in right_payload]),
         batch_format="pyarrow",
     )
+    if filter_only:
+        # the right side only needs its key columns on the wire
+        right = right.select_columns(on)
     right_tagged = right.map_batches(
         tag(
             1,
@@ -109,23 +124,20 @@ def hash_join(
 
     left_only_cols = [c for c in left_cols if c not in on]
 
-    def _to_arrow_col(series, field: pa.Field):
-        vals = [
-            None if v is None or (isinstance(v, float) and v != v) else v
-            for v in series.tolist()
-        ]
-        if pa.types.is_integer(field.type):
-            vals = [None if v is None else int(v) for v in vals]
-        return pa.array(vals, type=field.type)
-
     def merge_bucket(group: pd.DataFrame) -> pa.Table:
         lhs = group[group[_SIDE] == 0]
         rhs = group[group[_SIDE] == 1]
         lhs = lhs[on + left_only_cols]
-        rhs = rhs[on + right_payload]
-        merged = lhs.merge(rhs, on=on, how="left" if how == "left_outer" else "inner")
-        # explicit column-wise Arrow conversion: pandas upcasts ints with
-        # NaN to float64, which from_pandas(schema=) refuses to cast back
+        if filter_only:
+            mask = pd.MultiIndex.from_frame(lhs[on]).isin(
+                pd.MultiIndex.from_frame(rhs[on].drop_duplicates())
+            )
+            merged = lhs[mask] if how == "left_semi" else lhs[~mask]
+        else:
+            rhs = rhs[on + right_payload]
+            merged = lhs.merge(
+                rhs, on=on, how="left" if how == "left_outer" else "inner"
+            )
         return pa.Table.from_arrays(
             [_to_arrow_col(merged[f.name], f) for f in out_fields],
             schema=out_schema,

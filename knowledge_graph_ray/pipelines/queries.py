@@ -34,6 +34,10 @@ FLAGSHIP_GAZETTEER = [
 CHUNK_SIZE_Q = 32
 CHUNK_OVERLAP_Q = 8
 
+# dimension/key-set broadcast ceiling: above this row count the
+# size-adaptive joins switch from ray.put-broadcast to a shuffle path
+BROADCAST_KEYS_MAX = 5_000_000
+
 
 def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -524,34 +528,50 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
-def join_revenue_by_segment(sf_dir: str):
-    """Broadcast join: customer is the small side — shipped once via
-    ray.put, looked up per batch (never a shuffle)."""
+def join_revenue_by_segment(sf_dir: str, broadcast_max: int = BROADCAST_KEYS_MAX):
+    """Dimension join, size-adaptive: customer is broadcast once via
+    ray.put and looked up vectorized per batch while it fits
+    (``broadcast_max`` rows); above that it becomes a partitioned
+    shuffle hash_join — the same query stays correct at 100x."""
     import ray
 
-    seg = (
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-        .to_pandas()
-        .set_index("c_custkey")["c_mktsegment"]
-        .to_dict()
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    seg_ref = ray.put(seg)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
 
-    class AttachSegment:
-        def __init__(self):
-            self.seg = ray.get(seg_ref)
+    if customer.count() <= broadcast_max:
+        seg = customer.to_pandas().set_index("c_custkey")["c_mktsegment"]
+        seg_ref = ray.put(seg)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            segs = [self.seg.get(k) for k in batch.column("o_custkey").to_pylist()]
-            return batch.append_column(
-                "c_mktsegment", pa.array(segs, type=pa.string())
-            )
+        class AttachSegment:
+            def __init__(self):
+                self.seg = ray.get(seg_ref)
 
-    agg = (
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-        .map_batches(AttachSegment, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+                segs = self.seg.reindex(keys).to_numpy()
+                return batch.append_column(
+                    "c_mktsegment", pa.array(segs, type=pa.string())
+                )
+
+        joined = orders.map_batches(
+            AttachSegment, batch_format="pyarrow", concurrency=(1, 4)
+        )
+    else:
+        from knowledge_graph_ray.functions.joins import hash_join
+
+        joined = hash_join(
+            orders.rename_columns({"o_custkey": "c_custkey"}),
+            customer,
+            on=["c_custkey"],
+            how="inner",
+        )
+
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -600,39 +620,84 @@ ORDER BY sum(l_quantity) DESC, l_partkey LIMIT 10
 """
 
 
-def antijoin_customers_without_orders(sf_dir: str):
-    """Anti-join via broadcast key set (the guide's semi/anti pattern:
-    broadcast the key set, flag inside map_batches).  Reported per nation
-    so the output is non-empty even when every customer has orders."""
+def antijoin_customers_without_orders(sf_dir: str,
+                                      broadcast_max: int = BROADCAST_KEYS_MAX):
+    """Anti-join, size-adaptive.  Small fact side: broadcast the key set
+    (ray.put once, vectorized np.isin per batch).  Large fact side: a
+    partitioned shuffle — per-batch distinct keys, a small groupby to
+    global-distinct, then hash_join(how='left_anti')-style null flagging.
+    Reported per nation so the output is non-empty even when every
+    customer has orders."""
     import ray
 
-    custkeys = set(
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-        .to_pandas()["o_custkey"]
+    orders_keys = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    keys_ref = ray.put(custkeys)
 
-    class FlagNoOrders:
-        def __init__(self):
-            self.keys = ray.get(keys_ref)
+    if orders_keys.count() <= broadcast_max:
+        custkeys = np.unique(
+            orders_keys.to_pandas()["o_custkey"].to_numpy()
+        )
+        keys_ref = ray.put(custkeys)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            flags = [
-                0 if k in self.keys else 1
-                for k in batch.column("c_custkey").to_pylist()
-            ]
+        class FlagNoOrders:
+            def __init__(self):
+                self.keys = ray.get(keys_ref)  # sorted unique array
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+                has = np.isin(keys, self.keys)
+                return pa.Table.from_pydict(
+                    {
+                        "c_nationkey": batch.column("c_nationkey"),
+                        "no_orders": pa.array(
+                            (~has).astype(np.int64), type=pa.int64()
+                        ),
+                    }
+                )
+
+        flagged = customer.map_batches(
+            FlagNoOrders, batch_format="pyarrow", concurrency=(1, 4)
+        )
+    else:
+        from knowledge_graph_ray.functions.joins import hash_join
+
+        # per-batch distinct bounds the shuffle; groupby makes it global
+        def batch_distinct(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"c_custkey": np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))}
+            )
+
+        distinct = (
+            orders_keys.map_batches(batch_distinct, batch_format="pyarrow")
+            .groupby("c_custkey")
+            .count()
+            .rename_columns({"count()": "ord_marker"})
+        )
+        joined = hash_join(
+            customer, distinct, on=["c_custkey"], how="left_outer"
+        )
+
+        def flag(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             return pa.Table.from_pydict(
                 {
-                    "c_nationkey": batch.column("c_nationkey"),
-                    "no_orders": pa.array(flags, type=pa.int64()),
+                    "c_nationkey": b.column("c_nationkey"),
+                    "no_orders": pc.if_else(
+                        pc.is_null(b.column("ord_marker")),
+                        pa.scalar(1, type=pa.int64()),
+                        pa.scalar(0, type=pa.int64()),
+                    ),
                 }
             )
 
-    return (
-        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-        .map_batches(FlagNoOrders, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("c_nationkey")
-        .aggregate(Count(alias_name="n_customers"), Sum("no_orders", alias_name="n_without_orders"))
+        flagged = joined.map_batches(flag, batch_format="pyarrow")
+
+    return flagged.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("no_orders", alias_name="n_without_orders"),
     )
 
 

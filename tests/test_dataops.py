@@ -191,3 +191,19 @@ def test_multimodal_plumbing():
     assert (frames.byte_offset % 1024 == 0).all()
     with pytest.raises(NotImplementedError):
         multimodal.RealCodec().decode("image", b"xx")
+
+
+def test_size_adaptive_joins_shuffle_equals_broadcast():
+    """The >broadcast_max shuffle paths of the size-adaptive queries
+    produce the same result as the broadcast paths (forced via
+    broadcast_max=0)."""
+    import pandas as pd
+
+    from knowledge_graph_ray.pipelines import queries as q
+
+    for fn in (q.antijoin_customers_without_orders, q.join_revenue_by_segment):
+        a = fn(SF).to_pandas()
+        cols = list(a.columns)
+        a = a.sort_values(cols).reset_index(drop=True)
+        b = fn(SF, broadcast_max=0).to_pandas()[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -114,6 +114,29 @@ def test_hash_join_matches_pandas(how):
     )
 
 
+@pytest.mark.parametrize("how", ["left_semi", "left_anti"])
+def test_hash_join_semi_anti_matches_pandas(how):
+    rng = np.random.RandomState(1)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 50, 200), "x": rng.randn(200)}
+    )
+    # right has duplicate keys and an extra payload column: semi/anti must
+    # neither multiply rows nor emit right columns
+    right = pd.DataFrame(
+        {"k": rng.randint(25, 75, 120), "y": rng.randn(120)}
+    )
+    got = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), on=["k"], how=how, num_partitions=8
+    ).to_pandas()
+    keys = set(right["k"])
+    mask = left["k"].isin(keys)
+    expected = left[mask] if how == "left_semi" else left[~mask]
+    assert list(got.columns) == ["k", "x"]
+    g = got.sort_values(["k", "x"]).reset_index(drop=True)
+    e = expected.sort_values(["k", "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+
+
 def test_hash_join_composite_key_and_collision_guard():
     left = rd.from_items([{"a": "x", "b": 1, "v": 10}, {"a": "y", "b": 2, "v": 20}])
     right = rd.from_items([{"a": "x", "b": 1, "w": 7}])
