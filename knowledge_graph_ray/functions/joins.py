@@ -59,6 +59,27 @@ def _to_arrow_col(series: pd.Series, field: pa.Field) -> pa.Array:
     return arr
 
 
+def project(ds, columns: "dict[str, str] | list[str]"):
+    """Opaque select(+rename) via map_batches.
+
+    Ray 2.49's Project operators (``select_columns``/``rename_columns``)
+    can be silently DROPPED when two differently-projected branches of
+    the same upstream dataset feed one fused DAG (e.g. the union inside
+    ``hash_join``): one branch's projection is lost and the join sees the
+    original columns.  An opaque ``map_batches`` projection is never
+    fused away.  ``columns``: list = select; dict {old: new} =
+    select+rename.
+    """
+    mapping = {c: c for c in columns} if isinstance(columns, list) else dict(columns)
+
+    def body(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {new: b.column(old) for old, new in mapping.items()}
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")
+
+
 def hash_join(
     left,
     right,

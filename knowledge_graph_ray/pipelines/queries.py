@@ -561,10 +561,11 @@ def join_revenue_by_segment(sf_dir: str, broadcast_max: int = BROADCAST_KEYS_MAX
             AttachSegment, batch_format="pyarrow", concurrency=(1, 4)
         )
     else:
-        from knowledge_graph_ray.functions.joins import hash_join
+        from knowledge_graph_ray.functions.joins import hash_join, project
 
         joined = hash_join(
-            orders.rename_columns({"o_custkey": "c_custkey"}),
+            project(orders, {"o_custkey": "c_custkey",
+                             "o_totalprice": "o_totalprice"}),
             customer,
             on=["c_custkey"],
             how="inner",
@@ -669,11 +670,13 @@ def antijoin_customers_without_orders(sf_dir: str,
                 {"c_custkey": np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))}
             )
 
-        distinct = (
+        from knowledge_graph_ray.functions.joins import project
+
+        distinct = project(
             orders_keys.map_batches(batch_distinct, batch_format="pyarrow")
             .groupby("c_custkey")
-            .count()
-            .rename_columns({"count()": "ord_marker"})
+            .count(),
+            {"c_custkey": "c_custkey", "count()": "ord_marker"},
         )
         joined = hash_join(
             customer, distinct, on=["c_custkey"], how="left_outer"
@@ -835,9 +838,12 @@ def join_revenue_by_brand(sf_dir: str):
     lineitem = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"]
     )
-    part = rd.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
-    ).rename_columns({"p_partkey": "l_partkey"})
+    from knowledge_graph_ray.functions.joins import project
+
+    part = project(
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]),
+        {"p_partkey": "l_partkey", "p_brand": "p_brand"},
+    )
     joined = hash_join(lineitem, part, on=["l_partkey"], how="inner", num_partitions=32)
     agg = joined.groupby("p_brand").aggregate(
         Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="revenue")

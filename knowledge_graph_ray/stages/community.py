@@ -47,8 +47,21 @@ def _cid(component: str, path: str) -> str:
     return f"c{digest}"
 
 
+def rd_empty_communities():
+    import ray.data as rd
+
+    return rd.from_arrow(_community_schema().empty_table())
+
+
+# above this node count a single component skips modularity Louvain (one
+# task would hold the whole subgraph) and uses the deterministic ordered
+# bisection only — the hierarchy contract survives, memory stays bounded
+MAX_LOUVAIN_COMPONENT_NODES = 500_000
+
+
 def _cluster_component(
-    graph: nx.Graph, component: str, max_cluster_size: int, seed: int
+    graph: nx.Graph, component: str, max_cluster_size: int, seed: int,
+    max_louvain_nodes: int = MAX_LOUVAIN_COMPONENT_NODES,
 ) -> list[dict]:
     """Hierarchical louvain: rows (level, community, name)."""
     rows: list[dict] = []
@@ -56,6 +69,20 @@ def _cluster_component(
     def recurse(subgraph: nx.Graph, level: int, path: str) -> None:
         if subgraph.number_of_nodes() <= 1 or subgraph.number_of_edges() == 0:
             clusters = [set(subgraph.nodes())] if subgraph.number_of_nodes() else []
+        elif subgraph.number_of_nodes() > max_louvain_nodes:
+            # giant-component guard: modularity Louvain on a graph this
+            # size would dominate one task's memory/time — descend via a
+            # deterministic ordered bisection until Louvain is affordable
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "component %s level %d: %d nodes > max_louvain_nodes=%d, "
+                "using ordered bisection for this level",
+                component, level, subgraph.number_of_nodes(), max_louvain_nodes,
+            )
+            ordered = sorted(subgraph.nodes())
+            half = (len(ordered) + 1) // 2
+            clusters = [set(ordered[:half]), set(ordered[half:])]
         else:
             clusters = [
                 set(c)
@@ -89,6 +116,9 @@ def detect_communities(
     seed: int = SEED,
     use_lcc: bool = True,
     num_partitions: int = 32,
+    max_louvain_nodes: int = MAX_LOUVAIN_COMPONENT_NODES,
+    clustering_num_cpus: float | None = None,
+    clustering_memory: float | None = None,
 ):
     """-> Dataset[(level:int, community:str, name:str)].
 
@@ -99,18 +129,28 @@ def detect_communities(
     import pyarrow as pa
 
     if use_lcc:
-        sizes = components.groupby("component").count().to_pandas()
-        largest = sizes.sort_values(
-            ["count()", "component"], ascending=[False, True]
-        )["component"].iloc[0]
+        # dataset-side top-1: with singleton components for every isolated
+        # entity the size table is entity-scale — never to_pandas() it
+        top = (
+            components.groupby("component")
+            .count()
+            .sort(["count()", "component"], descending=[True, False])
+            .limit(1)
+            .take(1)
+        )
+        if not top:
+            return rd_empty_communities()
+        largest = top[0]["component"]
         components = components.filter(
             expr=f"component == {largest!r}"
         )
 
     # tag edges with the component of their src (dst is in the same component)
+    from knowledge_graph_ray.functions.joins import project
+
     edges = hash_join(
         relationships.select_columns(["src", "dst", "weight"]),
-        components.rename_columns({"name": "src"}),
+        project(components, {"name": "src", "component": "component"}),
         on=["src"],
         how="inner",
         num_partitions=num_partitions,
@@ -154,11 +194,22 @@ def detect_communities(
             group.loc[edge_mask, "weight"],
         ):
             g.add_edge(src, dst, weight=w)
-        rows = _cluster_component(g, component, max_cluster_size, seed)
+        rows = _cluster_component(
+            g, component, max_cluster_size, seed, max_louvain_nodes
+        )
         return pa.Table.from_pylist(rows, schema=_community_schema())
 
+    # clustering_num_cpus/memory: resource annotation for the clustering
+    # tasks — the giant component lands on one task, so at scale give it
+    # headroom (e.g. clustering_memory=32e9) and the scheduler will place
+    # it on a node with room
+    remote_args = {}
+    if clustering_num_cpus is not None:
+        remote_args["num_cpus"] = clustering_num_cpus
+    if clustering_memory is not None:
+        remote_args["memory"] = clustering_memory
     return edge_rows.union(node_rows).groupby("component").map_groups(
-        cluster_group, batch_format="pandas"
+        cluster_group, batch_format="pandas", **remote_args
     )
 
 
@@ -166,9 +217,12 @@ def assign_clusters(entities, communities, level: int = 0, num_partitions: int =
     """Stamp each entity with its community at ``level`` (reference
     cluster_graph.py:49-53 applies level==0 only); entities outside the
     clustered component get null cluster."""
-    at_level = communities.filter(expr=f"level == {level}").rename_columns(
-        {"community": "cluster"}
-    ).select_columns(["name", "cluster"])
+    from knowledge_graph_ray.functions.joins import project
+
+    at_level = project(
+        communities.filter(expr=f"level == {level}"),
+        {"name": "name", "community": "cluster"},
+    )
     return hash_join(
         entities, at_level, on=["name"], how="left_outer", num_partitions=num_partitions
     )

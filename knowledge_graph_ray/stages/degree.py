@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyarrow as pa
 from ray.data.aggregate import Sum
 
-from knowledge_graph_ray.functions.joins import hash_join
+from knowledge_graph_ray.functions.joins import hash_join, project
 
 
 def degree_partials_batch(batch: pa.Table) -> pa.Table:
@@ -64,16 +64,18 @@ def attach_entity_degrees(entities, degrees, num_partitions: int = 32):
 def attach_edge_degrees(relationships, degrees, num_partitions: int = 32):
     """edges ⟕ degrees on src, then dst; rank = source_degree + target_degree
     (compute_edge_degree.py:11-54)."""
+    # project() not rename_columns: two projected branches of `degrees`
+    # land in one DAG — Project ops can be dropped by fusion (joins.project)
     with_src = hash_join(
         relationships,
-        degrees.rename_columns({"name": "src", "degree": "source_degree"}),
+        project(degrees, {"name": "src", "degree": "source_degree"}),
         on=["src"],
         how="left_outer",
         num_partitions=num_partitions,
     )
     with_both = hash_join(
         with_src,
-        degrees.rename_columns({"name": "dst", "degree": "target_degree"}),
+        project(degrees, {"name": "dst", "degree": "target_degree"}),
         on=["dst"],
         how="left_outer",
         num_partitions=num_partitions,

@@ -25,7 +25,7 @@ import json
 import pandas as pd
 
 from knowledge_graph_ray.config import COMMUNITY_REPORT_MAX_INPUT_LENGTH
-from knowledge_graph_ray.functions.joins import hash_join
+from knowledge_graph_ray.functions.joins import hash_join, project
 from knowledge_graph_ray.functions.text import token_count
 
 REPORT_COLUMNS = [
@@ -139,7 +139,8 @@ BROADCAST_COMMUNITIES_MAX = 1_000_000
 
 
 def _context_rows(communities, entities, relationships, num_partitions: int = 32,
-                  communities_pdf: "pd.DataFrame | None" = None):
+                  communities_pdf: "pd.DataFrame | None" = None,
+                  broadcast_max: int = BROADCAST_COMMUNITIES_MAX):
     """Joined per-community context rows (nodes + same-community edges).
 
     When the communities table is small (<= BROADCAST_COMMUNITIES_MAX
@@ -152,11 +153,11 @@ def _context_rows(communities, entities, relationships, num_partitions: int = 32
 
     if communities_pdf is None:
         try:
-            communities_pdf = communities.to_pandas(limit=BROADCAST_COMMUNITIES_MAX)
+            communities_pdf = communities.to_pandas(limit=broadcast_max)
         except Exception:
             communities_pdf = None
 
-    if communities_pdf is not None and len(communities_pdf) <= BROADCAST_COMMUNITIES_MAX:
+    if communities_pdf is not None and len(communities_pdf) <= broadcast_max:
         import ray
 
         # name -> [(level, community)] (a name appears once per level)
@@ -233,16 +234,17 @@ def _context_rows(communities, entities, relationships, num_partitions: int = 32
         edges = relationships.select_columns(["src", "dst", "weight", "rank", "description"])
         e_src = hash_join(
             edges,
-            communities.rename_columns({"name": "src"}),
+            project(communities,
+                    {"name": "src", "community": "community", "level": "level"}),
             on=["src"],
             how="inner",
             num_partitions=num_partitions,
         )
         e_both = hash_join(
             e_src,
-            communities.rename_columns(
-                {"name": "dst", "community": "community_dst", "level": "level_dst"}
-            ),
+            project(communities,
+                    {"name": "dst", "community": "community_dst",
+                     "level": "level_dst"}),
             on=["dst"],
             how="inner",
             num_partitions=num_partitions,
@@ -324,7 +326,8 @@ def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: in
 
 
 def generate_reports(communities, entities, relationships, num_partitions: int = 32,
-                     max_input_tokens: int = COMMUNITY_REPORT_MAX_INPUT_LENGTH):
+                     max_input_tokens: int = COMMUNITY_REPORT_MAX_INPUT_LENGTH,
+                     broadcast_max: int = BROADCAST_COMMUNITIES_MAX):
     """-> Dataset[community_report], generated bottom-up per level.
 
     Levels are processed DESCENDING (reference utils.py:26-29 /
@@ -334,14 +337,14 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
     The level loop is inherently sequential with a barrier per level
     (SURVEY §7.5 'Level-sequential report generation').
     """
-    import ray.data
-
-    comm_pdf = communities.to_pandas()  # (level, community, name) — small
     ctx = _context_rows(communities, entities, relationships, num_partitions,
-                        communities_pdf=comm_pdf)
-    if comm_pdf.empty:
+                        broadcast_max=broadcast_max)
+    # distinct levels via a tiny aggregate — the (level, community, name)
+    # table itself is entity x level scale and must never reach the driver
+    level_counts = communities.groupby("level").count().to_pandas()
+    if level_counts.empty:
         return _report_level(ctx, {}, max_input_tokens)
-    levels = sorted(comm_pdf["level"].unique(), reverse=True)
+    levels = sorted(int(v) for v in level_counts["level"])[::-1]
 
     per_level = []
     prev_summaries: dict[str, str] = {}
@@ -349,18 +352,33 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
     for level in levels:
         sub_by_parent: dict[str, list[tuple[str, str]]] = {}
         if prev_level is not None and prev_summaries:
-            # parent of a deeper community = the community its first node
-            # belongs to at this level
-            here = comm_pdf[comm_pdf.level == level][["community", "name"]]
-            deeper = comm_pdf[comm_pdf.level == prev_level][["community", "name"]]
-            joined = deeper.merge(here, on="name", suffixes=("_sub", "_parent"))
-            pairs = joined.drop_duplicates(["community_sub", "community_parent"])
-            for _, row in pairs.iterrows():
-                summary = prev_summaries.get(row["community_sub"])
+            # parent of a deeper community = the community its nodes
+            # belong to at this level; the membership join runs
+            # distributed, only the deduped (sub, parent) pair table
+            # (community-pair scale) reaches the driver
+            deeper = project(
+                communities.filter(expr=f"level == {int(prev_level)}"),
+                {"community": "community_sub", "name": "name"},
+            )
+            here = project(
+                communities.filter(expr=f"level == {int(level)}"),
+                {"community": "community_parent", "name": "name"},
+            )
+            pairs = (
+                hash_join(deeper, here, on=["name"], how="inner",
+                          num_partitions=num_partitions)
+                .groupby(["community_sub", "community_parent"])
+                .count()
+                .to_pandas()
+            )
+            for row in pairs.itertuples():
+                summary = prev_summaries.get(row.community_sub)
                 if summary is not None:
-                    sub_by_parent.setdefault(row["community_parent"], []).append(
-                        (row["community_sub"], summary)
+                    sub_by_parent.setdefault(row.community_parent, []).append(
+                        (row.community_sub, summary)
                     )
+            for subs in sub_by_parent.values():
+                subs.sort()  # deterministic under any shuffle order
         level_reports = _report_level(
             ctx.filter(expr=f"level == {int(level)}"), sub_by_parent, max_input_tokens
         ).materialize()

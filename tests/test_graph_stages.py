@@ -172,3 +172,81 @@ def test_leveled_reports_with_mixed_context(graph_tables):
     assert set(reports.level.unique()) == set(levels)
     parents = reports[reports.level == 0]
     assert any("Sub-community reports" in fc for fc in parents.full_content)
+
+
+def test_reports_shuffle_context_equals_broadcast(graph_tables):
+    """generate_reports with broadcast_max=0 (no driver materialization
+    of the communities table — hash-join context path) produces the same
+    reports as the broadcast path."""
+    from knowledge_graph_ray.stages.community import detect_communities
+    from knowledge_graph_ray.stages.degree import (
+        attach_edge_degrees,
+        attach_entity_degrees,
+        compute_degrees,
+    )
+    from knowledge_graph_ray.stages.report import generate_reports
+
+    entities, relationships = graph_tables
+    degrees = compute_degrees(relationships).materialize()
+    ents = attach_entity_degrees(entities, degrees, 4).materialize()
+    rels = attach_edge_degrees(relationships, degrees, 4).materialize()
+    comps = connected_components(ents, rels, num_partitions=4).materialize()
+    comms = detect_communities(comps, rels, max_cluster_size=3,
+                               num_partitions=4).materialize()
+
+    cols = ["id", "community", "level", "title", "summary", "full_content"]
+    a = (
+        generate_reports(comms, ents, rels, 4, max_input_tokens=30)
+        .to_pandas()[cols].sort_values(["level", "community"]).reset_index(drop=True)
+    )
+    b = (
+        generate_reports(comms, ents, rels, 4, max_input_tokens=30, broadcast_max=0)
+        .to_pandas()[cols].sort_values(["level", "community"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_lcc_pick_with_many_singletons():
+    """The LCC selection is a dataset sort/limit, correct with an
+    entity-scale number of singleton components."""
+    import pyarrow as pa
+
+    from knowledge_graph_ray.stages.community import detect_communities
+
+    singletons = [{"name": f"iso{i}", "component": f"iso{i}"} for i in range(500)]
+    big = [{"name": f"n{i}", "component": "BIG"} for i in range(10)]
+    comps = ray.data.from_arrow(
+        pa.Table.from_pylist(singletons + big)
+    ).repartition(8)
+    rels = ray.data.from_items(
+        [
+            {"src": f"n{i}", "dst": f"n{i+1}", "weight": 1.0}
+            for i in range(9)
+        ]
+    )
+    comms = detect_communities(comps, rels, max_cluster_size=5,
+                               num_partitions=4).to_pandas()
+    assert set(comms.name) == {f"n{i}" for i in range(10)}
+    assert (comms[comms.level == 0].groupby("community")["name"].count() >= 1).all()
+
+
+def test_giant_component_bisection_guard():
+    """Components above max_louvain_nodes descend via ordered bisection
+    (bounded memory) and still produce a complete, terminating hierarchy."""
+    from knowledge_graph_ray.stages.community import _cluster_component
+
+    g = nx.path_graph(64)
+    g = nx.relabel_nodes(g, {i: f"n{i:03d}" for i in range(64)})
+    nx.set_edge_attributes(g, 1.0, "weight")
+    rows = _cluster_component(g, "comp", max_cluster_size=8, seed=6969,
+                              max_louvain_nodes=16)
+    df = pd.DataFrame(rows)
+    # level 0 exists and covers every node exactly once
+    level0 = df[df.level == 0]
+    assert set(level0.name) == set(g.nodes())
+    assert level0.name.is_unique
+    # bisection at the top: level-0 has exactly 2 clusters
+    assert level0.community.nunique() == 2
+    # leaves are within max_cluster_size
+    deepest = df[df.level == df.level.max()]
+    assert (deepest.groupby("community")["name"].count() <= 8).all()
