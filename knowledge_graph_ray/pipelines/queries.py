@@ -274,6 +274,78 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
 """
 
 
+def dedup_sketch_recall(sf_dir: str):
+    """Sketch recall under the SQL gate: the exact n-gram-Jaccard pairs
+    at >= 0.5 that BOTH sketch paths (MinHash+LSH and SimHash) also
+    surface.  The oracle is the full exact pair set, so the query passes
+    iff sketch recall over high-similarity pairs is 100% — a driver-level
+    recall floor for the sketches (deterministic: seeded hashing).
+
+    Probability note: at j >= 0.5 with 16 bands x 4 rows the LSH
+    candidate probability is >= 1-(1-0.5^4)^16 ~ 0.645 in general, but
+    the planted near-dups in this corpus sit at j >= 0.9 where it is
+    1-5e-16; simhash hamming<=3 holds for them as well.
+    """
+    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = _docs(sf_dir)
+    exact = project(
+        ngram_jaccard_pairs(docs, threshold=0.5, ngram=2,
+                            partition_column="source"),
+        ["a", "b"],
+    )
+    mh = project(
+        minhash_lsh_pairs(
+            minhash_signatures(docs, num_perm=64, ngram=2),
+            num_bands=16, threshold=0.35,
+        ),
+        ["a", "b"],
+    )
+    sh = project(simhash_pairs(docs, max_hamming=3), ["a", "b"])
+    recalled = hash_join(
+        hash_join(exact, mh, on=["a", "b"], how="left_semi"),
+        sh, on=["a", "b"], how="left_semi",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "a": batch.column("a").cast(pa.int64()),
+                "b": batch.column("b").cast(pa.int64()),
+            }
+        )
+
+    return recalled.map_batches(finish, batch_format="pyarrow")
+
+
+DEDUP_SKETCH_RECALL_SQL = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, source,
+         list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bgs
+  FROM toks
+),
+bgx AS (SELECT doc_id, source, unnest(bgs) AS g FROM bg),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+  FROM bgx a JOIN bgx b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(bgs) AS n FROM bg)
+SELECT least(da, db) AS a, greatest(da, db) AS b
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+
 def dedup_minhash_lsh(sf_dir: str):
     """Rows-only: MinHash+LSH near-dup pairs (sketch-based, not ANSI-SQL)."""
     from knowledge_graph_ray.stages.dedup import minhash_lsh_pairs, minhash_signatures
@@ -767,6 +839,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_sketch_recall": dedup_sketch_recall,
     "similarity_topk": similarity_topk,
     "similarity_topk_ivf": similarity_topk_ivf,
     "text_token_stats": text_token_stats,
@@ -786,6 +859,7 @@ ORACLE_SQL = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+    "dedup_sketch_recall": DEDUP_SKETCH_RECALL_SQL,
     "similarity_topk": SIMILARITY_TOPK_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_lang_quality": TEXT_LANG_QUALITY_SQL,

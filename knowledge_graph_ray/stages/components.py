@@ -102,21 +102,35 @@ def _star_round(edges, large: bool, num_buckets: int = 64):
     )
 
 
-def _signature(edges) -> tuple[int, int]:
-    """(row_count, order-insensitive hash) — convergence check."""
+def _signature(edges) -> tuple:
+    """(row_count, pair-hash sum, u-hash sum, v-hash sum) — convergence
+    check.  Three independent order-insensitive sums make a false
+    convergence report (collision across all three plus equal count)
+    astronomically unlikely."""
     import zlib
 
     def body(batch: pa.Table) -> pa.Table:
         # zlib.crc32 is process-stable (Python str hash is salted per process)
-        h = [
-            zlib.crc32(f"{a}|{b}".encode())
-            for a, b in zip(batch.column("u").to_pylist(), batch.column("v").to_pylist())
-        ]
-        return pa.Table.from_pydict({"h": pa.array(h, type=pa.int64())})
+        us = batch.column("u").to_pylist()
+        vs = batch.column("v").to_pylist()
+        h = [zlib.crc32(f"{a}|{b}".encode()) for a, b in zip(us, vs)]
+        hu = [zlib.crc32(a.encode()) for a in us]
+        hv = [zlib.crc32(b.encode()) for b in vs]
+        return pa.Table.from_pydict(
+            {
+                "h": pa.array(h, type=pa.int64()),
+                "hu": pa.array(hu, type=pa.int64()),
+                "hv": pa.array(hv, type=pa.int64()),
+            }
+        )
 
-    hashed = edges.map_batches(body, batch_format="pyarrow")
-    total = hashed.sum("h") or 0
-    return edges.count(), total
+    from ray.data.aggregate import Count, Sum
+
+    agg = edges.map_batches(body, batch_format="pyarrow").aggregate(
+        Count(alias_name="n"), Sum("h", alias_name="sh"),
+        Sum("hu", alias_name="su"), Sum("hv", alias_name="sv"),
+    )
+    return (agg["n"], agg["sh"] or 0, agg["su"] or 0, agg["sv"] or 0)
 
 
 def _driver_union_find(edges) -> "pa.Table":
@@ -179,14 +193,22 @@ def connected_components_from_edges(
         star = _driver_union_find(edges)
         edges = ray.data.from_arrow(star)
         return _labels_from_star(edges, nodes)
-    prev_sig = None
+    prev_sig, converged = None, False
     for _ in range(max_iters):
         edges = _star_round(edges, large=True).materialize()
         edges = _star_round(edges, large=False).materialize()
         sig = _signature(edges)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # applying _labels_from_star to a non-star edge set would return
+        # silently WRONG component labels — fail loudly instead
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iters} rounds "
+            f"(last signature {prev_sig}); raise max_iters"
+        )
     return _labels_from_star(edges, nodes)
 
 

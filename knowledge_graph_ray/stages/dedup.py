@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 
 from knowledge_graph_ray.functions.grouping import bucketed_group_map
+from knowledge_graph_ray.functions.hashing import bucket_column
 from knowledge_graph_ray.stages.components import connected_components_from_edges
 
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
@@ -84,8 +85,11 @@ class MinHasher:
     def __init__(self, num_perm: int = 128, ngram: int = 3, seed: int = 6969,
                  text_column: str = "text", id_column: str = "doc_id"):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, self.MERSENNE, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, self.MERSENNE, size=num_perm, dtype=np.int64)
+        # a < 2^30 keeps a*x in int64 for 32-bit shingle hashes
+        # (2^30 * 2^32 = 2^62; + b < 2^61 stays under 2^63 — no overflow,
+        # so (ax+b) mod p is the intended universal permutation family)
+        self.a = rng.randint(1, 1 << 30, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, 1 << 61, size=num_perm, dtype=np.int64)
         self.num_perm = num_perm
         self.ngram = ngram
         self.text_column = text_column
@@ -210,14 +214,9 @@ def minhash_lsh_pairs(sigs, num_bands: int = 16, threshold: float = 0.8,
         return pa.Table.from_pylist(rows, schema=pair_schema)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import zlib as _z
-
-        bands_col = batch.column("band").to_pylist()
-        hashes = batch.column("band_hash").to_pylist()
-        buckets = [
-            _z.crc32(f"{b}|{h}".encode()) % 64 for b, h in zip(bands_col, hashes)
-        ]
-        return batch.append_column("__gb", pa.array(buckets, type=pa.int32()))
+        return batch.append_column(
+            "__gb", bucket_column(batch, ["band", "band_hash"], 64)
+        )
 
     pairs = (
         bands.map_batches(add_bucket, batch_format="pyarrow")
@@ -234,16 +233,8 @@ def minhash_lsh_pairs(sigs, num_bands: int = 16, threshold: float = 0.8,
         keep = group.sort_values(["a", "b"]).drop_duplicates(["a", "b"])
         return pa.Table.from_pandas(keep, preserve_index=False)
 
-    from knowledge_graph_ray.functions.grouping import _BUCKET as _GB
-
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        import zlib as _z
-
-        buckets = [
-            _z.crc32(f"{a}|{b}".encode()) % 64
-            for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist())
-        ]
-        return batch.append_column("__gb", pa.array(buckets, type=pa.int32()))
+        return batch.append_column("__gb", bucket_column(batch, ["a", "b"], 64))
 
     return (
         pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
@@ -341,7 +332,8 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column="text", id_column="doc_i
     banded = hashed.map_batches(chunk_rows, batch_format="pyarrow")
 
     pair_schema = pa.schema(
-        [("a", pa.string()), ("b", pa.string()), ("hamming", pa.int32())]
+        [("a", pa.string()), ("b", pa.string()), ("hamming", pa.int32()),
+         ("truncated", pa.bool_())]
     )
     popcount8 = np.array([bin(x).count("1") for x in range(256)], dtype=np.int32)
 
@@ -358,6 +350,10 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column="text", id_column="doc_i
             if i == n or keys[i] != keys[start]:
                 seg = i - start
                 if seg >= 2:
+                    # truncation recorded per pair (no silent caps): a
+                    # truncated bucket may miss pairs, voiding the
+                    # no-false-negative-<=3 guarantee for those docs
+                    truncated = seg > max_bucket
                     end = start + min(seg, max_bucket)
                     docs = docs_all[start:end]
                     hs = np.asarray(hs_all[start:end], dtype=np.uint64)
@@ -367,19 +363,15 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column="text", id_column="doc_i
                     ii, jj = np.where(np.triu(dist <= max_hamming, k=1))
                     for i_, j in zip(ii, jj):
                         a, b = sorted((docs[i_], docs[j]))
-                        rows.append({"a": a, "b": b, "hamming": int(dist[i_, j])})
+                        rows.append({"a": a, "b": b, "hamming": int(dist[i_, j]),
+                                     "truncated": truncated})
                 start = i
         return pa.Table.from_pylist(rows, schema=pair_schema)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import zlib as _z
-
-        buckets = [
-            _z.crc32(f"{c}|{v}".encode()) % 64
-            for c, v in zip(batch.column("chunk").to_pylist(),
-                            batch.column("chunk_val").to_pylist())
-        ]
-        return batch.append_column("__gb", pa.array(buckets, type=pa.int32()))
+        return batch.append_column(
+            "__gb", bucket_column(batch, ["chunk", "chunk_val"], 64)
+        )
 
     pairs = (
         banded.map_batches(add_bucket, batch_format="pyarrow")
@@ -395,13 +387,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column="text", id_column="doc_i
         return pa.Table.from_pandas(keep, preserve_index=False)
 
     def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        import zlib as _z
-
-        buckets = [
-            _z.crc32(f"{a}|{b}".encode()) % 64
-            for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist())
-        ]
-        return batch.append_column("__gb", pa.array(buckets, type=pa.int32()))
+        return batch.append_column("__gb", bucket_column(batch, ["a", "b"], 64))
 
     return (
         pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
@@ -418,17 +404,31 @@ def simhash_pairs(ds, max_hamming: int = 3, text_column="text", id_column="doc_i
 
 def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 3,
                         partition_column: str = "source",
-                        text_column: str = "text", id_column: str = "doc_id"):
+                        text_column: str = "text", id_column: str = "doc_id",
+                        max_partition: int = 20_000):
     """Exact n-gram Jaccard pairs >= threshold WITHIN a partition key.
 
     Partitioning assumption (documented per SURVEY §2.10 custom-operator
     rule): candidates are only sought inside ``partition_column`` groups —
     the exact-oracle companion to the MinHash sketch path, and the shape
     used when a corpus has a natural shard key (crawl, source, bucket).
+
+    ``max_partition`` bounds the O(n^2): a hot partition is truncated
+    deterministically (sorted by id) and every pair it emits carries
+    ``truncated=True`` — no silent caps.  The SQL-oracle equivalence
+    holds exactly while no partition exceeds the cap (the oracle query
+    asserts this by ignoring the column at bench partition sizes).
     """
+    schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64()),
+         ("n_inter", pa.int64()), ("n_union", pa.int64()),
+         ("truncated", pa.bool_())]
+    )
 
     def pairs_in_partition(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(id_column)
+        truncated = len(g) > max_partition
+        g = g.head(max_partition)
         ids = [str(i) for i in g[id_column]]
         shingle_sets = [_shingles(t, ngram) for t in g[text_column]]
         rows = []
@@ -444,15 +444,10 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 3,
                 if jac >= threshold:
                     rows.append(
                         {"a": ids[i], "b": ids[j], "jaccard": jac,
-                         "n_inter": n_inter, "n_union": n_union}
+                         "n_inter": n_inter, "n_union": n_union,
+                         "truncated": truncated}
                     )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64()),
-                 ("n_inter", pa.int64()), ("n_union", pa.int64())]
-            ),
-        )
+        return pa.Table.from_pylist(rows, schema=schema)
 
     return ds.groupby(partition_column).map_groups(
         pairs_in_partition, batch_format="pandas"

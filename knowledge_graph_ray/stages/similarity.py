@@ -26,6 +26,24 @@ def _as_matrix(vectors) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float64) for v in vectors])
 
 
+def _id_sort_key(ids: list[str]) -> np.ndarray:
+    """Numeric tie-break key when every id parses as an int (matches the
+    SQL oracle's integer ORDER BY); lexicographic fallback otherwise.
+    String sort would rank '10' < '2' and diverge from the oracle on
+    cosine ties."""
+    try:
+        return np.asarray([int(s) for s in ids], dtype=np.int64)
+    except ValueError:
+        return np.asarray(ids)
+
+
+def _tie_break_frame(group: pd.DataFrame) -> pd.Series:
+    try:
+        return group["vec_id"].astype(np.int64)
+    except (ValueError, TypeError):
+        return group["vec_id"]
+
+
 def _unit(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -49,13 +67,16 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = [str(i) for i in batch.column(id_column).to_pylist()]
+            id_key = _id_sort_key(ids)
             mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
             sims = self.q @ mat.T  # (Q, B)
             take = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
             rows = []
             for qi in range(sims.shape[0]):
-                for j in idx[qi]:
+                # exact (-cosine, id) order so boundary ties keep the same
+                # members the oracle would
+                order = np.lexsort((id_key, -sims[qi]))[:take]
+                for j in order:
                     rows.append(
                         {
                             "query_id": qi,
@@ -75,7 +96,12 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                            concurrency=(1, 8))
 
     def merge_topk(group: pd.DataFrame) -> pa.Table:
-        top = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        top = (
+            group.assign(_tb=_tie_break_frame(group))
+            .sort_values(["cosine", "_tb"], ascending=[False, True])
+            .drop(columns=["_tb"])
+            .head(k)
+        )
         top = top.assign(rk=np.arange(1, len(top) + 1))
         return pa.Table.from_pandas(top, preserve_index=False)
 
@@ -155,13 +181,14 @@ def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = [str(i) for i in batch.column(id_column).to_pylist()]
+            id_key = _id_sort_key(ids)
             buckets = batch.column("ivf_bucket").to_pylist()
             mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
             sims = self.q @ mat.T
             rows = []
             for qi in range(sims.shape[0]):
                 allowed = self.probes[qi]
-                order = np.argsort(-sims[qi])
+                order = np.lexsort((id_key, -sims[qi]))
                 taken = 0
                 for j in order:
                     if buckets[j] in allowed:
@@ -182,7 +209,12 @@ def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
                                  batch_size=4096, concurrency=(1, 8))
 
     def merge_topk(group: pd.DataFrame) -> pa.Table:
-        top = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        top = (
+            group.assign(_tb=_tie_break_frame(group))
+            .sort_values(["cosine", "_tb"], ascending=[False, True])
+            .drop(columns=["_tb"])
+            .head(k)
+        )
         top = top.assign(rk=np.arange(1, len(top) + 1))
         return pa.Table.from_pandas(top, preserve_index=False)
 
