@@ -33,7 +33,16 @@ _SIDE = "__js"
 
 
 def _arrow_schema(ds) -> pa.Schema:
-    base = ds.schema().base_schema
+    sch = ds.schema()
+    if sch is None:
+        # a leading empty block hides the schema of a lazy map stage
+        # (Ray samples the first block); execute fully and retry
+        ds = ds.materialize()
+        sch = ds.schema()
+        if sch is None:
+            raise ValueError("cannot join a dataset with unknown schema "
+                             "(empty with no schema metadata)")
+    base = sch.base_schema
     if isinstance(base, pa.Schema):
         return base
     # pandas-block schema fallback

@@ -40,6 +40,7 @@ class GraphTables:
     reports: Any = None
     claims: Any = None
     media_features: Any = None
+    hierarchy: Any = None  # G5: (community, level, sub_community, size)
 
 
 def build_graph(
@@ -126,9 +127,17 @@ def build_knowledge_graph(
         compute_degrees,
     )
     from knowledge_graph_ray.stages.components import connected_components
-    from knowledge_graph_ray.stages.community import assign_clusters, detect_communities
+    from knowledge_graph_ray.stages.community import (
+        assign_clusters,
+        community_hierarchy,
+        detect_communities,
+    )
     from knowledge_graph_ray.stages.report import generate_reports
-    from knowledge_graph_ray.stages.claims import extract_claims, merge_claims
+    from knowledge_graph_ray.stages.claims import (
+        extract_claims,
+        merge_claims,
+        resolve_claims,
+    )
 
     import os
 
@@ -199,6 +208,7 @@ def build_knowledge_graph(
         lambda: assign_clusters(entities, communities, num_partitions=num_partitions),
         "entities_clustered",
     )
+    hierarchy = community_hierarchy(communities, num_partitions)
     reports = staged(
         lambda: generate_reports(communities, entities, relationships, num_partitions),
         "reports",
@@ -206,9 +216,13 @@ def build_knowledge_graph(
 
     claims = None
     if cfg.extract_claims:
+        # resolve_claims (M7): subject/object mapped onto the canonical
+        # entity key before merge so claims join the entity table
         claims = staged(
             lambda: merge_claims(
-                extract_claims(core.text_units, batch_size=cfg.extract_batch_size)
+                resolve_claims(
+                    extract_claims(core.text_units, batch_size=cfg.extract_batch_size)
+                )
             ),
             "claims",
         )
@@ -235,10 +249,12 @@ def build_knowledge_graph(
         reports=reports,
         claims=claims,
         media_features=media_features,
+        hierarchy=hierarchy,
     )
 
 
-def export_tables(tables: GraphTables, out_dir: str, fingerprint: str = "none"):
+def export_tables(tables: GraphTables, out_dir: str, fingerprint: str = "none",
+                  reference_layout: bool = False):
     """Materialize the final tables as partitioned Parquet + manifests
     (replaces the reference's 6-CSV export,
     verbs/community_summarization/export.py:23-60).
@@ -261,11 +277,10 @@ def export_tables(tables: GraphTables, out_dir: str, fingerprint: str = "none"):
 
     def add_id(key_cols):
         def body(batch: pa.Table) -> pa.Table:
+            cols = [batch.column(c).to_pylist() for c in key_cols]
             ids = [
-                hashlib.md5(
-                    "|".join(str(batch.column(c)[i].as_py()) for c in key_cols).encode()
-                ).hexdigest()
-                for i in range(len(batch))
+                hashlib.md5("|".join(map(str, t)).encode()).hexdigest()
+                for t in zip(*cols)
             ]
             return batch.append_column("id", pa.array(ids, type=pa.string()))
 
@@ -274,6 +289,8 @@ def export_tables(tables: GraphTables, out_dir: str, fingerprint: str = "none"):
     entities = with_row_index(tables.entities, sort_key="name").map_batches(
         add_id(["name"]), batch_format="pyarrow"
     )
+    if reference_layout:
+        entities = entities.materialize()  # consumed by 3 export branches
     relationships = with_row_index(
         tables.relationships, sort_key=["src", "dst"]
     ).map_batches(add_id(["src", "dst"]), batch_format="pyarrow")
@@ -290,6 +307,47 @@ def export_tables(tables: GraphTables, out_dir: str, fingerprint: str = "none"):
         named["claims"] = tables.claims
     if tables.media_features is not None:
         named["media_features"] = tables.media_features
+    if tables.hierarchy is not None:
+        named["community_hierarchy"] = tables.hierarchy
+    if reference_layout:
+        # reference 6-CSV column parity (export.py:23-60): node.csv adds
+        # community/level, entity.csv uses name/text_unit_ids — consumers
+        # of the reference layout can read these tables verbatim
+        def node_rows(b: pa.Table) -> pa.Table:
+            n = len(b)
+            cluster = (
+                b.column("cluster") if "cluster" in b.schema.names
+                else pa.nulls(n, pa.string())
+            )
+            return pa.Table.from_pydict(
+                {
+                    "id": b.column("id"),
+                    "title": b.column("name"),
+                    "type": b.column("type"),
+                    "description": b.column("description"),
+                    "source_id": b.column("source_id"),
+                    "degree": b.column("degree").cast(pa.float64()),
+                    "human_readable_id": b.column("human_readable_id"),
+                    "community": cluster,
+                    "level": pa.array([0] * n, type=pa.int64()),
+                }
+            )
+
+        def entity_rows(b: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "id": b.column("id"),
+                    "name": b.column("name"),
+                    "type": b.column("type"),
+                    "description": b.column("description"),
+                    "human_readable_id": b.column("human_readable_id"),
+                    "graph_embedding": pa.nulls(len(b), pa.list_(pa.float64())),
+                    "text_unit_ids": b.column("source_id"),
+                }
+            )
+
+        named["node"] = entities.map_batches(node_rows, batch_format="pyarrow")
+        named["entity"] = entities.map_batches(entity_rows, batch_format="pyarrow")
     for name, ds in named.items():
         if ds is None:
             continue

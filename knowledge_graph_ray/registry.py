@@ -39,6 +39,27 @@ SUMMARIZERS = {
     "deterministic": DescriptionSummarizer,
 }
 
+
+def _report_composers():
+    from knowledge_graph_ray.stages.report import (
+        RawJsonReportComposer,
+        ReportComposer,
+    )
+
+    return {
+        "deterministic": ReportComposer,
+        # LLM strategies subclass RawJsonReportComposer (tolerant JSON
+        # recovery via functions/jsonx.try_parse_json_object, M9)
+        "raw_json": RawJsonReportComposer,
+    }
+
+
+REPORT_COMPOSERS = _report_composers()
+
+
+def get_report_composer(name: str):
+    return REPORT_COMPOSERS[name]
+
 CLAIM_EXTRACTORS = {
     "pattern": PatternClaimExtractor,
 }

@@ -125,6 +125,89 @@ def extract_claims(text_units, extractor_cls=PatternClaimExtractor,
     )
 
 
+RESOLUTION_BROADCAST_MAX = 2_000_000
+
+
+def resolve_claims(claims, resolution=None,
+                   broadcast_max: int = RESOLUTION_BROADCAST_MAX):
+    """Map claim subject/object through the canonical-entity resolution
+    (M7, reference graph_claims.py:123-137 ``_clean_claim``): without it,
+    claims carry raw surface forms that don't join to the entity table.
+
+    Two layers:
+
+    1. ``normalize_name`` (clean_str + upper) is always applied — the same
+       key function entity canonicalization groups by, so html-escaped /
+       control-char variants land on the canonical key.
+    2. ``resolution`` (optional ``Dataset[(surface, canonical)]``, e.g.
+       from alias discovery) is applied after: broadcast dict under
+       ``broadcast_max`` rows, partitioned hash_join above it.
+    """
+    from knowledge_graph_ray.functions.text import normalize_name
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        subj = [normalize_name(s) if s else s
+                for s in batch.column("subject_id").to_pylist()]
+        obj = [normalize_name(o) if o else o
+               for o in batch.column("object_id").to_pylist()]
+        batch = batch.set_column(
+            batch.schema.get_field_index("subject_id"), "subject_id",
+            pa.array(subj, type=pa.string()),
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("object_id"), "object_id",
+            pa.array(obj, type=pa.string()),
+        )
+
+    out = claims.map_batches(normalize, batch_format="pyarrow")
+    if resolution is None:
+        return out
+
+    if resolution.count() <= broadcast_max:
+        import ray
+
+        res = resolution.to_pandas().set_index("surface")["canonical"]
+        res_ref = ray.put(res)
+
+        class ApplyResolution:
+            def __init__(self):
+                self.res = ray.get(res_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                for col in ("subject_id", "object_id"):
+                    vals = pd.Series(batch.column(col).to_pylist())
+                    mapped = vals.map(self.res).fillna(vals)
+                    batch = batch.set_column(
+                        batch.schema.get_field_index(col), col,
+                        pa.array(mapped.tolist(), type=pa.string()),
+                    )
+                return batch
+
+        return out.map_batches(ApplyResolution, batch_format="pyarrow",
+                               concurrency=(1, 4))
+
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    for col in ("subject_id", "object_id"):
+        res_ds = project(resolution, {"surface": col, "canonical": "__canon"})
+        joined = hash_join(out, res_ds, on=[col], how="left_outer")
+
+        def substitute(batch: pa.Table, col=col) -> pa.Table:
+            import pyarrow.compute as pc
+
+            canon = batch.column("__canon")
+            orig = batch.column(col)
+            merged = pc.if_else(pc.is_null(canon), orig,
+                                canon.cast(orig.type))
+            batch = batch.set_column(
+                batch.schema.get_field_index(col), col, merged
+            )
+            return batch.drop_columns(["__canon"])
+
+        out = joined.map_batches(substitute, batch_format="pyarrow")
+    return out
+
+
 MERGED_CLAIM_SCHEMA = pa.schema(
     [
         ("subject_id", pa.string()),

@@ -213,6 +213,83 @@ def detect_communities(
     )
 
 
+def community_hierarchy(communities, num_partitions: int = 32):
+    """G5 hierarchy table: (community, level, sub_community,
+    sub_community_size) — each level-L community paired with the level-L+1
+    communities whose members it contains (reference
+    verbs/community_summarization/prepare_report/community_hierachy.py:22-74,
+    which does the same subset scan in pandas on the driver).
+
+    Distributed: one self-join on name restricted to adjacent levels,
+    then pair-scale aggregates; the subset condition (all of the
+    sub-community's members appear under the parent) is enforced by
+    comparing the shared-member count with the sub-community size.
+    """
+    import pyarrow as pa
+
+    from knowledge_graph_ray.functions.joins import project
+
+    parent = project(
+        communities, {"community": "community", "level": "level", "name": "name"}
+    )
+    child = project(
+        communities,
+        {"community": "sub_community", "level": "sub_level", "name": "name"},
+    )
+    joined = hash_join(parent, child, on=["name"], how="inner",
+                       num_partitions=num_partitions)
+
+    # NOT filter(expr="sub_level == level + 1"): Ray 2.49 evaluates
+    # column-vs-column arithmetic exprs to no rows silently
+    def adjacent_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(
+            pc.equal(b.column("sub_level"),
+                     pc.add(b.column("level"), pa.scalar(1, pa.int64())))
+        )
+
+    adjacent = joined.map_batches(adjacent_only, batch_format="pyarrow")
+    hierarchy_schema = pa.schema(
+        [("community", pa.string()), ("level", pa.int64()),
+         ("sub_community", pa.string()), ("sub_community_size", pa.int64())]
+    )
+    shared = (
+        adjacent.groupby(["community", "level", "sub_community", "sub_level"])
+        .count()
+    )
+    shared = project(
+        shared,
+        {"community": "community", "level": "level",
+         "sub_community": "sub_community", "sub_level": "sub_level",
+         "count()": "n_shared"},
+    ).materialize()  # pair-scale; also resolves the empty-schema case
+    if shared.count() == 0:  # flat hierarchy: no level has a deeper level
+        import ray.data as rd
+
+        return rd.from_arrow(hierarchy_schema.empty_table())
+    sizes = project(
+        communities.groupby(["community", "level"]).count(),
+        {"community": "sub_community", "level": "sub_level",
+         "count()": "sub_community_size"},
+    )
+    full = hash_join(shared, sizes, on=["sub_community", "sub_level"],
+                     how="inner", num_partitions=num_partitions)
+    subset_only = full.filter(expr="n_shared == sub_community_size")
+    return subset_only.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "community": b.column("community"),
+                "level": b.column("level"),
+                "sub_community": b.column("sub_community"),
+                "sub_community_size": b.column("sub_community_size").cast(pa.int64()),
+            },
+            schema=hierarchy_schema,
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def assign_clusters(entities, communities, level: int = 0, num_partitions: int = 32):
     """Stamp each entity with its community at ``level`` (reference
     cluster_graph.py:49-53 applies level==0 only); entities outside the

@@ -120,18 +120,36 @@ class PatternExtractor:
 
     def _glean(self, text: str, round_index: int, previous: str) -> str | None:
         """Extra extraction rounds after the first (the reference's
-        CONTINUE_PROMPT loop, up to max_gleanings, with a YES/NO stop
-        probe).  Deterministic strategies have nothing to add -> None
-        stops; LLM strategies override to issue the continue prompt."""
+        CONTINUE_PROMPT loop, up to max_gleanings).  Deterministic
+        strategies have nothing to add -> None stops; LLM strategies
+        override to issue the continue prompt."""
         return None
 
+    def _should_continue(self, text: str, round_index: int,
+                         accumulated: str) -> bool:
+        """The reference's YES/NO logit-bias stop probe asked BETWEEN
+        gleaning rounds (graph_extractor.py:158-173): after appending
+        round ``round_index``'s records, return False to stop before the
+        next round.  Not asked after the final allowed round."""
+        return True
+
     def _extract_all_rounds(self, text: str) -> str:
+        """First extraction + up to ``max_gleanings`` CONTINUE rounds.
+
+        Gleaned records are APPENDED in round order, so downstream
+        order_keys rank them after round-0 records of the same chunk —
+        which is exactly what makes the reference's order-sensitive merge
+        rules (last-non-empty type wins) give gleaned rounds precedence.
+        """
         raw = self._extract_raw(text)
         for round_index in range(self.max_gleanings):
             more = self._glean(text, round_index, raw)
-            if not more:
+            if more:
+                raw = raw + RECORD_DELIMITER + more if raw else more
+            if round_index == self.max_gleanings - 1:
                 break
-            raw = raw + RECORD_DELIMITER + more
+            if not self._should_continue(text, round_index, raw):
+                break
         return raw
 
     # --- actor-pool batch body -----------------------------------------

@@ -135,6 +135,65 @@ def _compose(community: str, level: int, nodes: pd.DataFrame, edges: pd.DataFram
     }
 
 
+class ReportComposer:
+    """Strategy seam for report generation (the reference's
+    community_reports_extractor.py:25-79 LLM call).  The default
+    deterministic composer replays ``_compose``; an LLM strategy
+    subclasses ``RawJsonReportComposer`` and overrides ``_generate_raw``.
+    """
+
+    def compose(self, community: str, level: int, nodes: pd.DataFrame,
+                edges: pd.DataFrame, max_input_tokens: int,
+                sub_summaries: list[tuple[str, str]] | None) -> dict:
+        return _compose(community, level, nodes, edges,
+                        max_input_tokens=max_input_tokens,
+                        sub_summaries=sub_summaries)
+
+
+class RawJsonReportComposer(ReportComposer):
+    """LLM-shaped composer: ``_generate_raw`` returns the model's raw
+    text (possibly fenced / prose-wrapped / truncated JSON); the output
+    is recovered with ``try_parse_json_object`` (M9, reference
+    utils/__init__.py:44-99) and missing fields get deterministic
+    defaults — a malformed report never poisons the pipeline."""
+
+    def _generate_raw(self, community: str, level: int, context: str) -> str:
+        raise NotImplementedError("override with the LLM call")
+
+    def compose(self, community, level, nodes, edges, max_input_tokens,
+                sub_summaries):
+        from knowledge_graph_ray.functions.jsonx import try_parse_json_object
+
+        if sub_summaries:
+            context = _mixed_context(nodes, edges, max_input_tokens, sub_summaries)
+        else:
+            context = _context_text(nodes, edges, max_input_tokens)
+        raw = self._generate_raw(community, level, context)
+        _cleaned, payload = try_parse_json_object(raw)
+        title = str(payload.get("title") or f"Community {community}")
+        summary = str(payload.get("summary") or "")
+        try:
+            rank = float(payload.get("rating", 0.0))
+        except (TypeError, ValueError):
+            rank = 0.0
+        findings = payload.get("findings")
+        if not isinstance(findings, list):
+            findings = []
+        full_content = f"# {title}\n\n{summary}\n\n{context}"
+        return {
+            "id": "r" + hashlib.md5(f"{community}|{level}".encode()).hexdigest()[:12],
+            "community": community,
+            "title": title,
+            "summary": summary,
+            "full_content": full_content,
+            "full_content_json": json.dumps(payload, sort_keys=True, default=str),
+            "rank": rank,
+            "level": int(level),
+            "rank_explanation": str(payload.get("rating_explanation") or ""),
+            "findings": json.dumps(findings, sort_keys=True, default=str),
+        }
+
+
 BROADCAST_COMMUNITIES_MAX = 1_000_000
 
 
@@ -292,10 +351,13 @@ def _context_rows(communities, entities, relationships, num_partitions: int = 32
     return ctx
 
 
-def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: int):
+def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: int,
+                  composer: "ReportComposer | None" = None):
     """Reports for one level's context rows (sub summaries broadcast in
     the closure — community-count-sized, SURVEY J5)."""
     import pyarrow as pa
+
+    composer = composer or ReportComposer()
 
     def make_report(group: pd.DataFrame) -> pa.Table:
         community = group["community"].iloc[0]
@@ -312,10 +374,9 @@ def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: in
         )
         return pa.Table.from_pylist(
             [
-                _compose(
-                    community, level, nodes, edges,
-                    max_input_tokens=max_input_tokens,
-                    sub_summaries=sub_summaries_by_parent.get(community),
+                composer.compose(
+                    community, level, nodes, edges, max_input_tokens,
+                    sub_summaries_by_parent.get(community),
                 )
             ]
         )
@@ -327,7 +388,8 @@ def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: in
 
 def generate_reports(communities, entities, relationships, num_partitions: int = 32,
                      max_input_tokens: int = COMMUNITY_REPORT_MAX_INPUT_LENGTH,
-                     broadcast_max: int = BROADCAST_COMMUNITIES_MAX):
+                     broadcast_max: int = BROADCAST_COMMUNITIES_MAX,
+                     composer: "ReportComposer | None" = None):
     """-> Dataset[community_report], generated bottom-up per level.
 
     Levels are processed DESCENDING (reference utils.py:26-29 /
@@ -343,7 +405,7 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
     # table itself is entity x level scale and must never reach the driver
     level_counts = communities.groupby("level").count().to_pandas()
     if level_counts.empty:
-        return _report_level(ctx, {}, max_input_tokens)
+        return _report_level(ctx, {}, max_input_tokens, composer)
     levels = sorted(int(v) for v in level_counts["level"])[::-1]
 
     per_level = []
@@ -380,7 +442,8 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
             for subs in sub_by_parent.values():
                 subs.sort()  # deterministic under any shuffle order
         level_reports = _report_level(
-            ctx.filter(expr=f"level == {int(level)}"), sub_by_parent, max_input_tokens
+            ctx.filter(expr=f"level == {int(level)}"), sub_by_parent,
+            max_input_tokens, composer,
         ).materialize()
         per_level.append(level_reports)
         prev_summaries = {

@@ -55,6 +55,20 @@ def write_checkpoint(
     ds.write_parquet(tmp)
     wall = time.time() - t0
 
+    # an empty dataset writes no files (possibly not even the directory):
+    # persist one zero-row file so the checkpoint keeps its schema and a
+    # resume read works
+    os.makedirs(tmp, exist_ok=True)
+    if not any(p.endswith(".parquet") for p in os.listdir(tmp)):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        if not isinstance(base, pa.Schema):
+            base = pa.schema([])
+        pq.write_table(base.empty_table(), os.path.join(tmp, "empty-0.parquet"))
+
     dataset = pads.dataset(tmp, format="parquet")
     partitions = []
     total_rows = 0

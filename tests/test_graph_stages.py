@@ -250,3 +250,96 @@ def test_giant_component_bisection_guard():
     # leaves are within max_cluster_size
     deepest = df[df.level == df.level.max()]
     assert (deepest.groupby("community")["name"].count() <= 8).all()
+
+
+def test_community_hierarchy_table(graph_tables):
+    """G5: the exported hierarchy table links each parent community to
+    its next-level sub-communities with correct sizes (reference
+    community_hierachy.py:22-74 subset semantics)."""
+    from knowledge_graph_ray.stages.community import (
+        community_hierarchy,
+        detect_communities,
+    )
+
+    entities, relationships = graph_tables
+    comps = connected_components(entities, relationships, num_partitions=4).materialize()
+    comms = detect_communities(comps, relationships, max_cluster_size=3,
+                               num_partitions=4).materialize()
+    cdf = comms.to_pandas()
+    assert cdf.level.nunique() >= 2
+
+    h = community_hierarchy(comms, 4).to_pandas()
+    assert set(h.columns) == {"community", "level", "sub_community", "sub_community_size"}
+    assert len(h) > 0
+    members = cdf.groupby(["level", "community"])["name"].apply(set)
+    for r in h.itertuples():
+        parent = members[(r.level, r.community)]
+        sub = members[(r.level + 1, r.sub_community)]
+        assert sub <= parent, (r.community, r.sub_community)
+        assert len(sub) == r.sub_community_size
+    # completeness: every deeper-level community appears as someone's sub
+    deeper = {
+        (lvl, c) for lvl, c in members.index if lvl > 0
+        and (lvl - 1, ) <= tuple()  or lvl > 0
+    }
+    got_subs = {(r.level + 1, r.sub_community) for r in h.itertuples()}
+    want_subs = {(lvl, c) for (lvl, c) in members.index if lvl > 0}
+    assert got_subs == want_subs
+
+
+def test_export_reference_layout(tmp_path, graph_tables):
+    """node/entity tables match the reference's column sets
+    (export.py:23-60, community_nodes.py/community_entities.py)."""
+    import pyarrow.parquet as pq
+
+    from knowledge_graph_ray.pipelines.build import GraphTables, export_tables
+    from knowledge_graph_ray.stages.community import detect_communities
+    from knowledge_graph_ray.stages.community import assign_clusters
+    from knowledge_graph_ray.stages.degree import (
+        attach_entity_degrees,
+        compute_degrees,
+    )
+    from knowledge_graph_ray.stages.report import generate_reports
+
+    entities, relationships = graph_tables
+    degrees = compute_degrees(relationships).materialize()
+    ents = attach_entity_degrees(entities, degrees, 4).materialize()
+    rels = attach_edge_degrees(relationships, degrees, 4).materialize()
+    comps = connected_components(ents, rels, num_partitions=4).materialize()
+    comms = detect_communities(comps, rels, num_partitions=4).materialize()
+    ents = assign_clusters(ents, comms, num_partitions=4).materialize()
+    from knowledge_graph_ray.stages.community import community_hierarchy
+
+    tables = GraphTables(
+        text_units=ray.data.from_items([{"chunk_id": "c", "text": "t"}]),
+        mentions=None,
+        entities=ents,
+        relationships=rels,
+        communities=comms,
+        reports=generate_reports(comms, ents, rels, 4),
+        hierarchy=community_hierarchy(comms, 4),
+    )
+    out = str(tmp_path / "exp")
+    manifests = export_tables(tables, out, fingerprint="fp", reference_layout=True)
+    assert "node" in manifests and "entity" in manifests
+    assert "community_hierarchy" in manifests
+
+    import glob as _glob
+
+    def read_dir(name):
+        files = sorted(_glob.glob(f"{out}/{name}/*.parquet"))
+        import pyarrow as _pa
+
+        return _pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+
+    node = read_dir("node")
+    assert list(node.columns) == [
+        "id", "title", "type", "description", "source_id", "degree",
+        "human_readable_id", "community", "level",
+    ]
+    ent = read_dir("entity")
+    assert list(ent.columns) == [
+        "id", "name", "type", "description", "human_readable_id",
+        "graph_embedding", "text_unit_ids",
+    ]
+    assert len(node) == len(ent) == ents.count()
