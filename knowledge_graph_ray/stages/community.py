@@ -254,39 +254,62 @@ def community_hierarchy(communities, num_partitions: int = 32):
         [("community", pa.string()), ("level", pa.int64()),
          ("sub_community", pa.string()), ("sub_community_size", pa.int64())]
     )
-    shared = (
-        adjacent.groupby(["community", "level", "sub_community", "sub_level"])
-        .count()
-    )
-    shared = project(
-        shared,
-        {"community": "community", "level": "level",
-         "sub_community": "sub_community", "sub_level": "sub_level",
-         "count()": "n_shared"},
-    ).materialize()  # pair-scale; also resolves the empty-schema case
-    if shared.count() == 0:  # flat hierarchy: no level has a deeper level
-        import ray.data as rd
 
-        return rd.from_arrow(hierarchy_schema.empty_table())
-    sizes = project(
-        communities.groupby(["community", "level"]).count(),
-        {"community": "sub_community", "level": "sub_level",
-         "count()": "sub_community_size"},
-    )
-    full = hash_join(shared, sizes, on=["sub_community", "sub_level"],
-                     how="inner", num_partitions=num_partitions)
-    subset_only = full.filter(expr="n_shared == sub_community_size")
-    return subset_only.map_batches(
-        lambda b: pa.Table.from_pydict(
+    # one shuffle keyed by the sub-community: parent-pair rows from the
+    # adjacency join union'd with member-marker rows; the group body
+    # counts members (size) and keeps parents sharing ALL of them —
+    # fully lazy (no mid-pipeline materialize) and empty-safe
+    def pair_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_pydict(
             {
-                "community": b.column("community"),
-                "level": b.column("level"),
                 "sub_community": b.column("sub_community"),
-                "sub_community_size": b.column("sub_community_size").cast(pa.int64()),
-            },
-            schema=hierarchy_schema,
-        ),
-        batch_format="pyarrow",
+                "sub_level": b.column("sub_level").cast(pa.int64()),
+                "p_community": b.column("community"),
+                "p_level": b.column("level").cast(pa.int64()),
+                "is_member": pa.array([0] * n, type=pa.int8()),
+            }
+        )
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.Table.from_pydict(
+            {
+                "sub_community": b.column("community"),
+                "sub_level": b.column("level").cast(pa.int64()),
+                "p_community": pa.nulls(n, pa.string()),
+                "p_level": pa.nulls(n, pa.int64()),
+                "is_member": pa.array([1] * n, type=pa.int8()),
+            }
+        )
+
+    unioned = adjacent.map_batches(pair_rows, batch_format="pyarrow").union(
+        communities.map_batches(member_rows, batch_format="pyarrow")
+    )
+
+    def emit_parents(group: pd.DataFrame) -> pa.Table:
+        size = int((group["is_member"] == 1).sum())
+        pairs = group[group["is_member"] == 0]
+        if size == 0 or pairs.empty:
+            return hierarchy_schema.empty_table()
+        counts = pairs.groupby(["p_community", "p_level"]).size()
+        rows = [
+            {
+                "community": pc_,
+                "level": int(pl),
+                "sub_community": group["sub_community"].iloc[0],
+                "sub_community_size": size,
+            }
+            for (pc_, pl), n_shared in counts.items()
+            if n_shared == size
+        ]
+        return pa.Table.from_pylist(rows, schema=hierarchy_schema)
+
+    from knowledge_graph_ray.functions.grouping import bucketed_group_map
+
+    return bucketed_group_map(
+        unioned, ["sub_community", "sub_level"], emit_parents,
+        num_buckets=num_partitions, empty_schema=hierarchy_schema,
     )
 
 

@@ -399,14 +399,50 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
     The level loop is inherently sequential with a barrier per level
     (SURVEY §7.5 'Level-sequential report generation').
     """
+    # size-adaptive driver state (same pattern as _context_rows): a
+    # communities table under the broadcast threshold is pulled ONCE and
+    # the level list + parent/child pairs come from pandas (no extra
+    # shuffle rounds); above the threshold the entity x level table never
+    # reaches the driver — levels via a tiny aggregate, pairs via a
+    # distributed hash_join whose deduped (sub, parent) output is
+    # community-pair scale
+    comm_pdf = None
+    try:
+        comm_pdf = communities.to_pandas(limit=broadcast_max)
+    except Exception:
+        comm_pdf = None
+
     ctx = _context_rows(communities, entities, relationships, num_partitions,
-                        broadcast_max=broadcast_max)
-    # distinct levels via a tiny aggregate — the (level, community, name)
-    # table itself is entity x level scale and must never reach the driver
-    level_counts = communities.groupby("level").count().to_pandas()
-    if level_counts.empty:
+                        communities_pdf=comm_pdf, broadcast_max=broadcast_max)
+    if comm_pdf is not None:
+        levels = sorted(int(v) for v in comm_pdf["level"].unique())[::-1]
+    else:
+        level_counts = communities.groupby("level").count().to_pandas()
+        levels = sorted(int(v) for v in level_counts["level"])[::-1]
+    if not levels:
         return _report_level(ctx, {}, max_input_tokens, composer)
-    levels = sorted(int(v) for v in level_counts["level"])[::-1]
+
+    def _pairs_for(level: int, prev_level: int) -> pd.DataFrame:
+        if comm_pdf is not None:
+            deeper = comm_pdf[comm_pdf.level == prev_level][["community", "name"]]
+            here = comm_pdf[comm_pdf.level == level][["community", "name"]]
+            joined = deeper.merge(here, on="name", suffixes=("_sub", "_parent"))
+            return joined.drop_duplicates(["community_sub", "community_parent"])
+        deeper = project(
+            communities.filter(expr=f"level == {int(prev_level)}"),
+            {"community": "community_sub", "name": "name"},
+        )
+        here = project(
+            communities.filter(expr=f"level == {int(level)}"),
+            {"community": "community_parent", "name": "name"},
+        )
+        return (
+            hash_join(deeper, here, on=["name"], how="inner",
+                      num_partitions=num_partitions)
+            .groupby(["community_sub", "community_parent"])
+            .count()
+            .to_pandas()
+        )
 
     per_level = []
     prev_summaries: dict[str, str] = {}
@@ -414,26 +450,7 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
     for level in levels:
         sub_by_parent: dict[str, list[tuple[str, str]]] = {}
         if prev_level is not None and prev_summaries:
-            # parent of a deeper community = the community its nodes
-            # belong to at this level; the membership join runs
-            # distributed, only the deduped (sub, parent) pair table
-            # (community-pair scale) reaches the driver
-            deeper = project(
-                communities.filter(expr=f"level == {int(prev_level)}"),
-                {"community": "community_sub", "name": "name"},
-            )
-            here = project(
-                communities.filter(expr=f"level == {int(level)}"),
-                {"community": "community_parent", "name": "name"},
-            )
-            pairs = (
-                hash_join(deeper, here, on=["name"], how="inner",
-                          num_partitions=num_partitions)
-                .groupby(["community_sub", "community_parent"])
-                .count()
-                .to_pandas()
-            )
-            for row in pairs.itertuples():
+            for row in _pairs_for(level, prev_level).itertuples():
                 summary = prev_summaries.get(row.community_sub)
                 if summary is not None:
                     sub_by_parent.setdefault(row.community_parent, []).append(
