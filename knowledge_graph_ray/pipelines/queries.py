@@ -346,6 +346,58 @@ WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
 """
 
 
+def dedup_groups(sf_dir: str):
+    """Duplicate-group labeling under the SQL gate: near-dup pairs
+    (exact n-gram Jaccard >= 0.04, same-source) -> connected components
+    via the DISTRIBUTED star contraction (driver_threshold=0 forces the
+    shuffle path, not the driver union-find fast path).  Oracle: a
+    recursive CTE computing min-reachable-label over the same edges —
+    component = lexicographic min doc_id string, matching the engine's
+    string-keyed components.
+    """
+    from knowledge_graph_ray.stages.dedup import duplicate_groups, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), threshold=0.04, ngram=2, partition_column="source"
+    )
+    return duplicate_groups(pairs, driver_threshold=0)
+
+
+DEDUP_GROUPS_SQL = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, source,
+         list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bgs
+  FROM toks
+),
+bgx AS (SELECT doc_id, source, unnest(bgs) AS g FROM bg),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+  FROM bgx a JOIN bgx b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+edges AS (
+  SELECT CAST(least(da, db) AS VARCHAR) AS u, CAST(greatest(da, db) AS VARCHAR) AS v
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.04
+),
+edges_bi AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges_bi e ON e.u = r.node
+)
+SELECT node AS name, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+
 def dedup_minhash_lsh(sf_dir: str):
     """Rows-only: MinHash+LSH near-dup pairs (sketch-based, not ANSI-SQL)."""
     from knowledge_graph_ray.stages.dedup import minhash_lsh_pairs, minhash_signatures
@@ -827,6 +879,39 @@ def kg_communities(sf_dir: str):
     return tables.communities
 
 
+def kg_hierarchy(sf_dir: str):
+    """Rows-only: the G5 community-hierarchy table (parent -> next-level
+    sub-community with size).  ``max_louvain_nodes=8`` makes the
+    12-entity gazetteer graph take the giant-component bisection path at
+    level 0, guaranteeing >= 2 levels (and exercising that guard under
+    the driver gate)."""
+    from knowledge_graph_ray.config import PipelineConfig
+    from knowledge_graph_ray.pipelines.build import build_graph
+    from knowledge_graph_ray.stages.community import (
+        community_hierarchy,
+        detect_communities,
+    )
+    from knowledge_graph_ray.stages.components import connected_components
+    from knowledge_graph_ray.stages.extract import CooccurrenceExtractor
+
+    docs = _docs(sf_dir).map_batches(docs_table_to_interleaved, batch_format="pyarrow")
+    core = build_graph(
+        docs,
+        PipelineConfig(chunk_size=256, chunk_overlap=16,
+                       extract_use_actor_pool=False,
+                       max_descriptions_per_key=32, max_sources_per_key=256),
+        extractor_cls=CooccurrenceExtractor,
+        vocabulary=[(w, "organization") for w in FLAGSHIP_GAZETTEER],
+    )
+    ents = core.entities.materialize()
+    rels = core.relationships.materialize()
+    comps = connected_components(ents, rels, num_partitions=8).materialize()
+    comms = detect_communities(comps, rels, max_cluster_size=3,
+                               num_partitions=8,
+                               max_louvain_nodes=8).materialize()
+    return community_hierarchy(comms, 8)
+
+
 QUERIES = {
     "kg_entity_merge": kg_entity_merge,
     "kg_edge_merge": kg_edge_merge,
@@ -840,6 +925,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_sketch_recall": dedup_sketch_recall,
+    "dedup_groups": dedup_groups,
+    "kg_hierarchy": kg_hierarchy,
     "similarity_topk": similarity_topk,
     "similarity_topk_ivf": similarity_topk_ivf,
     "text_token_stats": text_token_stats,
@@ -860,6 +947,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_sketch_recall": DEDUP_SKETCH_RECALL_SQL,
+    "dedup_groups": DEDUP_GROUPS_SQL,
     "similarity_topk": SIMILARITY_TOPK_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_lang_quality": TEXT_LANG_QUALITY_SQL,

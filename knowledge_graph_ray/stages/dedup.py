@@ -246,15 +246,17 @@ def minhash_lsh_pairs(sigs, num_bands: int = 16, threshold: float = 0.8,
     )
 
 
-def duplicate_groups(pairs, id_column_pair=("a", "b")):
+def duplicate_groups(pairs, id_column_pair=("a", "b"), **cc_kwargs):
     """Duplicate pairs -> (name=doc_id, component=group id) via the same
-    distributed union-find used for the entity graph."""
+    distributed union-find used for the entity graph.  ``cc_kwargs`` pass
+    through to connected_components_from_edges (e.g. ``driver_threshold=0``
+    forces the distributed star-contraction path)."""
     a, b = id_column_pair
     edges = pairs.map_batches(
         lambda t: pa.Table.from_pydict({"u": t.column(a), "v": t.column(b)}),
         batch_format="pyarrow",
     )
-    return connected_components_from_edges(edges)
+    return connected_components_from_edges(edges, **cc_kwargs)
 
 
 # ------------------------------------------------------------------- simhash
