@@ -22,6 +22,13 @@ def bucket_column(batch: pa.Table, keys: list[str], num_buckets: int,
     """int32 bucket id per row from the key columns, vectorized."""
     sub = batch.select(keys)
     try:
+        import os
+
+        # every Ray worker process would otherwise start a full-width
+        # polars thread pool (32 workers x 32 threads oversubscribes the
+        # node and cost ~40% of 32-CPU throughput); hashing one batch is
+        # single-thread work
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
         import polars as pl
 
         h = pl.from_arrow(sub).hash_rows(seed=0)

@@ -103,64 +103,82 @@ def entity_partials_batch(batch: pa.Table, max_descriptions: int | None = None,
     associative (min-N of unioned min-N partials == min-N of the full
     union), so partial and final truncation compose exactly.  None =
     faithful unbounded reference semantics (differential-test mode).
+
+    Vectorized (pandas C groupbys; ~2x the row-loop at 32k batches) —
+    the order-sensitive rules map to stable sorts:
+
+    * type = last non-empty type in (order_key, row-position) order
+      (the loop's ``>=`` update)  -> stable sort + groupby.last();
+    * min_touch = FIRST strictly-smaller order (loop's ``<``), src
+      visited before dst within a row -> src-then-dst concat + stable
+      sort + groupby.first().
     """
-    state: dict[str, dict] = {}
+    df = batch.select(
+        ["kind", "name", "type", "description", "chunk_id", "order_key",
+         "src", "dst"]
+    ).to_pandas()
+    ent = df[df["kind"] == "entity"]
+    rel = df[df["kind"] == "rel"]  # 'error' rows skip both branches
 
-    def get(name: str) -> dict:
-        s = state.get(name)
-        if s is None:
-            s = state[name] = {
-                "descs": set(),
-                "ent_chunks": set(),
-                "type_order": "",
-                "type_val": "",
-                "min_ent_order": _HI,
-                "min_touch_order": _HI,
-                "min_touch_chunk": "",
-                "n_mentions": 0,
-            }
-        return s
+    pieces: dict[str, pd.Series] = {}
+    if len(ent):
+        d = ent[["name", "description"]].drop_duplicates().sort_values(
+            ["name", "description"]
+        )
+        if max_descriptions is not None:
+            d = d[d.groupby("name").cumcount() < max_descriptions]
+        pieces["descs"] = d.groupby("name")["description"].agg("\x1e".join)
+        c = ent[["name", "chunk_id"]].drop_duplicates().sort_values(
+            ["name", "chunk_id"]
+        )
+        if max_sources is not None:
+            c = c[c.groupby("name").cumcount() < max_sources]
+        pieces["ent_chunks"] = c.groupby("name")["chunk_id"].agg("\x1e".join)
+        pieces["n_mentions"] = ent.groupby("name").size()
+        pieces["min_ent_order"] = ent.groupby("name")["order_key"].min()
+        t = ent[ent["type"] != ""].sort_values(["name", "order_key"], kind="stable")
+        if len(t):
+            last = t.groupby("name")[["order_key", "type"]].last()
+            pieces["type_order"] = last["order_key"]
+            pieces["type_val"] = last["type"]
+    if len(rel):
+        touch = pd.concat(
+            [
+                rel[["src", "order_key", "chunk_id"]].rename(columns={"src": "name"}),
+                rel[["dst", "order_key", "chunk_id"]].rename(columns={"dst": "name"}),
+            ]
+        ).sort_values(["name", "order_key"], kind="stable")
+        firsts = touch.groupby("name")[["order_key", "chunk_id"]].first()
+        pieces["min_touch_order"] = firsts["order_key"]
+        pieces["min_touch_chunk"] = firsts["chunk_id"]
 
-    kinds = batch.column("kind").to_pylist()
-    names = batch.column("name").to_pylist()
-    types = batch.column("type").to_pylist()
-    descs = batch.column("description").to_pylist()
-    chunks = batch.column("chunk_id").to_pylist()
-    orders = batch.column("order_key").to_pylist()
-    srcs = batch.column("src").to_pylist()
-    dsts = batch.column("dst").to_pylist()
+    if not pieces:
+        return ENTITY_PARTIAL_SCHEMA.empty_table()
+    idx = pd.Index(
+        sorted(set().union(*[p.index for p in pieces.values()])), name="name"
+    )
 
-    for i in range(len(kinds)):
-        if kinds[i] == "entity":
-            s = get(names[i])
-            s["descs"].add(descs[i])
-            s["ent_chunks"].add(chunks[i])
-            s["n_mentions"] += 1
-            if orders[i] < s["min_ent_order"]:
-                s["min_ent_order"] = orders[i]
-            if types[i] and orders[i] >= s["type_order"]:
-                s["type_order"] = orders[i]
-                s["type_val"] = types[i]
-        elif kinds[i] == "rel":  # both endpoints touched ('error' rows skip)
-            for endpoint in (srcs[i], dsts[i]):
-                s = get(endpoint)
-                if orders[i] < s["min_touch_order"]:
-                    s["min_touch_order"] = orders[i]
-                    s["min_touch_chunk"] = chunks[i]
+    def col(key: str, fill):
+        s = pieces.get(key)
+        return s.reindex(idx, fill_value=fill) if s is not None else pd.Series(
+            fill, index=idx
+        )
 
-    rows = [
+    out = pd.DataFrame(
         {
-            "name": name,
-            "descs": "\x1e".join(sorted(s["descs"])[:max_descriptions]),
-            "ent_chunks": "\x1e".join(sorted(s["ent_chunks"])[:max_sources]),
-            **{k: s[k] for k in (
-                "type_order", "type_val", "min_ent_order",
-                "min_touch_order", "min_touch_chunk", "n_mentions",
-            )},
+            "name": idx,
+            "descs": col("descs", ""),
+            "ent_chunks": col("ent_chunks", ""),
+            "type_order": col("type_order", ""),
+            "type_val": col("type_val", ""),
+            "min_ent_order": col("min_ent_order", _HI),
+            "min_touch_order": col("min_touch_order", _HI),
+            "min_touch_chunk": col("min_touch_chunk", ""),
+            "n_mentions": col("n_mentions", 0).astype("int64"),
         }
-        for name, s in state.items()
-    ]
-    return pa.Table.from_pylist(rows, schema=ENTITY_PARTIAL_SCHEMA)
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, schema=ENTITY_PARTIAL_SCHEMA,
+                                preserve_index=False)
 
 
 def _merge_entity_group(group: pd.DataFrame, max_descriptions: int | None = None,
@@ -218,7 +236,7 @@ def _merge_entity_group(group: pd.DataFrame, max_descriptions: int | None = None
     )
 
 
-def canonicalize_entities(mentions, batch_size: int = 4096, num_buckets: int = 64,
+def canonicalize_entities(mentions, batch_size: int = 32768, num_buckets: int = 64,
                           max_descriptions: int | None = None,
                           max_sources: int | None = None):
     """Dataset[mention] -> Dataset[entity] (the G1 shuffle).
@@ -252,38 +270,45 @@ def canonicalize_entities(mentions, batch_size: int = 4096, num_buckets: int = 6
 
 def edge_partials_batch(batch: pa.Table, max_descriptions: int | None = None,
                         max_sources: int | None = None) -> pa.Table:
-    """Per-batch combiner for relationship mentions, undirected key."""
-    state: dict[tuple[str, str], dict] = {}
-    kinds = batch.column("kind").to_pylist()
-    srcs = batch.column("src").to_pylist()
-    dsts = batch.column("dst").to_pylist()
-    descs = batch.column("description").to_pylist()
-    chunks = batch.column("chunk_id").to_pylist()
-    weights = batch.column("weight").to_pylist()
-    for i in range(len(kinds)):
-        if kinds[i] != "rel":
-            continue
-        a, b = srcs[i], dsts[i]
-        key = (a, b) if a <= b else (b, a)
-        s = state.get(key)
-        if s is None:
-            s = state[key] = {"weight": 0.0, "descs": set(), "chunks": set(), "n": 0}
-        s["weight"] += weights[i]
-        s["descs"].add(descs[i])
-        s["chunks"].add(chunks[i])
-        s["n"] += 1
-    rows = [
+    """Per-batch combiner for relationship mentions, undirected key
+    (vectorized; see entity_partials_batch)."""
+    import numpy as np
+
+    df = batch.select(
+        ["kind", "src", "dst", "description", "chunk_id", "weight"]
+    ).to_pandas()
+    rel = df[df["kind"] == "rel"]
+    if not len(rel):
+        return EDGE_PARTIAL_SCHEMA.empty_table()
+    swap = rel["src"] > rel["dst"]
+    rel = pd.DataFrame(
         {
-            "src": k[0],
-            "dst": k[1],
-            "weight": s["weight"],
-            "descs": "".join(sorted(s["descs"])[:max_descriptions]),
-            "chunks": "".join(sorted(s["chunks"])[:max_sources]),
-            "n_mentions": s["n"],
+            "src": np.where(swap, rel["dst"], rel["src"]),
+            "dst": np.where(swap, rel["src"], rel["dst"]),
+            "description": rel["description"].to_numpy(),
+            "chunk_id": rel["chunk_id"].to_numpy(),
+            "weight": rel["weight"].to_numpy(),
         }
-        for k, s in state.items()
-    ]
-    return pa.Table.from_pylist(rows, schema=EDGE_PARTIAL_SCHEMA)
+    )
+    key = ["src", "dst"]
+    agg = rel.groupby(key).agg(
+        weight=("weight", "sum"), n_mentions=("weight", "size")
+    )
+    d = rel[key + ["description"]].drop_duplicates().sort_values(
+        key + ["description"]
+    )
+    if max_descriptions is not None:
+        d = d[d.groupby(key).cumcount() < max_descriptions]
+    descs = d.groupby(key)["description"].agg("\x1e".join)
+    c = rel[key + ["chunk_id"]].drop_duplicates().sort_values(key + ["chunk_id"])
+    if max_sources is not None:
+        c = c[c.groupby(key).cumcount() < max_sources]
+    chunks = c.groupby(key)["chunk_id"].agg("\x1e".join)
+    out = agg.assign(descs=descs, chunks=chunks).reset_index()
+    out = out[["src", "dst", "weight", "descs", "chunks", "n_mentions"]]
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    return pa.Table.from_pandas(out, schema=EDGE_PARTIAL_SCHEMA,
+                                preserve_index=False)
 
 
 def _merge_edge_group(group: pd.DataFrame, max_descriptions: int | None = None,
@@ -315,7 +340,7 @@ def _merge_edge_group(group: pd.DataFrame, max_descriptions: int | None = None,
     )
 
 
-def canonicalize_relationships(mentions, batch_size: int = 4096, num_buckets: int = 64,
+def canonicalize_relationships(mentions, batch_size: int = 32768, num_buckets: int = 64,
                                max_descriptions: int | None = None,
                                max_sources: int | None = None):
     """Dataset[mention] -> Dataset[relationship] (the G2 shuffle)."""
@@ -393,7 +418,7 @@ def relationships_to_partials(batch: pa.Table) -> pa.Table:
 
 
 def incremental_canonicalize_entities(prev_entities, new_mentions,
-                                      batch_size: int = 4096, num_buckets: int = 64,
+                                      batch_size: int = 32768, num_buckets: int = 64,
                                       max_descriptions: int | None = None,
                                       max_sources: int | None = None):
     """Union a previous run's canonical entities with new mentions and
@@ -428,7 +453,7 @@ def incremental_canonicalize_entities(prev_entities, new_mentions,
 
 
 def incremental_canonicalize_relationships(prev_relationships, new_mentions,
-                                           batch_size: int = 4096, num_buckets: int = 64,
+                                           batch_size: int = 32768, num_buckets: int = 64,
                                            max_descriptions: int | None = None,
                                            max_sources: int | None = None):
     import functools
