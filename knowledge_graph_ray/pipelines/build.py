@@ -229,14 +229,21 @@ def build_knowledge_graph(
 
     media_features = None
     if cfg.media_features:
+        # real-format path: BMP/WAV/KGV1 payloads decoded by the stdlib
+        # codec (no external libs); RealCodec remains the seam for
+        # compressed formats
         from knowledge_graph_ray.stages.multimodal import (
+            StdlibCodec,
             decode_media,
-            fetch_media,
+            fetch_media_real,
             media_refs_from_docs,
         )
 
         media_features = staged(
-            lambda: decode_media(fetch_media(media_refs_from_docs(docs))),
+            lambda: decode_media(
+                fetch_media_real(media_refs_from_docs(docs)),
+                codec_cls=StdlibCodec,
+            ),
             "media_features",
         )
 

@@ -594,6 +594,42 @@ FROM events GROUP BY event_type, window_start
 """
 
 
+def events_sliding_agg(sf_dir: str):
+    """Sliding windows (1h window, 15min slide): each event lands in 4
+    overlapping windows (stages/windows.sliding_window_agg — vectorized
+    per-copy explode + tumbling groupby)."""
+    from knowledge_graph_ray.stages.windows import sliding_window_agg
+
+    agg = sliding_window_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "event_type", "value"]),
+        window_seconds=3600, slide_seconds=900,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        scaled = scaled_int_column(batch.column("sum_value"), 100.0)
+        idx = batch.schema.get_field_index("sum_value")
+        return batch.remove_column(idx).add_column(idx, "sum_value_cents", scaled)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_SLIDING_AGG_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t, value FROM events
+),
+w AS (
+  SELECT event_type, value,
+         (t // 900) * 900 - 900 * c.c AS window_start
+  FROM e, (SELECT unnest(range(4)) AS c) c
+  WHERE (t // 900) * 900 - 900 * c.c + 3600 > t
+)
+SELECT event_type, window_start, count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM w GROUP BY event_type, window_start
+"""
+
+
 # --------------------------------------------------------- relational suite
 
 
@@ -932,6 +968,7 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_lang_quality": text_lang_quality,
     "events_hourly_agg": events_hourly_agg,
+    "events_sliding_agg": events_sliding_agg,
     "agg_pricing_summary": agg_pricing_summary,
     "join_revenue_by_segment": join_revenue_by_segment,
     "topk_parts_by_quantity": topk_parts_by_quantity,
@@ -952,6 +989,7 @@ ORACLE_SQL = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_lang_quality": TEXT_LANG_QUALITY_SQL,
     "events_hourly_agg": EVENTS_HOURLY_AGG_SQL,
+    "events_sliding_agg": EVENTS_SLIDING_AGG_SQL,
     "agg_pricing_summary": AGG_PRICING_SUMMARY_SQL,
     "join_revenue_by_segment": JOIN_REVENUE_BY_SEGMENT_SQL,
     "topk_parts_by_quantity": TOPK_PARTS_SQL,

@@ -95,21 +95,30 @@ def sliding_window_agg(events, window_seconds: int, slide_seconds: int,
     copies = window_seconds // slide_seconds
 
     def explode(batch: pa.Table) -> pa.Table:
-        ts_s = pc.divide(batch.column(ts_column).cast(pa.int64()), 1_000_000)
-        keys, starts, vals = [], [], []
-        ts_list = ts_s.to_pylist()
-        key_list = batch.column(key).to_pylist()
-        val_list = batch.column(value_column).to_pylist()
-        for t, k, v in zip(ts_list, key_list, val_list):
-            last_start = (t // slide_seconds) * slide_seconds
-            for c in range(copies):
-                start = last_start - c * slide_seconds
-                if start <= t < start + window_seconds:
-                    keys.append(k)
-                    starts.append(start)
-                    vals.append(v)
+        import numpy as np
+
+        ts_s = (
+            pc.divide(batch.column(ts_column).cast(pa.int64()), 1_000_000)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keys = batch.column(key)
+        vals = batch.column(value_column)
+        last_start = (ts_s // slide_seconds) * slide_seconds
+        out_keys, out_starts, out_vals = [], [], []
+        for c in range(copies):  # loop over COPIES (small), not rows
+            starts = last_start - c * slide_seconds
+            mask = starts + window_seconds > ts_s
+            mask_arr = pa.array(mask)
+            out_keys.append(keys.filter(mask_arr).combine_chunks())
+            out_starts.append(pa.array(starts[mask], type=pa.int64()))
+            out_vals.append(vals.filter(mask_arr).combine_chunks())
         return pa.Table.from_pydict(
-            {key: keys, "window_start": starts, value_column: vals}
+            {
+                key: pa.concat_arrays([a if isinstance(a, pa.Array) else a.combine_chunks() for a in out_keys]),
+                "window_start": pa.concat_arrays(out_starts),
+                value_column: pa.concat_arrays([a if isinstance(a, pa.Array) else a.combine_chunks() for a in out_vals]),
+            }
         )
 
     return (
