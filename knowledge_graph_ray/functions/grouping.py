@@ -59,3 +59,38 @@ def bucketed_group_map(ds, keys: list[str], fn, num_buckets: int = 64,
         return pa.concat_tables(out, promote_options="default")
 
     return bucketed.groupby(_BUCKET).map_groups(body, batch_format="pandas")
+
+
+def grouped_topk(ds, group_cols: list[str], order_col: str, k: int,
+                 descending: bool = True, tie_cols: list[str] | None = None,
+                 num_buckets: int = 64):
+    """Top-k rows per group with a dense 1..k ``rk`` column.
+
+    Scale shape: a per-batch local top-k combiner bounds the shuffle to
+    <= k rows per (group, batch) — hub groups ship k rows per upstream
+    block, never their full row count — then the bucketed final pass
+    re-ranks.  Ties broken by ``tie_cols`` ascending (deterministic).
+    """
+    tie = tie_cols or []
+    sort_cols = [order_col] + tie
+    ascending = [not descending] + [True] * len(tie)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        top = (
+            df.sort_values(sort_cols, ascending=ascending, kind="stable")
+            .groupby(group_cols, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow")
+
+    def final_topk(group: pd.DataFrame) -> pa.Table:
+        top = group.sort_values(sort_cols, ascending=ascending,
+                                kind="stable").head(k)
+        top = top.assign(rk=range(1, len(top) + 1))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    return bucketed_group_map(partials, group_cols, final_topk,
+                              num_buckets=num_buckets)

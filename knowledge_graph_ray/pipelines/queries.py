@@ -630,6 +630,129 @@ FROM w GROUP BY event_type, window_start
 """
 
 
+def events_asof_join(sf_dir: str):
+    """As-of join (backward): each purchase event paired with the same
+    user's latest click at-or-before it (stages/windows.asof_join_backward
+    — per-key searchsorted; an operator Ray Data lacks natively).
+    Emits the matched click's timestamp (-1 when none), which is
+    tie-stable even when several clicks share a second."""
+    from knowledge_graph_ray.stages.windows import asof_join_backward
+
+    def prep(kind):
+        def body(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.equal(batch.column("event_type"), kind)
+            b = batch.filter(mask)
+            ts_s = pc.divide(b.column("ts").cast(pa.int64()), 1_000_000)
+            return pa.Table.from_pydict(
+                {
+                    "event_id": b.column("event_id"),
+                    "user_id": b.column("user_id"),
+                    "ts_s": ts_s.cast(pa.int64()),
+                }
+            )
+
+        return body
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    purchases = events.map_batches(prep("purchase"), batch_format="pyarrow")
+    clicks = events.map_batches(prep("click"), batch_format="pyarrow").select_columns(
+        ["user_id", "ts_s"]
+    )
+    joined = asof_join_backward(purchases, clicks, by="user_id", on="ts_s")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "ts_s": batch.column("ts_s"),
+                "click_ts_s": batch.column("asof_ts_s").cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_ASOF_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type
+  FROM events
+),
+p AS (SELECT event_id, user_id, ts_s FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts_s FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_s, COALESCE(c.ts_s, -1) AS click_ts_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
+"""
+
+
+def topk_customers_per_nation(sf_dir: str):
+    """Grouped top-k (functions/grouping.grouped_topk — local per-batch
+    top-k combiner bounds the shuffle): top-3 customers by order revenue
+    within each nation."""
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    rev = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        scaled = scaled_int_column(batch.column("revenue"), 100.0)
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": batch.column("o_custkey").cast(pa.int64()),
+                "revenue_cents": scaled,
+            }
+        )
+
+    rev = rev.map_batches(to_cents, batch_format="pyarrow")
+    cust = project(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        {"c_custkey": "c_custkey", "c_nationkey": "c_nationkey"},
+    )
+    joined = hash_join(rev, cust, on=["c_custkey"], how="inner")
+    top = grouped_topk(joined, ["c_nationkey"], "revenue_cents", k=3,
+                       descending=True, tie_cols=["c_custkey"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "c_nationkey": batch.column("c_nationkey").cast(pa.int64()),
+                "c_custkey": batch.column("c_custkey").cast(pa.int64()),
+                "revenue_cents": batch.column("revenue_cents"),
+                "rk": batch.column("rk").cast(pa.int64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+TOPK_CUSTOMERS_PER_NATION_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rev.c_custkey,
+         revenue_cents,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY revenue_cents DESC, rev.c_custkey) AS rk
+  FROM rev JOIN customer USING (c_custkey)
+)
+SELECT c_nationkey, c_custkey, revenue_cents, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
 # --------------------------------------------------------- relational suite
 
 
@@ -969,6 +1092,8 @@ QUERIES = {
     "text_lang_quality": text_lang_quality,
     "events_hourly_agg": events_hourly_agg,
     "events_sliding_agg": events_sliding_agg,
+    "events_asof_join": events_asof_join,
+    "topk_customers_per_nation": topk_customers_per_nation,
     "agg_pricing_summary": agg_pricing_summary,
     "join_revenue_by_segment": join_revenue_by_segment,
     "topk_parts_by_quantity": topk_parts_by_quantity,
@@ -990,6 +1115,8 @@ ORACLE_SQL = {
     "text_lang_quality": TEXT_LANG_QUALITY_SQL,
     "events_hourly_agg": EVENTS_HOURLY_AGG_SQL,
     "events_sliding_agg": EVENTS_SLIDING_AGG_SQL,
+    "events_asof_join": EVENTS_ASOF_JOIN_SQL,
+    "topk_customers_per_nation": TOPK_CUSTOMERS_PER_NATION_SQL,
     "agg_pricing_summary": AGG_PRICING_SUMMARY_SQL,
     "join_revenue_by_segment": JOIN_REVENUE_BY_SEGMENT_SQL,
     "topk_parts_by_quantity": TOPK_PARTS_SQL,

@@ -127,3 +127,104 @@ def sliding_window_agg(events, window_seconds: int, slide_seconds: int,
         .groupby([key, "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum(value_column, alias_name="sum_value"))
     )
+
+
+def asof_join_backward(left, right, by: str, on: str,
+                       right_value_columns: list[str] | None = None,
+                       num_buckets: int = 64):
+    """As-of join (backward): each left row is paired with the LATEST
+    right row of the same ``by`` key whose ``on`` value is <= the left
+    row's (DuckDB ``ASOF LEFT JOIN`` semantics; an operator Ray Data
+    lacks natively).  Unmatched left rows get ``asof_<on> = -1`` and
+    null value columns.
+
+    Shape: tag sides into one aligned schema, one shuffle on the key,
+    per-key vectorized ``np.searchsorted`` of left timestamps into the
+    sorted right timestamps.  Partitioning assumption (documented per
+    the custom-operator rule): all rows of one key fit one group task —
+    split hot keys on (key, coarse time prefix) upstream when that
+    breaks.
+
+    Tie note: among right rows sharing one ``on`` value the LAST after a
+    stable (on) sort wins; emit value columns that are functions of
+    ``on`` (e.g. the matched timestamp) when the oracle's tie choice is
+    unspecified.
+    """
+    import numpy as np
+
+    rvals = right_value_columns or []
+    lschema = left.schema()
+    rschema = right.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    left_payload = [n for n in lschema.names if n not in (by, on)]
+
+    # one aligned wire schema for both tagged sides
+    wire_fields = (
+        [("__side", pa.int8()), (by, ltypes[by]), (on, pa.int64())]
+        + [(n, ltypes[n]) for n in left_payload]
+        + [(f"__r_{n}", rtypes[n]) for n in rvals]
+    )
+    wire_schema = pa.schema(wire_fields)
+
+    out_schema = pa.schema(
+        [(by, ltypes[by]), (on, pa.int64())]
+        + [(n, ltypes[n]) for n in left_payload]
+        + [(f"asof_{on}", pa.int64())]
+        + [(f"asof_{n}", rtypes[n]) for n in rvals]
+    )
+
+    def tag(side: int, present: dict):
+        def body(b: pa.Table) -> pa.Table:
+            n = len(b)
+            cols = {}
+            for name, typ in wire_fields:
+                if name == "__side":
+                    cols[name] = pa.array([side] * n, type=pa.int8())
+                elif name in (by, on):
+                    cols[name] = b.column(name).cast(typ)
+                elif name in present:
+                    cols[name] = b.column(present[name]).cast(typ)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            return pa.Table.from_pydict(cols, schema=wire_schema)
+
+        return body
+
+    lt = left.map_batches(
+        tag(0, {n: n for n in left_payload}), batch_format="pyarrow"
+    )
+    rt = right.map_batches(
+        tag(1, {f"__r_{n}": n for n in rvals}), batch_format="pyarrow"
+    )
+
+    def per_key(group: pd.DataFrame) -> pa.Table:
+        lhs = group[group["__side"] == 0]
+        if lhs.empty:
+            return out_schema.empty_table()
+        rhs = group[group["__side"] == 1].sort_values(on, kind="stable")
+        out = {by: lhs[by].to_numpy(), on: lhs[on].to_numpy()}
+        for n in left_payload:
+            out[n] = lhs[n].to_numpy()
+        if len(rhs):
+            r_on = rhs[on].to_numpy()
+            idx = np.searchsorted(r_on, lhs[on].to_numpy(), side="right") - 1
+            matched = idx >= 0
+            out[f"asof_{on}"] = np.where(matched, r_on[idx.clip(0)], -1)
+            for n in rvals:
+                vals = rhs[f"__r_{n}"].to_numpy()[idx.clip(0)].astype(object)
+                vals[~matched] = None
+                out[f"asof_{n}"] = vals
+        else:
+            out[f"asof_{on}"] = np.full(len(lhs), -1, dtype=np.int64)
+            for n in rvals:
+                out[f"asof_{n}"] = np.full(len(lhs), None, dtype=object)
+        return pa.Table.from_pandas(
+            pd.DataFrame(out).reset_index(drop=True), schema=out_schema,
+            preserve_index=False,
+        )
+
+    return bucketed_group_map(
+        lt.union(rt), [by], per_key, num_buckets=num_buckets,
+        empty_schema=out_schema,
+    )

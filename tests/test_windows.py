@@ -56,3 +56,91 @@ def test_sliding_windows():
         )
         assert mask.sum() == row.n_events
         assert np.isclose(pdf.loc[mask, "value"].sum(), row.sum_value)
+
+
+def test_asof_join_backward_matches_pandas_merge_asof():
+    import numpy as np
+    import pandas as pd
+
+    from knowledge_graph_ray.stages.windows import asof_join_backward
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 10, 200),
+            "t": rng.randint(0, 1000, 200).astype("int64"),
+            "payload": rng.randint(0, 99, 200).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 12, 150),
+            "t": rng.randint(0, 1000, 150).astype("int64"),
+            "val": rng.randn(150),
+        }
+    )
+    got = asof_join_backward(
+        rd.from_pandas(left.rename(columns={"t": "ts"})),
+        rd.from_pandas(right.rename(columns={"t": "ts"})),
+        by="k", on="ts", right_value_columns=["val"], num_buckets=8,
+    ).to_pandas().sort_values(["k", "ts", "payload"]).reset_index(drop=True)
+
+    exp = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"),
+        on="t", by="k", direction="backward",
+    )
+    exp = exp.rename(columns={"t": "ts"})
+    exp["asof_ts"] = exp["ts"].where(exp["val"].notna(), -1)
+    # merge_asof returns the matched right's value; our asof_ts is the
+    # matched right's ts — recompute expected asof_ts via another asof
+    r2 = right.rename(columns={"t": "rt"}).assign(t=lambda d: d["rt"])
+    exp2 = pd.merge_asof(
+        left.sort_values("t"), r2.sort_values("t")[["k", "t", "rt"]],
+        on="t", by="k", direction="backward",
+    ).rename(columns={"t": "ts"})
+    exp2["rt"] = exp2["rt"].fillna(-1).astype("int64")
+    exp2 = exp2.sort_values(["k", "ts", "payload"]).reset_index(drop=True)
+
+    assert len(got) == len(left)
+    pd.testing.assert_series_equal(
+        got["asof_ts"].astype("int64"), exp2["rt"], check_names=False
+    )
+    # matched values agree wherever the matched ts is unique
+    merged = got.merge(
+        right.rename(columns={"t": "asof_ts"}), on=["k", "asof_ts"], how="left"
+    )
+    dup_free = ~merged.duplicated(["k", "ts", "payload"], keep=False)
+    m = merged[dup_free & (merged["asof_ts"] >= 0)]
+    assert np.allclose(m["asof_val"], m["val"])
+
+
+def test_grouped_topk_matches_pandas():
+    import numpy as np
+    import pandas as pd
+
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "g": rng.randint(0, 8, 300),
+            "v": rng.randint(0, 50, 300).astype("int64"),
+            "id": np.arange(300, dtype="int64"),
+        }
+    )
+    got = grouped_topk(
+        rd.from_pandas(df).repartition(8), ["g"], "v", k=3, tie_cols=["id"],
+        num_buckets=4,
+    ).to_pandas().sort_values(["g", "rk"]).reset_index(drop=True)
+    exp = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="stable")
+        .groupby("g")
+        .head(3)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[["g", "v", "id"]], exp[["g", "v", "id"]], check_dtype=False
+    )
+    assert (got.groupby("g")["rk"].apply(lambda s: list(s) == list(range(1, len(s) + 1)))).all()
