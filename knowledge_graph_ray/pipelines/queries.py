@@ -630,6 +630,90 @@ FROM w GROUP BY event_type, window_start
 """
 
 
+def events_value_quantiles(sf_dir: str):
+    """Exact grouped quantiles WITHOUT a global sort
+    (stages/sketches.grouped_quantiles: value-histogram groupby, shuffle
+    bounded by distinct (type, value) pairs)."""
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    q = grouped_quantiles(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"]),
+        "event_type", "value", qs=[0.5, 0.9, 0.99],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        scaled = scaled_int_column(batch.column("value"), 100.0)
+        q_e2 = scaled_int_column(batch.column("q"), 100.0)
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "q_e2": q_e2,
+                "value_cents": scaled,
+            }
+        )
+
+    return q.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_VALUE_QUANTILES_SQL = """
+SELECT event_type, CAST(50 AS BIGINT) AS q_e2,
+       CAST(round(quantile_disc(value, 0.5) * 100) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(90 AS BIGINT),
+       CAST(round(quantile_disc(value, 0.9) * 100) AS BIGINT)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(99 AS BIGINT),
+       CAST(round(quantile_disc(value, 0.99) * 100) AS BIGINT)
+FROM events GROUP BY event_type
+"""
+
+
+def events_distinct_users(sf_dir: str):
+    """Exact distinct count per group (pair-distinct shuffle,
+    stages/sketches.grouped_distinct_count); the HLL sketch variant is
+    the scale path when distinct pairs are too many to shuffle
+    (events_distinct_users_hll)."""
+    from knowledge_graph_ray.stages.sketches import grouped_distinct_count
+
+    out = grouped_distinct_count(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"]),
+        "event_type", "user_id",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "n_distinct": batch.column("n_distinct").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+def events_distinct_users_hll(sf_dir: str):
+    """Rows-only: HyperLogLog distinct estimate per event_type (fixed
+    4KB sketch per group on the wire regardless of cardinality;
+    accuracy asserted vs the exact path in pytest)."""
+    from knowledge_graph_ray.stages.sketches import grouped_hll_distinct
+
+    return grouped_hll_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"]),
+        "event_type", "user_id",
+    )
+
+
 def events_asof_join(sf_dir: str):
     """As-of join (backward): each purchase event paired with the same
     user's latest click at-or-before it (stages/windows.asof_join_backward
@@ -1094,6 +1178,9 @@ QUERIES = {
     "events_sliding_agg": events_sliding_agg,
     "events_asof_join": events_asof_join,
     "topk_customers_per_nation": topk_customers_per_nation,
+    "events_value_quantiles": events_value_quantiles,
+    "events_distinct_users": events_distinct_users,
+    "events_distinct_users_hll": events_distinct_users_hll,
     "agg_pricing_summary": agg_pricing_summary,
     "join_revenue_by_segment": join_revenue_by_segment,
     "topk_parts_by_quantity": topk_parts_by_quantity,
@@ -1117,6 +1204,8 @@ ORACLE_SQL = {
     "events_sliding_agg": EVENTS_SLIDING_AGG_SQL,
     "events_asof_join": EVENTS_ASOF_JOIN_SQL,
     "topk_customers_per_nation": TOPK_CUSTOMERS_PER_NATION_SQL,
+    "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,
+    "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
     "agg_pricing_summary": AGG_PRICING_SUMMARY_SQL,
     "join_revenue_by_segment": JOIN_REVENUE_BY_SEGMENT_SQL,
     "topk_parts_by_quantity": TOPK_PARTS_SQL,

@@ -260,3 +260,47 @@ def test_real_media_pipeline_end_to_end():
     if len(frames):
         decoded = multimodal.decode_bmp(frames.frame.iloc[0])
         assert decoded.ndim == 3 and decoded.shape[2] == 3
+
+
+def test_hll_distinct_close_to_exact():
+    """HyperLogLog sketch path within ~5% of the exact distinct count,
+    through the real Ray stages."""
+    from knowledge_graph_ray.stages.sketches import (
+        grouped_distinct_count,
+        grouped_hll_distinct,
+    )
+
+    events = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    exact = (
+        grouped_distinct_count(events, "event_type", "user_id")
+        .to_pandas().set_index("event_type")["n_distinct"]
+    )
+    est = (
+        grouped_hll_distinct(events, "event_type", "user_id")
+        .to_pandas().set_index("event_type")["n_distinct_est"]
+    )
+    assert set(exact.index) == set(est.index)
+    for k in exact.index:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.05, (k, est[k], exact[k])
+
+
+def test_grouped_quantiles_match_numpy():
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 500),
+            "v": np.round(rng.randn(500) * 10, 2),
+        }
+    )
+    got = grouped_quantiles(
+        rd.from_pandas(df).repartition(4), "g", "v", qs=[0.5, 0.9]
+    ).to_pandas().set_index(["g", "q"])["v"]
+    import math
+
+    for g, sub in df.groupby("g"):
+        vals = np.sort(sub["v"].to_numpy())
+        for q in (0.5, 0.9):
+            expected = vals[math.ceil(len(vals) * q) - 1]
+            assert got[(g, q)] == expected, (g, q)
