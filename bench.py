@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "events_hourly_agg",
     "agg_pricing_summary",
     "join_revenue_by_segment",
+    # round-2 operator family (kept after the round-1 list so per-query
+    # comparisons against BENCH_r01 stay aligned)
+    "events_sliding_agg",
+    "events_value_quantiles",
+    "topk_customers_per_nation",
+    "events_asof_join",
 ]
 
 

@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--max-descriptions", type=int, default=64)
     ap.add_argument("--max-sources", type=int, default=1024)
     ap.add_argument("--claims", action="store_true")
+    ap.add_argument("--reference-layout", action="store_true",
+                    help="also export node/ and entity/ tables with the "
+                         "reference's 6-CSV column sets")
+    ap.add_argument("--media-features", action="store_true",
+                    help="decode media spans (BMP/WAV/KGV1 stdlib codecs)")
     ap.add_argument("--num-partitions", type=int, default=64)
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local mode only; on a cluster omit and attach")
@@ -63,6 +68,7 @@ def main():
         chunk_size=args.chunk_size,
         chunk_overlap=args.chunk_overlap,
         extract_claims=args.claims,
+        media_features=args.media_features,
         max_descriptions_per_key=args.max_descriptions,
         max_sources_per_key=args.max_sources,
     )
@@ -74,7 +80,8 @@ def main():
         checkpoint_dir=args.checkpoint_dir,
         fingerprint=args.fingerprint,
     )
-    manifests = export_tables(tables, args.output, fingerprint=args.fingerprint)
+    manifests = export_tables(tables, args.output, fingerprint=args.fingerprint,
+                              reference_layout=args.reference_layout)
     from ray.data.dataset import MaterializedDataset
 
     quarantined = None
