@@ -773,12 +773,15 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
 """
 
 
-def topk_customers_per_nation(sf_dir: str):
+def topk_customers_per_nation(sf_dir: str,
+                              broadcast_max: int = BROADCAST_KEYS_MAX):
     """Grouped top-k (functions/grouping.grouped_topk — local per-batch
     top-k combiner bounds the shuffle): top-3 customers by order revenue
-    within each nation."""
+    within each nation.  The nation attach is size-adaptive: broadcast
+    lookup while customer fits, shuffle hash_join above."""
+    import ray
+
     from knowledge_graph_ray.functions.grouping import grouped_topk
-    from knowledge_graph_ray.functions.joins import hash_join, project
 
     rev = (
         rd.read_parquet(f"{sf_dir}/orders.parquet",
@@ -797,12 +800,31 @@ def topk_customers_per_nation(sf_dir: str):
         )
 
     rev = rev.map_batches(to_cents, batch_format="pyarrow")
-    cust = project(
-        rd.read_parquet(f"{sf_dir}/customer.parquet",
-                        columns=["c_custkey", "c_nationkey"]),
-        {"c_custkey": "c_custkey", "c_nationkey": "c_nationkey"},
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    joined = hash_join(rev, cust, on=["c_custkey"], how="inner")
+    if customer.count() <= broadcast_max:
+        nation = customer.to_pandas().set_index("c_custkey")["c_nationkey"]
+        nation_ref = ray.put(nation)
+
+        def attach_nation(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(nation_ref)
+            keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            vals = lookup.reindex(keys).to_numpy()
+            return batch.append_column(
+                "c_nationkey", pa.array(vals, type=pa.int64())
+            )
+
+        joined = rev.map_batches(attach_nation, batch_format="pyarrow")
+    else:
+        from knowledge_graph_ray.functions.joins import hash_join, project
+
+        joined = hash_join(
+            rev,
+            project(customer,
+                    {"c_custkey": "c_custkey", "c_nationkey": "c_nationkey"}),
+            on=["c_custkey"], how="inner",
+        )
     top = grouped_topk(joined, ["c_nationkey"], "revenue_cents", k=3,
                        descending=True, tie_cols=["c_custkey"])
 
@@ -913,20 +935,18 @@ def join_revenue_by_segment(sf_dir: str, broadcast_max: int = BROADCAST_KEYS_MAX
         seg = customer.to_pandas().set_index("c_custkey")["c_mktsegment"]
         seg_ref = ray.put(seg)
 
-        class AttachSegment:
-            def __init__(self):
-                self.seg = ray.get(seg_ref)
+        # task pool, not actor pool: the lookup holds no expensive state
+        # (ray.get of a plasma ref is node-local cached) and a fresh
+        # actor pool costs ~2-4s startup for sub-second work
+        def attach_segment(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(seg_ref)
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            segs = lookup.reindex(keys).to_numpy()
+            return batch.append_column(
+                "c_mktsegment", pa.array(segs, type=pa.string())
+            )
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-                segs = self.seg.reindex(keys).to_numpy()
-                return batch.append_column(
-                    "c_mktsegment", pa.array(segs, type=pa.string())
-                )
-
-        joined = orders.map_batches(
-            AttachSegment, batch_format="pyarrow", concurrency=(1, 4)
-        )
+        joined = orders.map_batches(attach_segment, batch_format="pyarrow")
     else:
         from knowledge_graph_ray.functions.joins import hash_join, project
 
@@ -1009,25 +1029,20 @@ def antijoin_customers_without_orders(sf_dir: str,
         )
         keys_ref = ray.put(custkeys)
 
-        class FlagNoOrders:
-            def __init__(self):
-                self.keys = ray.get(keys_ref)  # sorted unique array
+        def flag_no_orders(batch: pa.Table) -> pa.Table:
+            known = ray.get(keys_ref)  # sorted unique array, node-cached
+            keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            has = np.isin(keys, known)
+            return pa.Table.from_pydict(
+                {
+                    "c_nationkey": batch.column("c_nationkey"),
+                    "no_orders": pa.array(
+                        (~has).astype(np.int64), type=pa.int64()
+                    ),
+                }
+            )
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
-                has = np.isin(keys, self.keys)
-                return pa.Table.from_pydict(
-                    {
-                        "c_nationkey": batch.column("c_nationkey"),
-                        "no_orders": pa.array(
-                            (~has).astype(np.int64), type=pa.int64()
-                        ),
-                    }
-                )
-
-        flagged = customer.map_batches(
-            FlagNoOrders, batch_format="pyarrow", concurrency=(1, 4)
-        )
+        flagged = customer.map_batches(flag_no_orders, batch_format="pyarrow")
     else:
         from knowledge_graph_ray.functions.joins import hash_join
 

@@ -125,7 +125,7 @@ def test_embedding_near_dup_and_topk():
 
 
 def test_ivf_topk_recall():
-    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
     pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
     cents = similarity.train_centroids(emb, num_centroids=8, sample=256, seed=6969)
@@ -304,3 +304,36 @@ def test_grouped_quantiles_match_numpy():
         for q in (0.5, 0.9):
             expected = vals[math.ceil(len(vals) * q) - 1]
             assert got[(g, q)] == expected, (g, q)
+
+
+def test_embedding_near_dup_with_ivf_buckets():
+    """The documented scale path: IVF assignment as the near-dup bucket
+    key — planted near-duplicates (jittered copies, cosine >= 0.99)
+    co-locate in IVF cells, so the bucketed O(n^2) finds them without
+    the label shard key."""
+    import pyarrow.parquet as pq
+
+    from knowledge_graph_ray.stages.similarity import ivf_assign, train_centroids
+
+    base = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pandas()
+    rng = np.random.RandomState(5)
+    planted = base.sample(40, random_state=5).copy()
+    planted["embedding"] = planted["embedding"].map(
+        lambda v: (np.asarray(v) + rng.randn(len(v)) * 0.01).tolist()
+    )
+    planted["vec_id"] = planted["vec_id"] + 100000
+    df = pd.concat([base, planted], ignore_index=True)
+    expected = {
+        (str(r.vec_id), str(r.vec_id + 100000)) for r in
+        planted.assign(vec_id=planted.vec_id - 100000).itertuples()
+    }
+
+    emb = rd.from_pandas(df).repartition(4)
+    cents = train_centroids(emb, num_centroids=8, sample=512, seed=6969)
+    assigned = ivf_assign(emb, cents).materialize()
+    pairs = dedup.embedding_near_dup_pairs(
+        assigned, threshold=0.95, bucket_column="ivf_bucket"
+    ).to_pandas()
+    got = set(zip(pairs.a, pairs.b)) if not pairs.empty else set()
+    recall = len(expected & got) / len(expected)
+    assert recall >= 0.95, (recall, len(expected), len(got))
