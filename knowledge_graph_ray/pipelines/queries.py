@@ -51,28 +51,31 @@ def _emb(sf_dir: str):
 
 
 def kg_entity_merge(sf_dir: str):
-    """G1 canonicalization shape: mention rows -> groupby(name) merge."""
-    gaz = set(GAZETTEER)
+    """G1 canonicalization shape: mention rows -> groupby(name) merge.
+    Per-batch mention extraction is vectorized (polars split/explode)."""
 
     def mentions(batch: pa.Table) -> pa.Table:
-        doc_ids, names, counts = [], [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            found: dict[str, int] = {}
-            for w in (text or "").split(" "):
-                if w in gaz:
-                    found[w.upper()] = found.get(w.upper(), 0) + 1
-            for name, cnt in found.items():
-                doc_ids.append(doc_id)
-                names.append(name)
-                counts.append(cnt)
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "name": pa.array(names, type=pa.string()),
-                "cnt": pa.array(counts, type=pa.int64()),
-            }
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").fill_null("").str.split(" ").alias("w"))
+            .drop("text")
+            .explode("w")
+            .filter(pl.col("w").is_in(GAZETTEER))
+            .with_columns(pl.col("w").str.to_uppercase().alias("name"))
+            .group_by(["doc_id", "name"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .select(
+                pl.col("doc_id").cast(pl.Int64), pl.col("name"), pl.col("cnt")
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("name", pa.string()),
+                       ("cnt", pa.int64())])
         )
 
     per_doc = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
@@ -92,16 +95,31 @@ GROUP BY upper(w)
 
 
 def _presence_pairs(sf_dir: str):
-    gaz = set(GAZETTEER)
-
     def pairs(batch: pa.Table) -> pa.Table:
+        # vectorized presence extraction (polars); pair generation runs
+        # over the tiny per-doc distinct lists (<= |gazetteer| each)
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        present = (
+            pl.from_arrow(batch.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").fill_null("").str.split(" ").alias("w"))
+            .drop("text")
+            .explode("w")
+            .filter(pl.col("w").is_in(GAZETTEER))
+            .with_columns(pl.col("w").str.to_uppercase())
+            .unique()
+            .group_by("doc_id")
+            .agg(pl.col("w").sort().alias("names"))
+        )
         srcs, dsts = [], []
-        for text in batch.column("text").to_pylist():
-            present = sorted({w.upper() for w in (text or "").split(" ") if w in gaz})
-            for i in range(len(present)):
-                for j in range(i + 1, len(present)):
-                    srcs.append(present[i])
-                    dsts.append(present[j])
+        for names in present.get_column("names").to_list():
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    srcs.append(names[i])
+                    dsts.append(names[j])
         return pa.Table.from_pydict(
             {
                 "src": pa.array(srcs, type=pa.string()),
@@ -109,7 +127,7 @@ def _presence_pairs(sf_dir: str):
             }
         )
 
-    return _docs(sf_dir).select_columns(["text"]).map_batches(
+    return _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         pairs, batch_format="pyarrow"
     )
 
@@ -472,16 +490,23 @@ def similarity_topk_ivf(sf_dir: str):
 
 def text_token_stats(sf_dir: str):
     def stats(batch: pa.Table) -> pa.Table:
-        n_tok, n_dist = [], []
-        for text in batch.column("text").to_pylist():
-            ws = (text or "").split(" ")
-            n_tok.append(len(ws))
-            n_dist.append(len(set(ws)))
+        # vectorized in polars (Rust): split + list length / n_unique
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        toks = (
+            pl.from_arrow(batch.select(["text"]))
+            .get_column("text")
+            .fill_null("")
+            .str.split(" ")
+        )
         return pa.Table.from_pydict(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array(n_tok, type=pa.int64()),
-                "n_distinct": pa.array(n_dist, type=pa.int64()),
+                "n_tokens": toks.list.len().cast(pl.Int64).to_arrow(),
+                "n_distinct": toks.list.n_unique().cast(pl.Int64).to_arrow(),
             }
         )
 
@@ -499,15 +524,20 @@ FROM documents
 
 def text_lang_quality(sf_dir: str):
     def per_doc(batch: pa.Table) -> pa.Table:
-        has_the = [
-            1 if " the " in f" {t or ''} " else 0
-            for t in batch.column("text").to_pylist()
-        ]
+        import pyarrow.compute as pc
+
+        # vectorized ' the ' containment with the same edge semantics as
+        # the SQL's ' '||text||' ' padding (last arg = separator)
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), batch.column("text").cast(pa.string()),
+            pa.scalar(" "), pa.scalar(""),
+        )
+        has_the = pc.match_substring(padded, " the ").cast(pa.int64())
         return pa.Table.from_pydict(
             {
                 "lang": batch.column("lang"),
                 "n_chars": batch.column("n_chars"),
-                "has_the": pa.array(has_the, type=pa.int64()),
+                "has_the": has_the,
             }
         )
 
