@@ -95,3 +95,43 @@ def filter_pending(docs, manifest_dir: str):
             return batch.filter(mask)
 
     return docs.map_batches(Pending, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def read_text_directory(path: str, encoding: str = "utf-8",
+                        file_extensions: list[str] | None = None):
+    """Directory of raw text files -> interleaved-document Dataset.
+
+    S1 parity with the reference's LangChain ``DirectoryLoader``
+    (load_documents/run.py:37): one document per file, ``doc_id`` =
+    path relative to ``path`` (so the processed-checkpoint resume
+    filters by the same identifier the reference's checkpoint.txt
+    records).  Reads distribute via ``read_binary_files`` — no file
+    touches the driver.
+    """
+    import pyarrow as pa
+    import ray.data
+
+    from knowledge_graph_ray.corpus import CORPUS_SCHEMA
+
+    root = os.path.abspath(path)
+    ds = ray.data.read_binary_files(
+        root, include_paths=True,
+        file_extensions=file_extensions or ["txt", "md", "text"],
+    )
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        doc_ids, spans = [], []
+        for p, blob in zip(paths, blobs):
+            rel = os.path.relpath(p, root) if os.path.isabs(p) else p
+            doc_ids.append(rel)
+            text = blob.decode(encoding, errors="replace")
+            spans.append(
+                [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+            )
+        return pa.Table.from_pydict(
+            {"doc_id": doc_ids, "spans": spans}, schema=CORPUS_SCHEMA
+        )
+
+    return ds.map_batches(to_docs, batch_format="pyarrow")

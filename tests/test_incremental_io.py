@@ -1,6 +1,8 @@
 """Tests: incremental G8 merge, resume source filtering, hash_join,
 embedding stage, strategy registry."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -232,3 +234,35 @@ def test_export_shape(tmp_path):
     # span-sequence survives the parquet round trip (per-row invariant)
     spans = tus.column("span_seq").to_pylist()
     assert any(s for s in spans)
+
+
+def test_read_text_directory(tmp_path):
+    from knowledge_graph_ray.sources.io import filter_pending, read_text_directory
+
+    sub = tmp_path / "corpus" / "nested"
+    sub.mkdir(parents=True)
+    (tmp_path / "corpus" / "a.txt").write_text("Helios Energy expands. Acme works with Helios Energy.")
+    (sub / "b.md").write_text("Second doc text here.")
+    (tmp_path / "corpus" / "ignore.bin").write_bytes(b"\x00\x01")
+
+    ds = read_text_directory(str(tmp_path / "corpus"))
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.doc_id) == ["a.txt", os.path.join("nested", "b.md")]
+    assert df.spans[0][0]["text"].startswith("Helios Energy")
+    assert df.spans[0][0]["kind"] == "text"
+
+    # the resume filter composes with path-based doc ids
+    from knowledge_graph_ray.sources.io import record_completed_docs
+
+    mdir = str(tmp_path / "manifest")
+    record_completed_docs(mdir, "p0", ["a.txt"])
+    pending = filter_pending(ds, mdir).to_pandas()
+    assert list(pending.doc_id) == [os.path.join("nested", "b.md")]
+
+    # and feeds the real pipeline
+    from knowledge_graph_ray.config import PipelineConfig
+    from knowledge_graph_ray.pipelines.build import build_graph
+
+    tables = build_graph(ds, PipelineConfig(chunk_size=32, chunk_overlap=8))
+    ents = tables.entities.to_pandas()
+    assert "HELIOS ENERGY" in set(ents.name)
