@@ -752,29 +752,37 @@ def events_asof_join(sf_dir: str):
     tie-stable even when several clicks share a second."""
     from knowledge_graph_ray.stages.windows import asof_join_backward
 
-    def prep(kind):
-        def body(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-            mask = pc.equal(batch.column("event_type"), kind)
-            b = batch.filter(mask)
-            ts_s = pc.divide(b.column("ts").cast(pa.int64()), 1_000_000)
-            return pa.Table.from_pydict(
-                {
-                    "event_id": b.column("event_id"),
-                    "user_id": b.column("user_id"),
-                    "ts_s": ts_s.cast(pa.int64()),
-                }
-            )
+        mask = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["purchase", "click"]))
+        b = batch.filter(mask)
+        ts_s = pc.divide(b.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.Table.from_pydict(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_s": ts_s.cast(pa.int64()),
+                "event_type": b.column("event_type"),
+            }
+        )
 
-        return body
+    # one parquet scan + one prep pass, materialized; the two sides are
+    # cheap filters over the pinned blocks.  project() not
+    # select_columns: two projected branches of one upstream in a fused
+    # union DAG lose their Project ops (see functions/joins.project)
+    from knowledge_graph_ray.functions.joins import project
 
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(prep, batch_format="pyarrow").materialize()
+    purchases = project(
+        events.filter(expr="event_type == 'purchase'"),
+        ["event_id", "user_id", "ts_s"],
     )
-    purchases = events.map_batches(prep("purchase"), batch_format="pyarrow")
-    clicks = events.map_batches(prep("click"), batch_format="pyarrow").select_columns(
-        ["user_id", "ts_s"]
+    clicks = project(
+        events.filter(expr="event_type == 'click'"), ["user_id", "ts_s"]
     )
     joined = asof_join_backward(purchases, clicks, by="user_id", on="ts_s")
 
@@ -1167,6 +1175,41 @@ def kg_communities(sf_dir: str):
     return tables.communities
 
 
+def kg_incremental_entities(sf_dir: str):
+    """Rows-only: G8 incremental old/new merge under the driver gate —
+    canonicalize the first half of the documents, convert the canonical
+    table back to partials, union with the second half's fresh mentions
+    and re-merge.  Equality with the single full run is asserted in
+    pytest (test_incremental_merge_equals_full_run); here the incremental
+    path itself produces the returned table."""
+    from knowledge_graph_ray.config import PipelineConfig
+    from knowledge_graph_ray.pipelines.build import build_graph
+    from knowledge_graph_ray.stages.canonicalize import (
+        incremental_canonicalize_entities,
+    )
+    from knowledge_graph_ray.stages.extract import CooccurrenceExtractor
+
+    cfg = PipelineConfig(chunk_size=256, chunk_overlap=16,
+                         extract_use_actor_pool=False)
+    vocab = [(w, "organization") for w in FLAGSHIP_GAZETTEER]
+    docs = _docs(sf_dir)
+    n = docs.count()
+    half = n // 2
+    first = docs.filter(expr=f"doc_id < {half}").map_batches(
+        docs_table_to_interleaved, batch_format="pyarrow"
+    )
+    second = docs.filter(expr=f"doc_id >= {half}").map_batches(
+        docs_table_to_interleaved, batch_format="pyarrow"
+    )
+    prev = build_graph(first, cfg, extractor_cls=CooccurrenceExtractor,
+                       vocabulary=vocab).entities.materialize()
+    new_mentions = build_graph(second, cfg, extractor_cls=CooccurrenceExtractor,
+                               vocabulary=vocab).mentions
+    return incremental_canonicalize_entities(prev, new_mentions).select_columns(
+        ["name", "type", "n_mentions"]
+    )
+
+
 def kg_hierarchy(sf_dir: str):
     """Rows-only: the G5 community-hierarchy table (parent -> next-level
     sub-community with size).  ``max_louvain_nodes=8`` makes the
@@ -1215,6 +1258,7 @@ QUERIES = {
     "dedup_sketch_recall": dedup_sketch_recall,
     "dedup_groups": dedup_groups,
     "kg_hierarchy": kg_hierarchy,
+    "kg_incremental_entities": kg_incremental_entities,
     "similarity_topk": similarity_topk,
     "similarity_topk_ivf": similarity_topk_ivf,
     "text_token_stats": text_token_stats,
