@@ -1,0 +1,30 @@
+"""Task-pool map_batches with a per-worker-process callable cache.
+
+For stages whose callable state is CHEAP to build (compiled regexes,
+hash-permutation params) an actor pool is the wrong shape: a fresh pool
+costs ~2-4s startup latency that can dominate a sub-second stage.  A
+plain task pool with the callable constructed once per worker PROCESS
+(not per batch) keeps the state-reuse property and scales elastically.
+
+Keep real actor pools for stages whose setup is genuinely expensive
+(model weights, external clients) — see stages/extract.extract_mentions.
+"""
+
+from __future__ import annotations
+
+_PROCESS_CACHE: dict = {}
+
+
+def cached_class_map(ds, cls, batch_size: int = 1024, **ctor_kwargs):
+    """map_batches(cls(**ctor_kwargs)) as a task pool, constructing the
+    callable once per worker process."""
+    cache_key = (cls.__module__, cls.__qualname__,
+                 repr(sorted(ctor_kwargs.items())))
+
+    def body(batch):
+        fn = _PROCESS_CACHE.get(cache_key)
+        if fn is None:
+            fn = _PROCESS_CACHE[cache_key] = cls(**ctor_kwargs)
+        return fn(batch)
+
+    return ds.map_batches(body, batch_format="pyarrow", batch_size=batch_size)

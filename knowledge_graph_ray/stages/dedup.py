@@ -117,16 +117,15 @@ class MinHasher:
 
 def minhash_signatures(ds, num_perm=128, ngram=3, seed=6969,
                        text_column="text", id_column="doc_id",
-                       concurrency=(1, 8), batch_size=1024):
-    return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, ngram=ngram, seed=seed,
-            text_column=text_column, id_column=id_column,
-        ),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+                       batch_size=1024):
+    # task pool + per-process cache: the permutation params are cheap to
+    # build, and a fresh actor pool costs ~2-4s startup (poolcache.py)
+    from knowledge_graph_ray.functions.poolcache import cached_class_map
+
+    return cached_class_map(
+        ds, MinHasher, batch_size=batch_size,
+        num_perm=num_perm, ngram=ngram, seed=seed,
+        text_column=text_column, id_column=id_column,
     )
 
 
@@ -298,18 +297,17 @@ class SimHasher:
 
 
 def simhash_pairs(ds, max_hamming: int = 3, text_column="text", id_column="doc_id",
-                  concurrency=(1, 8), max_bucket: int = 2000):
+                  max_bucket: int = 2000):
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Pigeonhole LSH: split 64 bits into 4 16-bit chunks; distance <= 3
     guarantees at least one identical chunk -> bucket groupby per chunk,
     exact hamming verify inside buckets (no false negatives for <= 3).
     """
-    hashed = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(text_column=text_column, id_column=id_column),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+    from knowledge_graph_ray.functions.poolcache import cached_class_map
+
+    hashed = cached_class_map(
+        ds, SimHasher, text_column=text_column, id_column=id_column
     )
 
     def chunk_rows(batch: pa.Table) -> pa.Table:

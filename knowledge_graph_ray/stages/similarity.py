@@ -61,15 +61,14 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     q_unit = _unit(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(q_unit)
 
-    class LocalTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)  # fetched once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    # task pool, not actor pool: ray.get of the broadcast matrix is
+    # node-local cached, and a fresh actor pool costs ~2-4s startup
+    def local_topk_batch(batch: pa.Table) -> pa.Table:
+            q = ray.get(q_ref)
             ids = [str(i) for i in batch.column(id_column).to_pylist()]
             id_key = _id_sort_key(ids)
             mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
-            sims = self.q @ mat.T  # (Q, B)
+            sims = q @ mat.T  # (Q, B)
             take = min(k, sims.shape[1])
             rows = []
             for qi in range(sims.shape[0]):
@@ -92,8 +91,8 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                 ),
             )
 
-    local = ds.map_batches(LocalTopK, batch_format="pyarrow", batch_size=4096,
-                           concurrency=(1, 8))
+    local = ds.map_batches(local_topk_batch, batch_format="pyarrow",
+                           batch_size=4096)
 
     def merge_topk(group: pd.DataFrame) -> pa.Table:
         top = (
@@ -137,17 +136,13 @@ def ivf_assign(ds, centroids: np.ndarray, vec_column: str = "embedding"):
 
     c_ref = ray.put(_unit(np.asarray(centroids, dtype=np.float64)))
 
-    class Assign:
-        def __init__(self):
-            self.c = ray.get(c_ref)
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)  # node-local cached
+        mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
+        bucket = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(bucket, type=pa.int32()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
-            bucket = np.argmax(mat @ self.c.T, axis=1).astype(np.int32)
-            return batch.append_column("ivf_bucket", pa.array(bucket, type=pa.int32()))
-
-    return ds.map_batches(Assign, batch_format="pyarrow", batch_size=4096,
-                          concurrency=(1, 8))
+    return ds.map_batches(assign_batch, batch_format="pyarrow", batch_size=4096)
 
 
 def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
@@ -174,39 +169,36 @@ def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
     q_ref = ray.put(q)
     probe_ref = ray.put(probe_sets)
 
-    class LocalTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-            self.probes = ray.get(probe_ref)
+    def local_topk_batch(batch: pa.Table) -> pa.Table:
+        q_m = ray.get(q_ref)
+        probe_s = ray.get(probe_ref)
+        ids = [str(i) for i in batch.column(id_column).to_pylist()]
+        id_key = _id_sort_key(ids)
+        buckets = batch.column("ivf_bucket").to_pylist()
+        mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
+        sims = q_m @ mat.T
+        rows = []
+        for qi in range(sims.shape[0]):
+            allowed = probe_s[qi]
+            order = np.lexsort((id_key, -sims[qi]))
+            taken = 0
+            for j in order:
+                if buckets[j] in allowed:
+                    rows.append({"query_id": qi, "vec_id": ids[j],
+                                 "cosine": float(sims[qi, j])})
+                    taken += 1
+                    if taken >= k:
+                        break
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [("query_id", pa.int64()), ("vec_id", pa.string()),
+                 ("cosine", pa.float64())]
+            ),
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = [str(i) for i in batch.column(id_column).to_pylist()]
-            id_key = _id_sort_key(ids)
-            buckets = batch.column("ivf_bucket").to_pylist()
-            mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
-            sims = self.q @ mat.T
-            rows = []
-            for qi in range(sims.shape[0]):
-                allowed = self.probes[qi]
-                order = np.lexsort((id_key, -sims[qi]))
-                taken = 0
-                for j in order:
-                    if buckets[j] in allowed:
-                        rows.append({"query_id": qi, "vec_id": ids[j],
-                                     "cosine": float(sims[qi, j])})
-                        taken += 1
-                        if taken >= k:
-                            break
-            return pa.Table.from_pylist(
-                rows,
-                schema=pa.schema(
-                    [("query_id", pa.int64()), ("vec_id", pa.string()),
-                     ("cosine", pa.float64())]
-                ),
-            )
-
-    local = filtered.map_batches(LocalTopK, batch_format="pyarrow",
-                                 batch_size=4096, concurrency=(1, 8))
+    local = filtered.map_batches(local_topk_batch, batch_format="pyarrow",
+                                 batch_size=4096)
 
     def merge_topk(group: pd.DataFrame) -> pa.Table:
         top = (

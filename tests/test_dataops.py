@@ -39,7 +39,7 @@ def _near_dup_corpus():
 
 def test_minhash_lsh_finds_near_dups():
     ds = _near_dup_corpus()
-    sigs = dedup.minhash_signatures(ds, num_perm=128, ngram=3, concurrency=1)
+    sigs = dedup.minhash_signatures(ds, num_perm=128, ngram=3)
     pairs = dedup.minhash_lsh_pairs(sigs, num_bands=16, threshold=0.7).to_pandas()
     found = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
     assert ("d1", "d2") in found
@@ -54,7 +54,7 @@ def test_minhash_lsh_finds_near_dups():
 
 def test_simhash_pairs():
     ds = _near_dup_corpus()
-    pairs = dedup.simhash_pairs(ds, max_hamming=3, concurrency=1).to_pandas()
+    pairs = dedup.simhash_pairs(ds, max_hamming=3).to_pandas()
     found = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
     assert ("d1", "d2") in found
     zero = pairs[(pairs.a == "d1") & (pairs.b == "d2")]
@@ -152,7 +152,7 @@ def test_textstats():
             {"doc_id": "x", "text": ""},
         ]
     )
-    got = textstats.analyze_text(ds, concurrency=1).to_pandas().set_index("doc_id")
+    got = textstats.analyze_text(ds).to_pandas().set_index("doc_id")
     assert got.loc["e", "lang_pred"] == "en"
     assert got.loc["f", "lang_pred"] == "fr"
     assert got.loc["z", "lang_pred"] == "zh"
@@ -173,20 +173,20 @@ def test_multimodal_plumbing():
     refs = multimodal.media_refs_from_docs(docs)
     n_refs = refs.count()
     assert n_refs > 0
-    media = multimodal.fetch_media(refs, payload_bytes=2048, concurrency=1)
-    feats = multimodal.decode_media(media, concurrency=1).to_pandas()
+    media = multimodal.fetch_media(refs, payload_bytes=2048)
+    feats = multimodal.decode_media(media).to_pandas()
     assert len(feats) == n_refs
     assert all(len(f) == multimodal.FEATURE_DIM for f in feats.feature)
     # determinism: same ref -> same feature
     again = multimodal.decode_media(
-        multimodal.fetch_media(refs, payload_bytes=2048, concurrency=1), concurrency=1
+        multimodal.fetch_media(refs, payload_bytes=2048), concurrency=1
     ).to_pandas()
     merged = feats.merge(again, on="media_ref")
     assert all(
         np.allclose(x, y) for x, y in zip(merged.feature_x, merged.feature_y)
     )
     frames = multimodal.sample_frames(
-        multimodal.fetch_media(refs, payload_bytes=2048, concurrency=1)
+        multimodal.fetch_media(refs, payload_bytes=2048)
     ).to_pandas()
     assert (frames.byte_offset % 1024 == 0).all()
     with pytest.raises(NotImplementedError):
@@ -239,7 +239,7 @@ def test_real_media_pipeline_end_to_end():
     refs = multimodal.media_refs_from_docs(docs)
     n_refs = refs.count()
     assert n_refs > 0
-    media = multimodal.fetch_media_real(refs, concurrency=1).materialize()
+    media = multimodal.fetch_media_real(refs).materialize()
     feats = multimodal.decode_media(
         media, codec_cls=multimodal.StdlibCodec, concurrency=1
     ).to_pandas()
@@ -250,7 +250,7 @@ def test_real_media_pipeline_end_to_end():
 
     # determinism
     again = multimodal.decode_media(
-        multimodal.fetch_media_real(refs, concurrency=1),
+        multimodal.fetch_media_real(refs),
         codec_cls=multimodal.StdlibCodec, concurrency=1,
     ).to_pandas().sort_values("media_ref").reset_index(drop=True)
     first = feats.sort_values("media_ref").reset_index(drop=True)
