@@ -119,12 +119,20 @@ def detect_communities(
     max_louvain_nodes: int = MAX_LOUVAIN_COMPONENT_NODES,
     clustering_num_cpus: float | None = None,
     clustering_memory: float | None = None,
+    driver_threshold: int = 100_000,
 ):
     """-> Dataset[(level:int, community:str, name:str)].
 
     ``components``: Dataset[(name, component)] from connected_components.
     ``use_lcc`` mirrors the reference default (cluster only the largest
     connected component, leiden.py:51-52).
+
+    Size-adaptive (same pattern as connected_components): graphs whose
+    clustered node count is provably <= ``driver_threshold`` run the
+    hierarchy locally on the driver — clustering is per-component
+    sequential work anyway, and the shuffle rounds cost more than the
+    computation for small graphs.  Larger graphs take the distributed
+    component-parallel path.
     """
     import pyarrow as pa
 
@@ -144,6 +152,33 @@ def detect_communities(
         components = components.filter(
             expr=f"component == {largest!r}"
         )
+
+    if (components.count() <= driver_threshold
+            and relationships.count() <= driver_threshold):
+        # driver fast path: pull the (PROVABLY bounded — both counts
+        # checked) node/edge lists once, cluster locally, return the
+        # table — zero shuffle rounds
+        import ray.data as rd
+
+        comp_pdf = components.to_pandas()
+        comp_of = dict(zip(comp_pdf["name"], comp_pdf["component"]))
+        rels_pdf = relationships.select_columns(
+            ["src", "dst", "weight"]
+        ).to_pandas()
+        rows: list[dict] = []
+        for component, sub in comp_pdf.groupby("component"):
+            g = nx.Graph()
+            g.add_nodes_from(sub["name"])
+            in_comp = rels_pdf[rels_pdf["src"].map(comp_of) == component]
+            for src, dst, w in zip(in_comp["src"], in_comp["dst"],
+                                   in_comp["weight"]):
+                if dst in g:
+                    g.add_edge(src, dst, weight=w)
+            rows.extend(
+                _cluster_component(g, component, max_cluster_size, seed,
+                                   max_louvain_nodes)
+            )
+        return rd.from_arrow(pa.Table.from_pylist(rows, schema=_community_schema()))
 
     # tag edges with the component of their src (dst is in the same component)
     from knowledge_graph_ray.functions.joins import project

@@ -343,3 +343,19 @@ def test_export_reference_layout(tmp_path, graph_tables):
         "graph_embedding", "text_unit_ids",
     ]
     assert len(node) == len(ent) == ents.count()
+
+
+def test_detect_communities_driver_path_equals_distributed(graph_tables):
+    from knowledge_graph_ray.stages.community import detect_communities
+
+    entities, relationships = graph_tables
+    comps = connected_components(entities, relationships, num_partitions=4).materialize()
+    a = detect_communities(comps, relationships, max_cluster_size=3,
+                           num_partitions=4).to_pandas()
+    b = detect_communities(comps, relationships, max_cluster_size=3,
+                           num_partitions=4, driver_threshold=0).to_pandas()
+    key = ["level", "community", "name"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
