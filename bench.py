@@ -108,8 +108,9 @@ def run_bench() -> dict:
         max_sources_per_key=256,
     )
     tables = build_graph(docs, cfg)
-    consume(tables.entities)
-    consume(tables.relationships)
+    from knowledge_graph_ray.functions.poolcache import materialize_concurrently
+
+    materialize_concurrently([tables.entities, tables.relationships])
     synth_sec = time.time() - t0
     timings["kg_synthetic_corpus"] = round(synth_sec, 3)
 
@@ -231,8 +232,10 @@ def run_scaling_worker() -> dict:
         max_sources_per_key=256,
     )
     tables = build_graph(docs, cfg)
-    n_ents = consume(tables.entities)
-    n_rels = consume(tables.relationships)
+    from knowledge_graph_ray.functions.poolcache import materialize_concurrently
+
+    ents, rels = materialize_concurrently([tables.entities, tables.relationships])
+    n_ents, n_rels = ents.count(), rels.count()
     sec = time.time() - t0
     calib = _calibrate_raw_cpu(NUM_CPUS)
     out = {

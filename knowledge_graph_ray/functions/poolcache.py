@@ -28,3 +28,17 @@ def cached_class_map(ds, cls, batch_size: int = 1024, **ctor_kwargs):
         return fn(batch)
 
     return ds.map_batches(body, batch_format="pyarrow", batch_size=batch_size)
+
+
+def materialize_concurrently(datasets: list):
+    """Materialize independent Datasets in parallel driver threads.
+
+    Ray Data executes one streaming DAG per materialize() call; driving
+    two independent DAGs (e.g. entity and relationship canonicalization,
+    which both scan the pinned mentions) from separate threads overlaps
+    their shuffles instead of idling the cluster between barriers.
+    """
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(len(datasets)) as ex:
+        return list(ex.map(lambda d: d.materialize(), datasets))

@@ -170,27 +170,58 @@ def build_knowledge_graph(
         **extractor_kwargs,
     )
 
-    entities = staged(
-        lambda: summarize_descriptions(
-            core.entities,
-            max_input_tokens=cfg.max_summary_input_tokens,
-            max_summary_length=cfg.max_summary_length,
-        ),
-        "entities_summarized",
-    )
-    relationships = staged(
-        lambda: summarize_descriptions(core.relationships), "relationships_summarized"
-    )
+    if checkpoint_dir is None:
+        # independent DAGs over the pinned mentions — overlap their
+        # shuffles in driver threads instead of idling between barriers
+        from knowledge_graph_ray.functions.poolcache import (
+            materialize_concurrently,
+        )
+
+        entities, relationships = materialize_concurrently(
+            [
+                summarize_descriptions(
+                    core.entities,
+                    max_input_tokens=cfg.max_summary_input_tokens,
+                    max_summary_length=cfg.max_summary_length,
+                ),
+                summarize_descriptions(core.relationships),
+            ]
+        )
+    else:
+        entities = staged(
+            lambda: summarize_descriptions(
+                core.entities,
+                max_input_tokens=cfg.max_summary_input_tokens,
+                max_summary_length=cfg.max_summary_length,
+            ),
+            "entities_summarized",
+        )
+        relationships = staged(
+            lambda: summarize_descriptions(core.relationships),
+            "relationships_summarized",
+        )
 
     degrees = compute_degrees(relationships).materialize()
-    entities = staged(
-        lambda: attach_entity_degrees(entities, degrees, num_partitions),
-        "entities_degreed",
-    )
-    relationships = staged(
-        lambda: attach_edge_degrees(relationships, degrees, num_partitions),
-        "relationships_degreed",
-    )
+    if checkpoint_dir is None:
+        from knowledge_graph_ray.functions.poolcache import (
+            materialize_concurrently,
+        )
+
+        entities, relationships = materialize_concurrently(
+            [
+                attach_entity_degrees(entities, degrees, num_partitions),
+                attach_edge_degrees(relationships, degrees, num_partitions),
+            ]
+        )
+    else:
+        entities = staged(
+            lambda: attach_entity_degrees(entities, degrees, num_partitions),
+            "entities_degreed",
+        )
+        relationships = staged(
+            lambda: attach_edge_degrees(relationships, degrees, num_partitions),
+            "relationships_degreed",
+        )
 
     components = connected_components(entities, relationships, num_partitions=num_partitions)
     communities = staged(
