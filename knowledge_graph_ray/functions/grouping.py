@@ -25,14 +25,47 @@ _BUCKET = "__gb"
 
 
 def bucketed_group_map(ds, keys: list[str], fn, num_buckets: int = 64,
-                       dropna: bool = False, empty_schema: pa.Schema | None = None):
+                       dropna: bool = False, empty_schema: pa.Schema | None = None,
+                       driver_threshold: int | None = None):
     """Apply ``fn(sub_df) -> pyarrow.Table`` per distinct key group.
 
     ``fn`` must always return an Arrow table with a fixed schema (may be
     empty).  ``dropna=True`` skips groups whose key is null (pandas
     groupby semantics, used where the reference drops NaN keys);
     ``empty_schema`` is returned for buckets left with zero groups.
+
+    ``driver_threshold``: size-adaptive final merge — when set, ``ds``
+    is materialized and, if its row count is PROVABLY <= the threshold
+    (e.g. combiner-compressed partial rows), the group merge runs on the
+    driver in one pass instead of paying an all-to-all sort round
+    (~4s of fixed latency at 32 CPUs regardless of data size).  Larger
+    inputs take the distributed path unchanged.
     """
+    if driver_threshold is not None:
+        ds = ds.materialize()
+        if ds.count() <= driver_threshold:
+            import ray.data as rd
+
+            pdf = ds.to_pandas()
+            if pdf.empty:
+                if empty_schema is not None:
+                    return rd.from_arrow(empty_schema.empty_table())
+                raise RuntimeError(
+                    "bucketed_group_map: empty input needs empty_schema"
+                )
+            group_keys = keys[0] if len(keys) == 1 else keys
+            out = [
+                fn(sub)
+                for _, sub in pdf.groupby(group_keys, sort=False, dropna=dropna)
+            ]
+            out = [t for t in out if t is not None]
+            if not out:
+                if empty_schema is not None:
+                    return rd.from_arrow(empty_schema.empty_table())
+                raise RuntimeError(
+                    "bucketed_group_map: no groups (pass empty_schema)"
+                )
+            return rd.from_arrow(pa.concat_tables(out, promote_options="default"))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(

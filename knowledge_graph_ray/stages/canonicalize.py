@@ -238,7 +238,8 @@ def _merge_entity_group(group: pd.DataFrame, max_descriptions: int | None = None
 
 def canonicalize_entities(mentions, batch_size: int = 32768, num_buckets: int = 64,
                           max_descriptions: int | None = None,
-                          max_sources: int | None = None):
+                          max_sources: int | None = None,
+                          driver_threshold: int = 200_000):
     """Dataset[mention] -> Dataset[entity] (the G1 shuffle).
 
     Final merge runs via bucketed_group_map: one Ray task per key-hash
@@ -265,6 +266,8 @@ def canonicalize_entities(mentions, batch_size: int = 32768, num_buckets: int = 
             max_sources=max_sources,
         ),
         num_buckets=num_buckets,
+        driver_threshold=driver_threshold,
+        empty_schema=ENTITY_SCHEMA,
     )
 
 
@@ -342,7 +345,8 @@ def _merge_edge_group(group: pd.DataFrame, max_descriptions: int | None = None,
 
 def canonicalize_relationships(mentions, batch_size: int = 32768, num_buckets: int = 64,
                                max_descriptions: int | None = None,
-                               max_sources: int | None = None):
+                               max_sources: int | None = None,
+                               driver_threshold: int = 200_000):
     """Dataset[mention] -> Dataset[relationship] (the G2 shuffle)."""
     import functools
 
@@ -366,6 +370,8 @@ def canonicalize_relationships(mentions, batch_size: int = 32768, num_buckets: i
             max_sources=max_sources,
         ),
         num_buckets=num_buckets,
+        driver_threshold=driver_threshold,
+        empty_schema=RELATIONSHIP_SCHEMA,
     )
 
 
