@@ -23,10 +23,13 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "20000"))
 # --scaling needs enough work to amortize fixed costs (shuffle round
-# latency, materialize barriers) at 32 CPUs: ~0.26 efficiency at 20k
-# docs, ~0.63 at 200k, 0.825 at 800k.  The sandbox host also throttles
-# under sustained load (raw-CPU 4x control measured alongside).
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "800000"))
+# latency, materialize barriers) at 32 CPUs; after the round-2 per-core
+# speedups the knee moved out — 1.6M docs needed where 800k sufficed.
+# The sandbox host also throttles under sustained load (its raw-CPU 4x
+# delivery varies 0.48-1.04 between windows), so the JSON embeds a
+# raw-CPU control; normalized_efficiency = pipeline / host is the
+# robust metric.
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "1600000"))
 
 BENCH_QUERIES = [
     "kg_entity_merge",
