@@ -112,7 +112,10 @@ def grouped_topk(ds, group_cols: list[str], order_col: str, k: int,
         df = batch.to_pandas()
         top = (
             df.sort_values(sort_cols, ascending=ascending, kind="stable")
-            .groupby(group_cols, sort=False)
+            # dropna=False to match the final bucketed_group_map pass —
+            # pandas' default dropna=True would silently discard
+            # null-key rows in the combiner only
+            .groupby(group_cols, sort=False, dropna=False)
             .head(k)
         )
         return pa.Table.from_pandas(top, preserve_index=False)

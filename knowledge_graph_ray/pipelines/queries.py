@@ -846,11 +846,18 @@ def topk_customers_per_nation(sf_dir: str,
         nation_ref = ray.put(nation)
 
         def attach_nation(batch: pa.Table) -> pa.Table:
+            # inner-join semantics in BOTH regimes: drop rows whose key
+            # is absent from the dimension (reindex yields NaN there,
+            # which would otherwise crash the int64 Arrow build)
             lookup = ray.get(nation_ref)
             keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
-            vals = lookup.reindex(keys).to_numpy()
+            vals = lookup.reindex(keys)
+            matched = vals.notna().to_numpy()
+            if not matched.all():
+                batch = batch.filter(pa.array(matched))
+                vals = vals[matched]
             return batch.append_column(
-                "c_nationkey", pa.array(vals, type=pa.int64())
+                "c_nationkey", pa.array(vals.to_numpy(), type=pa.int64())
             )
 
         joined = rev.map_batches(attach_nation, batch_format="pyarrow")
@@ -977,11 +984,18 @@ def join_revenue_by_segment(sf_dir: str, broadcast_max: int = BROADCAST_KEYS_MAX
         # (ray.get of a plasma ref is node-local cached) and a fresh
         # actor pool costs ~2-4s startup for sub-second work
         def attach_segment(batch: pa.Table) -> pa.Table:
+            # inner-join semantics in BOTH regimes: drop unmatched keys
+            # (reindex yields NaN, which would crash the string Arrow
+            # build) so broadcast and shuffle paths return the same rows
             lookup = ray.get(seg_ref)
             keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            segs = lookup.reindex(keys).to_numpy()
+            segs = lookup.reindex(keys)
+            matched = segs.notna().to_numpy()
+            if not matched.all():
+                batch = batch.filter(pa.array(matched))
+                segs = segs[matched]
             return batch.append_column(
-                "c_mktsegment", pa.array(segs, type=pa.string())
+                "c_mktsegment", pa.array(segs.to_numpy(), type=pa.string())
             )
 
         joined = orders.map_batches(attach_segment, batch_format="pyarrow")

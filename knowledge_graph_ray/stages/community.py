@@ -165,15 +165,23 @@ def detect_communities(
         rels_pdf = relationships.select_columns(
             ["src", "dst", "weight"]
         ).to_pandas()
+        # stamp each edge's component ONCE (was an O(components x edges)
+        # re-scan per component); both endpoints must map to the same
+        # component — under use_lcc, out-of-LCC endpoints map to NaN and
+        # the edge drops, matching the old `dst in g` check
+        rels_pdf = rels_pdf.assign(component=rels_pdf["src"].map(comp_of))
+        rels_pdf = rels_pdf[
+            rels_pdf["component"].notna()
+            & (rels_pdf["dst"].map(comp_of) == rels_pdf["component"])
+        ]
+        edges_by_comp = dict(tuple(rels_pdf.groupby("component", sort=False)))
         rows: list[dict] = []
         for component, sub in comp_pdf.groupby("component"):
             g = nx.Graph()
             g.add_nodes_from(sub["name"])
-            in_comp = rels_pdf[rels_pdf["src"].map(comp_of) == component]
-            for src, dst, w in zip(in_comp["src"], in_comp["dst"],
-                                   in_comp["weight"]):
-                if dst in g:
-                    g.add_edge(src, dst, weight=w)
+            e = edges_by_comp.get(component)
+            if e is not None:
+                g.add_weighted_edges_from(zip(e["src"], e["dst"], e["weight"]))
             rows.extend(
                 _cluster_component(g, component, max_cluster_size, seed,
                                    max_louvain_nodes)

@@ -107,15 +107,16 @@ def _signature(edges) -> tuple:
     check.  Three independent order-insensitive sums make a false
     convergence report (collision across all three plus equal count)
     astronomically unlikely."""
-    import zlib
+    from knowledge_graph_ray.functions.hashing import hash_rows_u64
 
     def body(batch: pa.Table) -> pa.Table:
-        # zlib.crc32 is process-stable (Python str hash is salted per process)
-        us = batch.column("u").to_pylist()
-        vs = batch.column("v").to_pylist()
-        h = [zlib.crc32(f"{a}|{b}".encode()) for a, b in zip(us, vs)]
-        hu = [zlib.crc32(a.encode()) for a in us]
-        hv = [zlib.crc32(b.encode()) for b in vs]
+        # vectorized process-stable row hashes (Python str hash is salted
+        # per process; a crc32 Python loop here cost more than the round's
+        # shuffle at 10^7 edges).  Masked to 32 bits so int64 sums cannot
+        # overflow below ~2^31 rows.
+        h = (hash_rows_u64(batch, ["u", "v"]) & 0xFFFFFFFF).astype("int64")
+        hu = (hash_rows_u64(batch, ["u"]) & 0xFFFFFFFF).astype("int64")
+        hv = (hash_rows_u64(batch, ["v"]) & 0xFFFFFFFF).astype("int64")
         return pa.Table.from_pydict(
             {
                 "h": pa.array(h, type=pa.int64()),

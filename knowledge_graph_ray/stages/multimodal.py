@@ -2,24 +2,31 @@
 
 The interleaved input schema (BASELINE.json input_hint) carries media
 spans as ``(kind, media_ref)``; at pipeline scale the payload itself is
-an opaque ``binary`` column with typed metadata.  The real codec
-libraries (PIL/ffmpeg/librosa) are NOT in this container, so the decode
-kernels are STUBS behind a clearly-marked strategy seam — the Ray-side
-plumbing (schema, actor pool, batch sizing for wide binary rows, output
-layout) is real and tested.
+an opaque ``binary`` column with typed metadata.  Decoding is REAL for
+the dependency-free formats implemented here (24-bit BMP images via
+struct+numpy, 16-bit PCM WAV audio via the stdlib ``wave`` module, and
+the KGV1 framed video container), including real pixel/sample feature
+extraction and real frame sampling.  Compressed formats (JPEG/MP4/...)
+need external libraries absent from this container — ``RealCodec`` is
+the clearly-marked seam that names the missing dependency.
 
 Stage shapes:
-* ``fetch_media``   — media_ref -> payload bytes (deterministic fake
-                      fetcher; a real one holds an object-store client
+* ``fetch_media`` / ``fetch_media_real`` — media_ref -> payload bytes
+                      (``SyntheticMediaFetcher`` deterministically
+                      renders real BMP/WAV/KGV1 payloads from the ref;
+                      a production fetcher holds an object-store client
                       per actor)
 * ``MediaDecoder``  — actor pool; per-kind decode -> feature vector +
-                      metadata.  ``DeterministicFakeCodec`` hashes bytes
-                      into a fixed-size feature (stable, testable);
-                      ``RealCodec`` raises NotImplementedError naming
-                      the missing dependency.
-* ``sample_frames`` — video frame sampling layout: emits one row per
-                      sampled frame index (flat_map shape) without
-                      decoding.
+                      metadata.  ``StdlibCodec`` decodes BMP/WAV/KGV1
+                      payloads for real; ``DeterministicFakeCodec``
+                      hashes bytes into a fixed-size feature (stable,
+                      testable without payload rendering); ``RealCodec``
+                      raises NotImplementedError naming the missing
+                      dependency for compressed formats.
+* ``sample_frames`` — video frame sampling: emits one row per sampled
+                      frame index (flat_map shape); ``iter_video_frames``
+                      walks real KGV1 frame boundaries without copying
+                      the payload.
 
 Batch sizing: media rows are wide — default ``batch_size=32`` so a batch
 x concurrency of payloads stays within worker heap (the guide's
