@@ -6,7 +6,9 @@ KEY (~1ms overhead each) — ruinous for high-cardinality keys (measured:
 aggregate).  ``bucketed_group_map`` shuffles once on a stable vectorized
 hash bucket of the key (one Ray group per bucket) and iterates the per-key
 sub-groups with a pandas groupby inside the bucket — same semantics, one
-task per bucket.
+task per bucket.  ``bucketed_bucket_map`` is the lower-level form whose
+body receives the WHOLE bucket, for bodies that can vectorize across
+groups (sort/filter once per bucket instead of once per tiny group).
 
 ``num_buckets`` is also the skew lever: it bounds per-task memory to
 ~|dataset|/num_buckets (hot KEYS still colocate — per-key state must fit
@@ -24,48 +26,49 @@ from knowledge_graph_ray.functions.hashing import bucket_column
 _BUCKET = "__gb"
 
 
-def bucketed_group_map(ds, keys: list[str], fn, num_buckets: int = 64,
-                       dropna: bool = False, empty_schema: pa.Schema | None = None,
-                       driver_threshold: int | None = None):
-    """Apply ``fn(sub_df) -> pyarrow.Table`` per distinct key group.
+def bucketed_bucket_map(ds, keys: list[str], bucket_fn, num_buckets: int = 64,
+                        empty_schema: pa.Schema | None = None,
+                        driver_threshold: int | None = None,
+                        size_hint: int | None = None):
+    """Apply ``bucket_fn(bucket_df) -> pyarrow.Table`` once per key-hash
+    bucket; all rows of a key land in the same bucket.
 
-    ``fn`` must always return an Arrow table with a fixed schema (may be
-    empty).  ``dropna=True`` skips groups whose key is null (pandas
-    groupby semantics, used where the reference drops NaN keys);
-    ``empty_schema`` is returned for buckets left with zero groups.
+    ``bucket_fn`` must return an Arrow table with a fixed schema (may be
+    empty); ``empty_schema`` covers the zero-row input case.
 
-    ``driver_threshold``: size-adaptive final merge — when set, ``ds``
-    is materialized and, if its row count is PROVABLY <= the threshold
-    (e.g. combiner-compressed partial rows), the group merge runs on the
-    driver in one pass instead of paying an all-to-all sort round
-    (~4s of fixed latency at 32 CPUs regardless of data size).  Larger
-    inputs take the distributed path unchanged.
+    ``driver_threshold``: size-adaptive final merge — when the input is
+    PROVABLY small, the merge runs on the driver in one pass instead of
+    paying an all-to-all sort round (~4s of fixed latency at 32 CPUs
+    regardless of data size).  Larger inputs take the distributed path.
+
+    ``size_hint``: a cheap caller-supplied row-count upper bound (e.g.
+    the materialized mention count upstream of a combiner).  When the
+    hint already exceeds ``driver_threshold`` the probe is skipped
+    entirely — the hot path stays streaming instead of forcing a full
+    materialize barrier just to learn it is big.  When the hint is under
+    the threshold the driver path runs directly (the hint is an upper
+    bound, so smallness is proven without a count).  Either path is
+    semantically identical; the hint only picks the regime.
     """
-    if driver_threshold is not None:
-        ds = ds.materialize()
-        if ds.count() <= driver_threshold:
-            import ray.data as rd
+    import ray.data as rd
 
+    if driver_threshold is not None and (
+        size_hint is None or size_hint <= driver_threshold
+    ):
+        if size_hint is None:
+            ds = ds.materialize()
+            small = ds.count() <= driver_threshold
+        else:
+            small = True
+        if small:
             pdf = ds.to_pandas()
             if pdf.empty:
                 if empty_schema is not None:
                     return rd.from_arrow(empty_schema.empty_table())
                 raise RuntimeError(
-                    "bucketed_group_map: empty input needs empty_schema"
+                    "bucketed map: empty input needs empty_schema"
                 )
-            group_keys = keys[0] if len(keys) == 1 else keys
-            out = [
-                fn(sub)
-                for _, sub in pdf.groupby(group_keys, sort=False, dropna=dropna)
-            ]
-            out = [t for t in out if t is not None]
-            if not out:
-                if empty_schema is not None:
-                    return rd.from_arrow(empty_schema.empty_table())
-                raise RuntimeError(
-                    "bucketed_group_map: no groups (pass empty_schema)"
-                )
-            return rd.from_arrow(pa.concat_tables(out, promote_options="default"))
+            return rd.from_arrow(bucket_fn(pdf))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -74,12 +77,28 @@ def bucketed_group_map(ds, keys: list[str], fn, num_buckets: int = 64,
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
 
+    def body(group: pd.DataFrame) -> pa.Table:
+        return bucket_fn(group.drop(columns=[_BUCKET]))
+
+    return bucketed.groupby(_BUCKET).map_groups(body, batch_format="pandas")
+
+
+def bucketed_group_map(ds, keys: list[str], fn, num_buckets: int = 64,
+                       dropna: bool = False, empty_schema: pa.Schema | None = None,
+                       driver_threshold: int | None = None,
+                       size_hint: int | None = None):
+    """Apply ``fn(sub_df) -> pyarrow.Table`` per distinct key group.
+
+    ``fn`` must always return an Arrow table with a fixed schema (may be
+    empty).  ``dropna=True`` skips groups whose key is null (pandas
+    groupby semantics, used where the reference drops NaN keys);
+    ``empty_schema`` is returned for buckets left with zero groups.
+    See ``bucketed_bucket_map`` for ``driver_threshold`` / ``size_hint``.
+    """
     group_keys = keys[0] if len(keys) == 1 else keys
 
-    def body(group: pd.DataFrame) -> pa.Table:
-        sub_groups = group.drop(columns=[_BUCKET]).groupby(
-            group_keys, sort=False, dropna=dropna
-        )
+    def bucket_fn(bucket: pd.DataFrame) -> pa.Table:
+        sub_groups = bucket.groupby(group_keys, sort=False, dropna=dropna)
         out = [fn(sub) for _, sub in sub_groups]
         out = [t for t in out if t is not None]
         if not out:
@@ -91,7 +110,11 @@ def bucketed_group_map(ds, keys: list[str], fn, num_buckets: int = 64,
             )
         return pa.concat_tables(out, promote_options="default")
 
-    return bucketed.groupby(_BUCKET).map_groups(body, batch_format="pandas")
+    return bucketed_bucket_map(
+        ds, keys, bucket_fn, num_buckets=num_buckets,
+        empty_schema=empty_schema, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )
 
 
 def grouped_topk(ds, group_cols: list[str], order_col: str, k: int,

@@ -82,15 +82,27 @@ def build_graph(
         )
     elif materialize_mentions:
         mentions = mentions.materialize()
+    # pinned/checkpointed mentions make count() metadata-cheap, and the
+    # mention count upper-bounds the combiner's partial rows (x2 for
+    # entities: a rel row touches both endpoints) — passing it as
+    # size_hint lets the canonicalize merges skip their driver-path
+    # size probe (a full materialize barrier) when the corpus is big
+    n_mentions = (
+        mentions.count()
+        if (mentions_checkpoint is not None or materialize_mentions)
+        else None
+    )
     entities = canonicalize_entities(
         mentions,
         max_descriptions=cfg.max_descriptions_per_key,
         max_sources=cfg.max_sources_per_key,
+        size_hint=None if n_mentions is None else 2 * n_mentions,
     )
     relationships = canonicalize_relationships(
         mentions,
         max_descriptions=cfg.max_descriptions_per_key,
         max_sources=cfg.max_sources_per_key,
+        size_hint=n_mentions,
     )
     return GraphTables(
         text_units=text_units,

@@ -239,11 +239,17 @@ def _merge_entity_group(group: pd.DataFrame, max_descriptions: int | None = None
 def canonicalize_entities(mentions, batch_size: int = 32768, num_buckets: int = 64,
                           max_descriptions: int | None = None,
                           max_sources: int | None = None,
-                          driver_threshold: int = 200_000):
+                          driver_threshold: int = 200_000,
+                          size_hint: int | None = None):
     """Dataset[mention] -> Dataset[entity] (the G1 shuffle).
 
     Final merge runs via bucketed_group_map: one Ray task per key-hash
-    bucket, not one Python call per entity (high-cardinality keys)."""
+    bucket, not one Python call per entity (high-cardinality keys).
+
+    ``size_hint``: cheap upper bound on the partial-row count (the
+    mention count is always one — combiners only compress); when it
+    already exceeds ``driver_threshold`` the size probe's materialize
+    barrier is skipped and the merge streams."""
     import functools
 
     from knowledge_graph_ray.functions.grouping import bucketed_group_map
@@ -267,6 +273,7 @@ def canonicalize_entities(mentions, batch_size: int = 32768, num_buckets: int = 
         ),
         num_buckets=num_buckets,
         driver_threshold=driver_threshold,
+        size_hint=size_hint,
         empty_schema=ENTITY_SCHEMA,
     )
 
@@ -346,8 +353,10 @@ def _merge_edge_group(group: pd.DataFrame, max_descriptions: int | None = None,
 def canonicalize_relationships(mentions, batch_size: int = 32768, num_buckets: int = 64,
                                max_descriptions: int | None = None,
                                max_sources: int | None = None,
-                               driver_threshold: int = 200_000):
-    """Dataset[mention] -> Dataset[relationship] (the G2 shuffle)."""
+                               driver_threshold: int = 200_000,
+                               size_hint: int | None = None):
+    """Dataset[mention] -> Dataset[relationship] (the G2 shuffle).
+    ``size_hint``: see canonicalize_entities."""
     import functools
 
     from knowledge_graph_ray.functions.grouping import bucketed_group_map
@@ -371,6 +380,7 @@ def canonicalize_relationships(mentions, batch_size: int = 32768, num_buckets: i
         ),
         num_buckets=num_buckets,
         driver_threshold=driver_threshold,
+        size_hint=size_hint,
         empty_schema=RELATIONSHIP_SCHEMA,
     )
 

@@ -42,20 +42,33 @@ REPORT_COLUMNS = [
 ]
 
 
+def _node_lines(nodes: pd.DataFrame) -> list[str]:
+    return [
+        f"{n},{t},{d}"
+        for n, t, d in zip(nodes["name"], nodes["type"], nodes["description"])
+    ]
+
+
+def _edge_lines(edges: pd.DataFrame) -> list[str]:
+    return [
+        f"{s},{d},{r},{ds}"
+        for s, d, r, ds in zip(edges["src"], edges["dst"], edges["rank"],
+                               edges["description"])
+    ]
+
+
 def _context_text(nodes: pd.DataFrame, edges: pd.DataFrame, budget: int) -> str:
     """Greedy context under token budget: edges desc by rank, then their
     endpoints' node details (sort_context.py semantics, deterministic)."""
     lines = ["-----Entities-----"]
     used = 0
-    for _, n in nodes.iterrows():
-        line = f"{n['name']},{n['type']},{n['description']}"
+    for line in _node_lines(nodes):
         used += token_count(line)
         if used > budget:
             break
         lines.append(line)
     lines.append("-----Relationships-----")
-    for _, e in edges.iterrows():
-        line = f"{e['src']},{e['dst']},{e['rank']},{e['description']}"
+    for line in _edge_lines(edges):
         used += token_count(line)
         if used > budget:
             break
@@ -86,25 +99,23 @@ def _compose(community: str, level: int, nodes: pd.DataFrame, edges: pd.DataFram
              sub_summaries: list[tuple[str, str]] | None = None) -> dict:
     """Deterministic report strategy (LLM stand-in with the same schema)."""
     top = nodes.head(5)
-    title = " & ".join(top["name"].head(2)) or f"Community {community}"
+    top_names = top["name"].tolist()
+    title = " & ".join(top_names[:2]) or f"Community {community}"
     summary = (
         f"Community of {len(nodes)} entities and {len(edges)} relationships "
-        f"centered on {', '.join(top['name'])}."
+        f"centered on {', '.join(top_names)}."
     )
     findings = [
         {
-            "summary": f"{n['name']} ({n['type'] or 'UNKNOWN'}) has degree {int(n['degree'])}",
-            "explanation": (n["description"] or "")[:400],
+            "summary": f"{nm} ({tp or 'UNKNOWN'}) has degree {int(dg)}",
+            "explanation": (ds or "")[:400],
         }
-        for _, n in top.iterrows()
+        for nm, tp, dg, ds in zip(top_names, top["type"], top["degree"],
+                                  top["description"])
     ]
     rank = float(min(10.0, round(float(nodes["degree"].mean() or 0.0), 1)))
-    raw_tokens = sum(
-        token_count(f"{n['name']},{n['type']},{n['description']}")
-        for _, n in nodes.iterrows()
-    ) + sum(
-        token_count(f"{e['src']},{e['dst']},{e['rank']},{e['description']}")
-        for _, e in edges.iterrows()
+    raw_tokens = sum(token_count(line) for line in _node_lines(nodes)) + sum(
+        token_count(line) for line in _edge_lines(edges)
     )
     if sub_summaries and raw_tokens > max_input_tokens:
         # bottom-up mixed context: this parent's full detail is over
@@ -219,60 +230,60 @@ def _context_rows(communities, entities, relationships, num_partitions: int = 32
     if communities_pdf is not None and len(communities_pdf) <= broadcast_max:
         import ray
 
-        # name -> [(level, community)] (a name appears once per level)
-        mapping: dict[str, list[tuple[int, str]]] = {}
-        for r in communities_pdf.itertuples():
-            mapping.setdefault(r.name, []).append((int(r.level), r.community))
-        map_ref = ray.put(mapping)
+        # broadcast the (name, level, community) frame once via ray.put;
+        # each batch attaches membership with a vectorized pandas merge
+        # (C hash join) — a name appears once per level, so the merge
+        # fans each row out to its per-level community rows
+        cdf = communities_pdf[["name", "level", "community"]].reset_index(drop=True)
+        cdf_ref = ray.put(cdf)
+
+        _NODE_CTX_SCHEMA = pa.schema(
+            [("level", pa.int64()), ("community", pa.string()),
+             ("name", pa.string()), ("type", pa.string()),
+             ("description", pa.large_string()), ("degree", pa.float64())]
+        )
+        _EDGE_CTX_SCHEMA = pa.schema(
+            [("level", pa.int64()), ("community", pa.string()),
+             ("src", pa.string()), ("dst", pa.string()),
+             ("rank", pa.float64()), ("description", pa.large_string())]
+        )
 
         def node_ctx_batch(b: pa.Table) -> pa.Table:
-            m = ray.get(map_ref)
-            rows = []
-            for row in b.to_pylist():
-                for level, community in m.get(row["name"], ()):
-                    rows.append(
-                        {
-                            "level": level,
-                            "community": community,
-                            "name": row["name"],
-                            "type": row["type"],
-                            "description": row["description"],
-                            "degree": float(row["degree"] or 0),
-                        }
-                    )
-            return pa.Table.from_pylist(
-                rows,
-                schema=pa.schema(
-                    [("level", pa.int64()), ("community", pa.string()),
-                     ("name", pa.string()), ("type", pa.string()),
-                     ("description", pa.large_string()), ("degree", pa.float64())]
-                ),
+            cdf = ray.get(cdf_ref)
+            j = b.to_pandas().merge(cdf, on="name", how="inner")
+            return pa.Table.from_pydict(
+                {
+                    "level": pa.array(j["level"].astype("int64")),
+                    "community": pa.array(j["community"], type=pa.string()),
+                    "name": pa.array(j["name"], type=pa.string()),
+                    "type": pa.array(j["type"], type=pa.string()),
+                    "description": pa.array(j["description"], type=pa.large_string()),
+                    "degree": pa.array(j["degree"].fillna(0).astype("float64")),
+                },
+                schema=_NODE_CTX_SCHEMA,
             )
 
         def edge_ctx_batch(b: pa.Table) -> pa.Table:
-            m = ray.get(map_ref)
-            rows = []
-            for row in b.to_pylist():
-                dst_map = set(m.get(row["dst"], ()))
-                for level, community in m.get(row["src"], ()):
-                    if (level, community) in dst_map:
-                        rows.append(
-                            {
-                                "level": level,
-                                "community": community,
-                                "src": row["src"],
-                                "dst": row["dst"],
-                                "rank": float(row["rank"] or 0),
-                                "description": row["description"],
-                            }
-                        )
-            return pa.Table.from_pylist(
-                rows,
-                schema=pa.schema(
-                    [("level", pa.int64()), ("community", pa.string()),
-                     ("src", pa.string()), ("dst", pa.string()),
-                     ("rank", pa.float64()), ("description", pa.large_string())]
-                ),
+            cdf = ray.get(cdf_ref)
+            j = b.to_pandas().merge(
+                cdf.rename(columns={"name": "src"}), on="src", how="inner"
+            ).merge(
+                cdf.rename(columns={"name": "dst"}), on="dst", how="inner",
+                suffixes=("", "_dst"),
+            )
+            # keep same-community pairs only (filter_edges_to_nodes)
+            j = j[(j["level"] == j["level_dst"])
+                  & (j["community"] == j["community_dst"])]
+            return pa.Table.from_pydict(
+                {
+                    "level": pa.array(j["level"].astype("int64")),
+                    "community": pa.array(j["community"], type=pa.string()),
+                    "src": pa.array(j["src"], type=pa.string()),
+                    "dst": pa.array(j["dst"], type=pa.string()),
+                    "rank": pa.array(j["rank"].fillna(0).astype("float64")),
+                    "description": pa.array(j["description"], type=pa.large_string()),
+                },
+                schema=_EDGE_CTX_SCHEMA,
             )
 
         node_ctx = entities.select_columns(
@@ -351,45 +362,79 @@ def _context_rows(communities, entities, relationships, num_partitions: int = 32
     return ctx
 
 
-def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: int,
-                  composer: "ReportComposer | None" = None):
-    """Reports for one level's context rows (sub summaries broadcast in
-    the closure — community-count-sized, SURVEY J5)."""
+def _report_schema():
     import pyarrow as pa
 
-    composer = composer or ReportComposer()
+    return pa.schema(
+        [("id", pa.string()), ("community", pa.string()),
+         ("title", pa.string()), ("summary", pa.string()),
+         ("full_content", pa.string()), ("full_content_json", pa.string()),
+         ("rank", pa.float64()), ("level", pa.int64()),
+         ("rank_explanation", pa.string()), ("findings", pa.string())]
+    )
 
-    def make_report(group: pd.DataFrame) -> pa.Table:
-        community = group["community"].iloc[0]
-        level = int(group["level"].iloc[0])
-        nodes = (
-            group[group["kind"] == "node"]
-            .sort_values(["degree", "name"], ascending=[False, True])
-            [["name", "type", "description", "degree"]]
+
+def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: int,
+                  composer: "ReportComposer | None" = None,
+                  num_buckets: int = 64, driver_threshold: int | None = None):
+    """Reports for one level's context rows (sub summaries broadcast in
+    the closure — community-count-sized, SURVEY J5).
+
+    Routed through ``bucketed_bucket_map``: one Ray task per key-hash
+    bucket instead of one ``map_groups`` call per community, and the
+    per-community sorts/filters run ONCE per bucket (two vectorized
+    sorts + one groupby) instead of once per tiny group — measured
+    ~4ms/community of pandas overhead removed."""
+    import pyarrow as pa
+
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    composer = composer or ReportComposer()
+    schema = _report_schema()
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        # one sort for every community in the bucket; within a community
+        # the order matches the previous per-group sort exactly
+        nodes_all = g[g["kind"] == "node"].sort_values(
+            ["level", "community", "degree", "name"],
+            ascending=[True, True, False, True], kind="stable",
         )
-        edges = (
-            group[group["kind"] == "edge"]
-            .sort_values(["rank", "src", "dst"], ascending=[False, True, True])
-            [["src", "dst", "rank", "description"]]
+        edges_all = g[g["kind"] == "edge"].sort_values(
+            ["level", "community", "rank", "src", "dst"],
+            ascending=[True, True, False, True, True], kind="stable",
         )
-        return pa.Table.from_pylist(
-            [
+        node_groups = dict(iter(nodes_all.groupby(["level", "community"], sort=False)))
+        edge_groups = dict(iter(edges_all.groupby(["level", "community"], sort=False)))
+        keys = list(node_groups) + [k for k in edge_groups if k not in node_groups]
+        rows = []
+        for key in keys:
+            level, community = int(key[0]), key[1]
+            nodes = node_groups.get(key)
+            if nodes is None:
+                nodes = nodes_all.iloc[0:0]
+            edges = edge_groups.get(key)
+            if edges is None:
+                edges = edges_all.iloc[0:0]
+            rows.append(
                 composer.compose(
                     community, level, nodes, edges, max_input_tokens,
                     sub_summaries_by_parent.get(community),
                 )
-            ]
-        )
+            )
+        return pa.Table.from_pylist(rows, schema=schema)
 
-    return ctx_level.groupby(["level", "community"]).map_groups(
-        make_report, batch_format="pandas"
+    return bucketed_bucket_map(
+        ctx_level, ["level", "community"], bucket_body,
+        num_buckets=num_buckets, empty_schema=schema,
+        driver_threshold=driver_threshold,
     )
 
 
 def generate_reports(communities, entities, relationships, num_partitions: int = 32,
                      max_input_tokens: int = COMMUNITY_REPORT_MAX_INPUT_LENGTH,
                      broadcast_max: int = BROADCAST_COMMUNITIES_MAX,
-                     composer: "ReportComposer | None" = None):
+                     composer: "ReportComposer | None" = None,
+                     driver_threshold: int | None = 50_000):
     """-> Dataset[community_report], generated bottom-up per level.
 
     Levels are processed DESCENDING (reference utils.py:26-29 /
@@ -420,7 +465,13 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
         level_counts = communities.groupby("level").count().to_pandas()
         levels = sorted(int(v) for v in level_counts["level"])[::-1]
     if not levels:
-        return _report_level(ctx, {}, max_input_tokens, composer)
+        return _report_level(ctx, {}, max_input_tokens, composer,
+                             num_buckets=num_partitions,
+                             driver_threshold=driver_threshold)
+    if len(levels) > 1:
+        # the level loop filters ctx once per level; without pinning,
+        # each filter would re-run the whole join DAG
+        ctx = ctx.materialize()
 
     def _pairs_for(level: int, prev_level: int) -> pd.DataFrame:
         if comm_pdf is not None:
@@ -460,7 +511,8 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
                 subs.sort()  # deterministic under any shuffle order
         level_reports = _report_level(
             ctx.filter(expr=f"level == {int(level)}"), sub_by_parent,
-            max_input_tokens, composer,
+            max_input_tokens, composer, num_buckets=num_partitions,
+            driver_threshold=driver_threshold,
         ).materialize()
         per_level.append(level_reports)
         prev_summaries = {
