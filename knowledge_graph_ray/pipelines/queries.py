@@ -1190,12 +1190,15 @@ def kg_communities(sf_dir: str):
 
 
 def kg_incremental_entities(sf_dir: str):
-    """Rows-only: G8 incremental old/new merge under the driver gate —
-    canonicalize the first half of the documents, convert the canonical
-    table back to partials, union with the second half's fresh mentions
-    and re-merge.  Equality with the single full run is asserted in
-    pytest (test_incremental_merge_equals_full_run); here the incremental
-    path itself produces the returned table."""
+    """G8 incremental old/new merge — canonicalize the first half of the
+    documents, convert the canonical table back to partials, union with
+    the second half's fresh mentions and re-merge.  The SQL oracle
+    expresses the equivalent FULL run over all documents (incremental ==
+    full is additionally asserted in pytest,
+    test_incremental_merge_equals_full_run): per-entity n_mentions is
+    the gazetteer occurrence count.  ``chunk_overlap=0`` makes chunks an
+    exact token partition, so occurrence counts are chunking-invariant
+    and SQL-expressible for any document length."""
     from knowledge_graph_ray.config import PipelineConfig
     from knowledge_graph_ray.pipelines.build import build_graph
     from knowledge_graph_ray.stages.canonicalize import (
@@ -1203,7 +1206,7 @@ def kg_incremental_entities(sf_dir: str):
     )
     from knowledge_graph_ray.stages.extract import CooccurrenceExtractor
 
-    cfg = PipelineConfig(chunk_size=256, chunk_overlap=16,
+    cfg = PipelineConfig(chunk_size=256, chunk_overlap=0,
                          extract_use_actor_pool=False)
     vocab = [(w, "organization") for w in FLAGSHIP_GAZETTEER]
     docs = _docs(sf_dir)
@@ -1222,6 +1225,24 @@ def kg_incremental_entities(sf_dir: str):
     return incremental_canonicalize_entities(prev, new_mentions).select_columns(
         ["name", "type", "n_mentions"]
     )
+
+
+_FLAGSHIP_GAZETTEER_SQL = (
+    "(" + ", ".join(f"'{w}'" for w in FLAGSHIP_GAZETTEER) + ")"
+)
+
+# full-run equivalent of the incremental merge (G8): the incremental
+# path re-merges prev-canonical partials with new mentions, which by the
+# merge laws equals one canonicalization over ALL documents — per-entity
+# n_mentions is the occurrence count of the gazetteer word (chunks
+# partition tokens exactly at chunk_overlap=0), type is the vocabulary
+# type uppercased by clean_str
+KG_INCREMENTAL_ENTITIES_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT upper(w) AS name, 'ORGANIZATION' AS type, count(*) AS n_mentions
+FROM toks WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}
+GROUP BY upper(w)
+"""
 
 
 def kg_hierarchy(sf_dir: str):
@@ -1300,6 +1321,7 @@ ORACLE_SQL = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_sketch_recall": DEDUP_SKETCH_RECALL_SQL,
     "dedup_groups": DEDUP_GROUPS_SQL,
+    "kg_incremental_entities": KG_INCREMENTAL_ENTITIES_SQL,
     "similarity_topk": SIMILARITY_TOPK_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_lang_quality": TEXT_LANG_QUALITY_SQL,

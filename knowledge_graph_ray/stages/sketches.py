@@ -8,8 +8,10 @@ Scale shapes:
   (group, value) pairs — the combiner), then per-group quantile reads
   off the sorted value histogram.  Right whenever the value space is
   bounded (prices, scores, durations at fixed precision).  For unbounded
-  high-cardinality values switch to the t-digest-style fallback of
-  quantizing first (document the error bound).
+  high-cardinality values ``grouped_quantiles_binned`` (or
+  ``grouped_quantiles(..., bins=N)``) quantizes first: per-group min/max
+  aggregate, then a groups x bins histogram — absolute error <= one bin
+  width ``(max-min)/bins`` per group.
 * ``grouped_distinct_count`` — exact: per-batch (group, value) dedup,
   ``groupby`` pair-distinct, per-group count.  Shuffle bounded by
   distinct pairs.
@@ -32,11 +34,21 @@ from knowledge_graph_ray.functions.grouping import bucketed_group_map
 
 
 def grouped_quantiles(ds, group_col: str, value_col: str, qs: list[float],
-                      num_buckets: int = 16):
+                      num_buckets: int = 16, bins: int | None = None):
     """-> Dataset[(group, q, value)] — exact ``quantile_disc`` parity:
     the selected element is the ``ceil(n*q)``-th (1-indexed) of the
     sorted values — the classic lower empirical quantile (rule probed
-    against DuckDB across fractional boundary cases)."""
+    against DuckDB across fractional boundary cases).
+
+    ``bins=None`` (exact) shuffles one row per DISTINCT (group, value)
+    pair — right whenever the value space is bounded (prices, scores,
+    durations at fixed precision).  For unbounded high-cardinality
+    values pass ``bins=N`` to take ``grouped_quantiles_binned``'s
+    quantize-first path instead (shuffle bounded by groups x N; value
+    error <= one bin width, see its docstring)."""
+    if bins is not None:
+        return grouped_quantiles_binned(ds, group_col, value_col, qs,
+                                        bins=bins, num_buckets=num_buckets)
     counts = ds.groupby([group_col, value_col]).count()
     out_schema = pa.schema(
         [(group_col, pa.string()), ("q", pa.float64()),
@@ -57,6 +69,92 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs: list[float],
             rows.append(
                 {group_col: str(g[group_col].iloc[0]), "q": float(q),
                  value_col: float(vals[i])}
+            )
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return bucketed_group_map(counts, [group_col], per_group,
+                              num_buckets=num_buckets)
+
+
+def grouped_quantiles_binned(ds, group_col: str, value_col: str,
+                             qs: list[float], bins: int = 8192,
+                             num_buckets: int = 16):
+    """-> Dataset[(group, q, value)] — quantize-first quantiles for
+    UNBOUNDED / high-cardinality value domains (the t-digest-style
+    fallback the exact path documents).
+
+    Two passes, both bounded:
+
+    1. per-group min/max via one tiny aggregate (shuffle O(groups)),
+       broadcast via ray.put;
+    2. per-row bin id ``floor((v - min) / width)`` computed vectorized
+       inside map_batches, then the same (group, bin) histogram +
+       cumulative-rank read-off as the exact path — shuffle is bounded
+       by groups x bins REGARDLESS of value cardinality.
+
+    The reported value is the selected bin's midpoint clamped to
+    [min, max]: ABSOLUTE ERROR <= one bin width
+    ``(max - min) / bins`` per group (exact when a group is constant).
+    Rank semantics match quantile_disc (ceil(n*q), 1-indexed) at bin
+    granularity.
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    ranges = (
+        ds.groupby(group_col)
+        .aggregate(Min(value_col, alias_name="lo"),
+                   Max(value_col, alias_name="hi"))
+        .to_pandas()
+    )
+    lo_map = dict(zip(ranges[group_col], ranges["lo"].astype("float64")))
+    hi_map = dict(zip(ranges[group_col], ranges["hi"].astype("float64")))
+    range_ref = ray.put((lo_map, hi_map))
+
+    def to_bins(b: pa.Table) -> pa.Table:
+        lo_m, hi_m = ray.get(range_ref)
+        df = b.select([group_col, value_col]).to_pandas()
+        lo = df[group_col].map(lo_m).to_numpy(dtype="float64")
+        hi = df[group_col].map(hi_m).to_numpy(dtype="float64")
+        width = (hi - lo) / bins
+        v = df[value_col].to_numpy(dtype="float64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            idx = np.floor((v - lo) / width)
+        idx = np.where(np.isfinite(idx), idx, 0.0)  # zero-width group
+        idx = np.clip(idx, 0, bins - 1).astype("int64")
+        return pa.Table.from_pydict(
+            {group_col: pa.array(df[group_col], type=pa.string()),
+             "__bin": pa.array(idx, type=pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(to_bins, batch_format="pyarrow")
+        .groupby([group_col, "__bin"])
+        .count()
+    )
+    out_schema = pa.schema(
+        [(group_col, pa.string()), ("q", pa.float64()),
+         (value_col, pa.float64())]
+    )
+
+    def per_group(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values("__bin")
+        cum = g["count()"].cumsum().to_numpy()
+        n = int(cum[-1])
+        bin_ids = g["__bin"].to_numpy()
+        key = str(g[group_col].iloc[0])
+        lo, hi = lo_map[key], hi_map[key]
+        width = (hi - lo) / bins
+        rows = []
+        for q in qs:
+            rank = max(1, math.ceil(round(n * q, 9)))  # 1-indexed
+            i = int(np.searchsorted(cum, rank))
+            mid = lo + (float(bin_ids[i]) + 0.5) * width
+            rows.append(
+                {group_col: key, "q": float(q),
+                 value_col: float(min(max(mid, lo), hi))}
             )
         return pa.Table.from_pylist(rows, schema=out_schema)
 
