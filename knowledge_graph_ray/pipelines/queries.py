@@ -1245,6 +1245,31 @@ GROUP BY upper(w)
 """
 
 
+def kg_graph_embedding(sf_dir: str):
+    """Rows-only: A7 graph embedding — component-parallel seeded
+    walk-matrix projection over the flagship gazetteer graph (one
+    16-dim unit vector per entity; deterministic, non-SQL)."""
+    from knowledge_graph_ray.config import PipelineConfig
+    from knowledge_graph_ray.pipelines.build import build_graph
+    from knowledge_graph_ray.stages.components import connected_components
+    from knowledge_graph_ray.stages.extract import CooccurrenceExtractor
+    from knowledge_graph_ray.stages.graph_embed import embed_graph
+
+    docs = _docs(sf_dir).map_batches(docs_table_to_interleaved, batch_format="pyarrow")
+    core = build_graph(
+        docs,
+        PipelineConfig(chunk_size=256, chunk_overlap=16,
+                       extract_use_actor_pool=False,
+                       max_descriptions_per_key=32, max_sources_per_key=256),
+        extractor_cls=CooccurrenceExtractor,
+        vocabulary=[(w, "organization") for w in FLAGSHIP_GAZETTEER],
+    )
+    ents = core.entities.materialize()
+    rels = core.relationships.materialize()
+    comps = connected_components(ents, rels, num_partitions=8)
+    return embed_graph(comps, rels, dimensions=16, num_partitions=8)
+
+
 def kg_hierarchy(sf_dir: str):
     """Rows-only: the G5 community-hierarchy table (parent -> next-level
     sub-community with size).  ``max_louvain_nodes=8`` makes the
@@ -1294,6 +1319,7 @@ QUERIES = {
     "dedup_groups": dedup_groups,
     "kg_hierarchy": kg_hierarchy,
     "kg_incremental_entities": kg_incremental_entities,
+    "kg_graph_embedding": kg_graph_embedding,
     "similarity_topk": similarity_topk,
     "similarity_topk_ivf": similarity_topk_ivf,
     "text_token_stats": text_token_stats,

@@ -398,3 +398,70 @@ def test_report_level_many_communities_distributed():
     assert out["community"].nunique() == n_comm
     assert (out["level"] == 1).all()
     assert out["title"].str.len().gt(0).all()
+
+
+def _embed_fixture():
+    import pyarrow as pa
+
+    # two components: a triangle+pendant and a separate pair
+    edges = pa.Table.from_pydict(
+        {
+            "src": ["A", "A", "B", "C", "X"],
+            "dst": ["B", "C", "C", "D", "Y"],
+            "weight": [1.0, 1.0, 1.0, 1.0, 1.0],
+        }
+    )
+    comps = pa.Table.from_pydict(
+        {
+            "name": ["A", "B", "C", "D", "X", "Y", "LONER"],
+            "component": ["A", "A", "A", "A", "X", "X", "LONER"],
+        }
+    )
+    return (ray.data.from_arrow(comps).repartition(2),
+            ray.data.from_arrow(edges).repartition(2))
+
+
+def test_embed_graph_deterministic_and_structured():
+    """A7 parity stage: seeded projection embedding is identical across
+    runs and partitionings, same knobs as the reference embed_nod2vec
+    (dimensions / window_size / random_seed)."""
+    import numpy as np
+
+    from knowledge_graph_ray.stages.graph_embed import embed_graph
+
+    comps, edges = _embed_fixture()
+    a = embed_graph(comps, edges, dimensions=16, seed=6969).to_pandas()
+    b = embed_graph(comps.repartition(1), edges.repartition(1),
+                    dimensions=16, seed=6969).to_pandas()
+    a = a.sort_values("name").reset_index(drop=True)
+    b = b.sort_values("name").reset_index(drop=True)
+    assert a["name"].tolist() == ["A", "B", "C", "D", "LONER", "X", "Y"]
+    for va, vb in zip(a["graph_embedding"], b["graph_embedding"]):
+        assert np.allclose(list(va), list(vb))
+    mats = {n: np.array(list(v)) for n, v in zip(a["name"], a["graph_embedding"])}
+    # connected nodes of the same component are closer than nodes of
+    # different components (cosine; vectors are L2-normalized)
+    assert mats["A"] @ mats["B"] > mats["A"] @ mats["X"]
+    assert np.allclose(mats["LONER"], 0.0)  # isolated node
+    # a different seed moves the embedding
+    c = embed_graph(comps, edges, dimensions=16, seed=7).to_pandas()
+    c = c.sort_values("name").reset_index(drop=True)
+    assert not np.allclose(list(a["graph_embedding"][0]),
+                           list(c["graph_embedding"][0]))
+
+
+def test_embed_graph_distributed_equals_driver():
+    import numpy as np
+
+    from knowledge_graph_ray.stages.graph_embed import embed_graph
+
+    comps, edges = _embed_fixture()
+    drv = embed_graph(comps, edges, dimensions=8).to_pandas()
+    dist = embed_graph(comps, edges, dimensions=8,
+                       driver_threshold=0).to_pandas()
+    drv = drv.sort_values("name").reset_index(drop=True)
+    dist = dist.sort_values("name").reset_index(drop=True)
+    assert drv["name"].tolist() == dist["name"].tolist()
+    assert drv["component"].tolist() == dist["component"].tolist()
+    for va, vb in zip(drv["graph_embedding"], dist["graph_embedding"]):
+        assert np.allclose(list(va), list(vb))
