@@ -266,3 +266,64 @@ def test_read_text_directory(tmp_path):
     tables = build_graph(ds, PipelineConfig(chunk_size=32, chunk_overlap=8))
     ents = tables.entities.to_pandas()
     assert "HELIOS ENERGY" in set(ents.name)
+
+
+def test_graph_diff_artifacts(tmp_path):
+    """Change-log artifacts (reference checkpoints/graph.py:13-33 role):
+    new keys via distributed anti-join, updated keys via payload
+    comparison; persisted as Parquet checkpoints + summary JSON."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_ray.state.diff import graph_diff, write_graph_diff
+
+    prev_e = rd.from_arrow(pa.table({
+        "name": ["A", "B", "C"],
+        "type": ["org", "org", "org"],
+        "description": ["a", "b", "c"],
+        "source_id": ["1", "1", "2"],
+        "n_mentions": [1, 2, 3],
+    }))
+    cur_e = rd.from_arrow(pa.table({
+        "name": ["A", "B", "C", "D"],
+        "type": ["org", "org", "org", "person"],
+        "description": ["a", "b CHANGED", "c", "d"],
+        "source_id": ["1", "1", "2", "9"],
+        "n_mentions": [1, 5, 3, 1],
+    }))
+    prev_r = rd.from_arrow(pa.table({
+        "src": ["A"], "dst": ["B"], "weight": [1.0],
+        "description": ["ab"], "source_id": ["1"], "n_mentions": [1],
+    }))
+    cur_r = rd.from_arrow(pa.table({
+        "src": ["A", "C"], "dst": ["B", "D"], "weight": [2.0, 1.0],
+        "description": ["ab", "cd"], "source_id": ["1", "9"],
+        "n_mentions": [2, 1],
+    }))
+    diff = graph_diff(prev_e, prev_r, cur_e, cur_r, num_partitions=4)
+    new_e = diff["new_entities"].to_pandas()
+    upd_e = diff["updated_entities"].to_pandas()
+    new_r = diff["new_relationships"].to_pandas()
+    upd_r = diff["updated_relationships"].to_pandas()
+    assert new_e["name"].tolist() == ["D"]
+    assert upd_e["name"].tolist() == ["B"]  # description + n_mentions changed
+    assert new_r[["src", "dst"]].values.tolist() == [["C", "D"]]
+    assert upd_r[["src", "dst"]].values.tolist() == [["A", "B"]]  # weight changed
+
+    out = tmp_path / "diff"
+    summary = write_graph_diff(
+        graph_diff(prev_e, prev_r, cur_e, cur_r, num_partitions=4),
+        str(out), fingerprint="v2",
+    )
+    assert summary["counts"] == {
+        "new_entities": 1, "updated_entities": 1,
+        "new_relationships": 1, "updated_relationships": 1,
+    }
+    on_disk = json.loads((out / "_diff_summary.json").read_text())
+    assert on_disk["fingerprint"] == "v2"
+    import pyarrow.parquet as pq
+
+    got = pq.read_table(str(out / "new_entities")).to_pandas()
+    assert got["name"].tolist() == ["D"]
