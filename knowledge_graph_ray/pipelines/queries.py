@@ -744,6 +744,46 @@ def events_distinct_users_hll(sf_dir: str):
     )
 
 
+def events_distinct_users_hll_bound(sf_dir: str):
+    """HLL accuracy under the SQL gate (the dedup_sketch_recall pattern):
+    per event_type, emit the EXACT distinct count only when the HLL
+    estimate agrees within 5% (~3 sigma at p=12, se ~1.6%).  The oracle
+    is the exact count for ALL groups, so the query passes iff the
+    sketch is within bound for every group — a driver-level error floor
+    for the HLL path (deterministic: blake2b hashing)."""
+    from knowledge_graph_ray.functions.joins import hash_join
+    from knowledge_graph_ray.stages.sketches import (
+        grouped_distinct_count,
+        grouped_hll_distinct,
+    )
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"]).materialize()
+    exact = grouped_distinct_count(events, "event_type", "user_id")
+    est = grouped_hll_distinct(events, "event_type", "user_id")
+    joined = hash_join(exact, est, on=["event_type"], how="inner",
+                       num_partitions=8)
+
+    def within_bound(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = b.column("n_distinct").cast(pa.float64())
+        e = b.column("n_distinct_est").cast(pa.float64())
+        err = pc.divide(pc.abs(pc.subtract(e, n)), n)
+        ok = b.filter(pc.less_equal(err, pa.scalar(0.05)))
+        return pa.Table.from_pydict(
+            {
+                "event_type": ok.column("event_type"),
+                "n_distinct": ok.column("n_distinct").cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(within_bound, batch_format="pyarrow")
+
+
+EVENTS_DISTINCT_USERS_HLL_BOUND_SQL = EVENTS_DISTINCT_USERS_SQL
+
+
 def events_asof_join(sf_dir: str):
     """As-of join (backward): each purchase event paired with the same
     user's latest click at-or-before it (stages/windows.asof_join_backward
@@ -1331,6 +1371,7 @@ QUERIES = {
     "events_value_quantiles": events_value_quantiles,
     "events_distinct_users": events_distinct_users,
     "events_distinct_users_hll": events_distinct_users_hll,
+    "events_distinct_users_hll_bound": events_distinct_users_hll_bound,
     "agg_pricing_summary": agg_pricing_summary,
     "join_revenue_by_segment": join_revenue_by_segment,
     "topk_parts_by_quantity": topk_parts_by_quantity,
@@ -1357,6 +1398,7 @@ ORACLE_SQL = {
     "topk_customers_per_nation": TOPK_CUSTOMERS_PER_NATION_SQL,
     "events_value_quantiles": EVENTS_VALUE_QUANTILES_SQL,
     "events_distinct_users": EVENTS_DISTINCT_USERS_SQL,
+    "events_distinct_users_hll_bound": EVENTS_DISTINCT_USERS_HLL_BOUND_SQL,
     "agg_pricing_summary": AGG_PRICING_SUMMARY_SQL,
     "join_revenue_by_segment": JOIN_REVENUE_BY_SEGMENT_SQL,
     "topk_parts_by_quantity": TOPK_PARTS_SQL,
