@@ -125,3 +125,37 @@ def test_quarantine_rows():
     assert len(errors) == 1
     assert errors[0]["chunk_id"] == "c1" and errors[0]["type"] == "ValueError"
     assert any(r["kind"] == "entity" for r in out)  # good chunk still extracted
+
+
+def test_bucketed_group_map_size_hint_regimes_agree():
+    """size_hint only picks the regime: hint<=threshold (driver, no
+    probe), hint>threshold (distributed, no materialize), and no hint
+    (probe) all produce identical groups."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.grouping import bucketed_group_map
+
+    df = pd.DataFrame({"k": ["a", "b", "a", "c", "b"], "v": [1, 2, 3, 4, 5]})
+    ds = rd.from_pandas(df).repartition(3)
+
+    def agg(sub: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"k": [sub["k"].iloc[0]], "s": [int(sub["v"].sum())]}
+        )
+
+    outs = []
+    for kwargs in (
+        {"driver_threshold": 100, "size_hint": 5},      # driver, proven small
+        {"driver_threshold": 100, "size_hint": 10_000}, # distributed, probe skipped
+        {"driver_threshold": 100},                      # probe path
+        {"driver_threshold": None},                     # plain distributed
+    ):
+        out = (
+            bucketed_group_map(ds, ["k"], agg, num_buckets=4, **kwargs)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        outs.append(out)
+    for other in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], other)
