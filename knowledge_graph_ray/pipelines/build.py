@@ -235,7 +235,12 @@ def build_knowledge_graph(
             "relationships_degreed",
         )
 
-    components = connected_components(entities, relationships, num_partitions=num_partitions)
+    # materialize once: detect_communities probes the component table
+    # several times (LCC pick, size gate, driver pull) and each probe
+    # would otherwise re-run the final label aggregate
+    components = connected_components(
+        entities, relationships, num_partitions=num_partitions
+    ).materialize()
     communities = staged(
         lambda: detect_communities(
             components,

@@ -138,17 +138,27 @@ def detect_communities(
 
     if use_lcc:
         # dataset-side top-1: with singleton components for every isolated
-        # entity the size table is entity-scale — never to_pandas() it
+        # entity the size table is entity-scale — never to_pandas() it,
+        # and never full-sort it: a per-batch local top-1 combiner bounds
+        # the final pull to one row per block (ties broken by smallest
+        # component id, matching the previous sort order)
+        def local_top1(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            df = df.sort_values(["count()", "component"],
+                                ascending=[False, True], kind="stable")
+            return pa.Table.from_pandas(df.head(1), preserve_index=False)
+
         top = (
             components.groupby("component")
             .count()
-            .sort(["count()", "component"], descending=[True, False])
-            .limit(1)
-            .take(1)
+            .map_batches(local_top1, batch_format="pyarrow")
+            .to_pandas()
         )
-        if not top:
+        if top.empty:
             return rd_empty_communities()
-        largest = top[0]["component"]
+        top = top.sort_values(["count()", "component"],
+                              ascending=[False, True], kind="stable")
+        largest = top["component"].iloc[0]
         components = components.filter(
             expr=f"component == {largest!r}"
         )
