@@ -24,8 +24,6 @@ Scale shapes:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -195,11 +193,14 @@ class HyperLogLog:
         )
 
     def _hashes(self, values) -> "np.ndarray":
-        out = np.empty(len(values), dtype=np.uint64)
-        for i, v in enumerate(values):
-            h = hashlib.blake2b(str(v).encode(), digest_size=8).digest()
-            out[i] = int.from_bytes(h, "big")
-        return out
+        # vectorized + process-stable: hash_pandas_object is siphash
+        # with a FIXED default key (unlike Python's salted str hash);
+        # values hash by their string form so dtype variations across
+        # batches cannot split a value into two registers
+        s = values if isinstance(values, pd.Series) else pd.Series(list(values))
+        return pd.util.hash_pandas_object(
+            s.astype(str), index=False
+        ).to_numpy()
 
     def add_many(self, values) -> None:
         if not len(values):
@@ -256,7 +257,7 @@ def grouped_hll_distinct(ds, group_col: str, value_col: str, p: int = 12,
         rows = []
         for g, sub in df.groupby(group_col, sort=False):
             hll = HyperLogLog(p)
-            hll.add_many(sub[value_col].tolist())
+            hll.add_many(sub[value_col])
             rows.append({group_col: g, "sketch": hll.to_bytes()})
         return pa.Table.from_pylist(
             rows,

@@ -18,8 +18,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from knowledge_graph_ray.functions.grouping import bucketed_group_map
-from knowledge_graph_ray.functions.numeric import round_half_away
+from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
 
 SESSION_SCHEMA = pa.schema(
     [
@@ -42,28 +41,49 @@ def sessionize(events, gap_seconds: int = 1800, key: str = "user_id",
     per-key body sorts by timestamp and segments vectorized.
     """
 
-    def per_key(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values("ts_s")
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        """ONE vectorized pass for every key in the bucket: sort by
+        (key, ts), session breaks = key change OR gap, cumsum session
+        ids, one pandas groupby — no per-key Python loop."""
+        import numpy as np
+
+        g = g.sort_values([key, "ts_s"], kind="stable")
+        n = len(g)
         ts = g["ts_s"].to_numpy()
-        vals = g["value"].to_numpy()
-        new_session = (ts[1:] - ts[:-1]) > gap_seconds
-        rows = []
-        start = 0
-        n = len(ts)
-        for i in range(1, n + 1):
-            if i == n or new_session[i - 1]:
-                seg_vals = vals[start:i]
-                rows.append(
-                    {
-                        "user_id": int(g[key].iloc[0]),
-                        "session_start": int(ts[start]),
-                        "session_end": int(ts[i - 1]),
-                        "n_events": i - start,
-                        "sum_value_cents": round_half_away(float(seg_vals.sum()) * 100),
-                    }
-                )
-                start = i
-        return pa.Table.from_pylist(rows, schema=SESSION_SCHEMA)
+        # factorize handles null keys as one group (old per-key dropna=False)
+        codes, _ = pd.factorize(g[key], use_na_sentinel=False)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (codes[1:] != codes[:-1]) | ((ts[1:] - ts[:-1]) > gap_seconds)
+        sid = np.cumsum(brk)
+        df = pd.DataFrame(
+            {
+                "sid": sid,
+                "user_id": g[key].to_numpy(),
+                "ts_s": ts,
+                "value": g["value"].to_numpy(),
+            }
+        )
+        agg = df.groupby("sid", sort=False).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts_s", "first"),
+            session_end=("ts_s", "last"),
+            n_events=("ts_s", "size"),
+            sum_value=("value", "sum"),
+        )
+        # vectorized DuckDB round-half-away (matches round_half_away)
+        sv = agg["sum_value"].to_numpy(dtype="float64") * 100.0
+        cents = np.where(sv >= 0, np.floor(sv + 0.5), np.ceil(sv - 0.5))
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(agg["user_id"].astype("int64")),
+                "session_start": pa.array(agg["session_start"].astype("int64")),
+                "session_end": pa.array(agg["session_end"].astype("int64")),
+                "n_events": pa.array(agg["n_events"].astype("int64")),
+                "sum_value_cents": pa.array(cents.astype("int64")),
+            },
+            schema=SESSION_SCHEMA,
+        )
 
     def prep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -80,7 +100,9 @@ def sessionize(events, gap_seconds: int = 1800, key: str = "user_id",
     prepped = events.select_columns([key, ts_column, value_column]).map_batches(
         prep, batch_format="pyarrow"
     )
-    return bucketed_group_map(prepped, [key], per_key, num_buckets=num_buckets)
+    return bucketed_bucket_map(prepped, [key], bucket_body,
+                               num_buckets=num_buckets,
+                               empty_schema=SESSION_SCHEMA)
 
 
 def sliding_window_agg(events, window_seconds: int, slide_seconds: int,
@@ -198,11 +220,9 @@ def asof_join_backward(left, right, by: str, on: str,
         tag(1, {f"__r_{n}": n for n in rvals}), batch_format="pyarrow"
     )
 
-    def per_key(group: pd.DataFrame) -> pa.Table:
-        lhs = group[group["__side"] == 0]
-        if lhs.empty:
-            return out_schema.empty_table()
-        rhs = group[group["__side"] == 1].sort_values(on, kind="stable")
+    def _searchsorted_asof(lhs: pd.DataFrame, rhs: pd.DataFrame) -> pd.DataFrame:
+        """Single-key asof (the null-key fallback path)."""
+        rhs = rhs.sort_values(on, kind="stable")
         out = {by: lhs[by].to_numpy(), on: lhs[on].to_numpy()}
         for n in left_payload:
             out[n] = lhs[n].to_numpy()
@@ -219,12 +239,48 @@ def asof_join_backward(left, right, by: str, on: str,
             out[f"asof_{on}"] = np.full(len(lhs), -1, dtype=np.int64)
             for n in rvals:
                 out[f"asof_{n}"] = np.full(len(lhs), None, dtype=object)
+        return pd.DataFrame(out)
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        # ONE vectorized pd.merge_asof over every key in the bucket
+        # (backward + last-duplicate-wins matches the searchsorted rule);
+        # null keys can't equality-match in merge_asof, so they take the
+        # single-key fallback where null==null within the group
+        lhs = g[g["__side"] == 0]
+        if lhs.empty:
+            return out_schema.empty_table()
+        rhs = g[g["__side"] == 1]
+        frames = []
+        lnull = lhs[by].isna()
+        if lnull.any():
+            frames.append(
+                _searchsorted_asof(lhs[lnull], rhs[rhs[by].isna()])
+            )
+            lhs = lhs[~lnull]
+            rhs = rhs[rhs[by].notna()]
+        if len(lhs):
+            rcols = {by: rhs[by], on: rhs[on], f"asof_{on}": rhs[on]}
+            for n in rvals:
+                rcols[f"asof_{n}"] = rhs[f"__r_{n}"]
+            rframe = pd.DataFrame(rcols).sort_values(on, kind="stable")
+            merged = pd.merge_asof(
+                lhs.sort_values(on, kind="stable").drop(columns=["__side"]),
+                rframe, on=on, by=by, direction="backward",
+            )
+            merged[f"asof_{on}"] = (
+                merged[f"asof_{on}"].fillna(-1).astype("int64")
+            )
+            for n in rvals:
+                col = merged[f"asof_{n}"]
+                merged[f"asof_{n}"] = col.astype(object).where(col.notna(), None)
+            frames.append(merged)
+        out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
         return pa.Table.from_pandas(
-            pd.DataFrame(out).reset_index(drop=True), schema=out_schema,
+            out[[f.name for f in out_schema]], schema=out_schema,
             preserve_index=False,
         )
 
-    return bucketed_group_map(
-        lt.union(rt), [by], per_key, num_buckets=num_buckets,
+    return bucketed_bucket_map(
+        lt.union(rt), [by], bucket_body, num_buckets=num_buckets,
         empty_schema=out_schema,
     )
