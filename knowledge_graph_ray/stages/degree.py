@@ -20,15 +20,16 @@ from knowledge_graph_ray.functions.joins import hash_join, project
 
 
 def degree_partials_batch(batch: pa.Table) -> pa.Table:
-    """relationship rows -> partial (name, cnt) for both endpoints."""
-    counts: dict[str, int] = {}
-    for col in ("src", "dst"):
-        for name in batch.column(col).to_pylist():
-            counts[name] = counts.get(name, 0) + 1
+    """relationship rows -> partial (name, cnt) for both endpoints
+    (vectorized arrow value_counts, no Python row loop)."""
+    src = batch.column("src").combine_chunks()
+    dst = batch.column("dst").combine_chunks()
+    both = pa.chunked_array([src, dst])
+    vc = both.value_counts()  # StructArray<values, counts>
     return pa.Table.from_pydict(
         {
-            "name": list(counts.keys()),
-            "cnt": pa.array(list(counts.values()), type=pa.int64()),
+            "name": vc.field("values"),
+            "cnt": vc.field("counts").cast(pa.int64()),
         }
     )
 

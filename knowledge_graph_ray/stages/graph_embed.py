@@ -51,15 +51,41 @@ def _embed_schema(dim: int) -> pa.Schema:
 
 def _seeded_rows(names: list[str], dim: int, seed: int) -> np.ndarray:
     """Deterministic per-node N(0, 1/sqrt(dim)) projection rows keyed by
-    node NAME (not index): stable under any node ordering."""
-    out = np.empty((len(names), dim), dtype=np.float64)
-    for i, name in enumerate(names):
-        digest = hashlib.blake2b(
-            f"{seed}|{name}".encode(), digest_size=8
-        ).digest()
-        rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
-        out[i] = rng.standard_normal(dim)
-    return out / np.sqrt(dim)
+    node NAME (not index): stable under any node ordering.
+
+    Vectorized: per (name, column-pair) seeded polars hashes -> uniforms
+    -> Box-Muller normals — O(dim) vectorized passes instead of a
+    per-node Python loop with a RandomState construction each (measured
+    ~5-10us/node, i.e. seconds per million-node component).  blake2b
+    row loop kept as the no-polars fallback."""
+    try:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        s = pl.Series("n", list(names), dtype=pl.Utf8)
+        out = np.empty((len(names), dim), dtype=np.float64)
+        inv53 = 1.0 / (1 << 53)
+        for j in range(0, dim, 2):
+            h1 = s.hash(seed=(seed * 1_000_003 + 2 * j) & 0xFFFFFFFF).to_numpy()
+            h2 = s.hash(seed=(seed * 1_000_003 + 2 * j + 1) & 0xFFFFFFFF).to_numpy()
+            u1 = np.clip((h1 >> np.uint64(11)) * inv53, 1e-12, 1 - 1e-12)
+            u2 = (h2 >> np.uint64(11)) * inv53
+            r = np.sqrt(-2.0 * np.log(u1))
+            out[:, j] = r * np.cos(2.0 * np.pi * u2)
+            if j + 1 < dim:
+                out[:, j + 1] = r * np.sin(2.0 * np.pi * u2)
+        return out / np.sqrt(dim)
+    except ImportError:
+        out = np.empty((len(names), dim), dtype=np.float64)
+        for i, name in enumerate(names):
+            digest = hashlib.blake2b(
+                f"{seed}|{name}".encode(), digest_size=8
+            ).digest()
+            rng = np.random.RandomState(int.from_bytes(digest[:4], "big"))
+            out[i] = rng.standard_normal(dim)
+        return out / np.sqrt(dim)
 
 
 def _embed_component(

@@ -109,6 +109,8 @@ def grouped_quantiles_binned(ds, group_col: str, value_col: str,
     )
     lo_map = dict(zip(ranges[group_col], ranges["lo"].astype("float64")))
     hi_map = dict(zip(ranges[group_col], ranges["hi"].astype("float64")))
+    # broadcast once via the object store — the maps are O(groups) and a
+    # closure capture would re-ship them with every task submission
     range_ref = ray.put((lo_map, hi_map))
 
     def to_bins(b: pa.Table) -> pa.Table:
@@ -143,7 +145,8 @@ def grouped_quantiles_binned(ds, group_col: str, value_col: str,
         n = int(cum[-1])
         bin_ids = g["__bin"].to_numpy()
         key = str(g[group_col].iloc[0])
-        lo, hi = lo_map[key], hi_map[key]
+        lo_m, hi_m = ray.get(range_ref)  # node-local cached plasma read
+        lo, hi = lo_m[key], hi_m[key]
         width = (hi - lo) / bins
         rows = []
         for q in qs:
