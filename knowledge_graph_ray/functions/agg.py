@@ -1,0 +1,180 @@
+"""Partial-aggregate groupby: combiner in map_batches, tiny final merge.
+
+Ray's native ``groupby(keys).aggregate(...)`` pays a full sort-based
+shuffle of the INPUT rows (~0.5-4s of fixed latency at 32 CPUs even for
+six output groups).  For the classic algebraic aggregates
+(sum/count/min/max/mean) the right scale shape is: combine per batch
+inside ``map_batches`` (one partial row per key per batch — the shuffle
+then moves groups x batches rows, not input rows), and merge partials
+with the size-adaptive bucketed machinery (driver pass when the partial
+set is provably tiny, bucket shuffle otherwise).
+
+Mean decomposes to (sum, count).  Sums over integer input columns
+accumulate in int64 (exact); floats in float64.  Null handling matches
+SQL/Ray: sum/mean/min/max skip nulls, ``count`` counts rows.
+
+Schema note: the partial schema is derived from ``batch.schema`` INSIDE
+the combiner, never via ``ds.schema()`` — a driver-side schema fetch on
+a lazy dataset executes a limit-1 probe whose task Ray CANCELS once the
+row arrives, and an async cancellation can interrupt a module import
+mid-way inside the worker (observed: a half-initialized ``polars`` left
+in ``sys.modules`` poisoning every later task in that process).  Only
+the empty-input fallback uses the non-executing
+``schema(fetch_if_missing=False)``.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+_KINDS = ("sum", "count", "min", "max", "mean")
+
+
+def _arrow_type(t) -> pa.DataType:
+    """Normalize numpy/pandas-block dtypes to arrow."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        import numpy as np
+
+        if t is object or t is str or np.dtype(t) == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+    except Exception:
+        return pa.string()
+
+
+def grouped_agg(ds, keys: list[str],
+                specs: list[tuple[str, "str | None", str]],
+                num_buckets: int = 16,
+                driver_threshold: "int | None" = 500_000):
+    """-> Dataset[keys + one column per spec].
+
+    ``specs``: ordered ``(out_name, in_col, kind)`` tuples, kind in
+    sum/count/min/max/mean (``in_col=None`` for count = row count).
+    Output column order is keys then spec order.
+    """
+    for _, _, kind in specs:
+        assert kind in _KINDS, kind
+
+    # partial column plan: partial_name -> (in_col|None, how)
+    partial_cols: dict[str, tuple] = {}
+    for out, col, kind in specs:
+        if kind == "mean":
+            partial_cols[f"__{out}_s"] = (col, "sum")
+            partial_cols[f"__{out}_c"] = (col, "vcount")
+        elif kind == "count":
+            partial_cols[f"__{out}_c"] = (None, "count")
+        elif kind == "sum":
+            partial_cols[f"__{out}_s"] = (col, "sum")
+        else:  # min / max
+            partial_cols[f"__{out}_{kind}"] = (col, kind)
+
+    needed = sorted(
+        {c for c, _ in partial_cols.values() if c is not None} | set(keys)
+    )
+
+    def _acc_type(t: pa.DataType) -> pa.DataType:
+        return pa.int64() if pa.types.is_integer(t) else pa.float64()
+
+    def _partial_schema(in_schema: pa.Schema) -> pa.Schema:
+        in_types = {f.name: f.type for f in in_schema}
+        fields = [(k, in_types[k]) for k in keys]
+        for pname, (col, how) in partial_cols.items():
+            if how in ("count", "vcount"):
+                fields.append((pname, pa.int64()))
+            elif how == "sum":
+                fields.append((pname, _acc_type(in_types[col])))
+            else:
+                fields.append((pname, in_types[col]))
+        return pa.schema(fields)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        psch = _partial_schema(batch.schema)
+        if len(batch) == 0:
+            return psch.empty_table()
+        df = batch.select(needed).to_pandas()
+        gb = df.groupby(keys[0] if len(keys) == 1 else keys,
+                        sort=False, dropna=False)
+        pieces = {}
+        for pname, (col, how) in partial_cols.items():
+            if how == "count":
+                pieces[pname] = gb.size()
+            elif how == "vcount":  # non-null value count (mean denominator)
+                pieces[pname] = gb[col].count()
+            elif how == "sum":
+                pieces[pname] = gb[col].sum()
+            else:
+                pieces[pname] = gb[col].min() if how == "min" else gb[col].max()
+        out = pd.DataFrame(pieces).reset_index()
+        return pa.Table.from_pandas(out, schema=psch, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(bucket: pd.DataFrame) -> pa.Table:
+        gb = bucket.groupby(keys[0] if len(keys) == 1 else keys,
+                            sort=False, dropna=False)
+        merged = {}
+        for pname, (_c, how) in partial_cols.items():
+            if how in ("count", "vcount", "sum"):
+                merged[pname] = gb[pname].sum()
+            elif how == "min":
+                merged[pname] = gb[pname].min()
+            else:
+                merged[pname] = gb[pname].max()
+        res = pd.DataFrame(merged).reset_index()
+        cols = {k: res[k] for k in keys}
+        for out, _col, kind in specs:
+            if kind == "mean":
+                cols[out] = (res[f"__{out}_s"] / res[f"__{out}_c"]).astype(
+                    "float64"
+                )
+            elif kind == "count":
+                cols[out] = res[f"__{out}_c"].astype("int64")
+            elif kind == "sum":
+                cols[out] = res[f"__{out}_s"]
+            else:
+                cols[out] = res[f"__{out}_{kind}"]
+        return pa.Table.from_pandas(pd.DataFrame(cols), preserve_index=False)
+
+    # empty-input fallback schema from the NON-executing schema fetch
+    # (parquet reads know it from metadata; unknown -> string keys)
+    empty_schema = None
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+        base = getattr(sch, "base_schema", None)
+        if not isinstance(base, pa.Schema) and sch is not None:
+            base = pa.schema(
+                [(n, _arrow_type(t)) for n, t in zip(sch.names, sch.types)]
+            )
+        if isinstance(base, pa.Schema):
+            in_types = {f.name: f.type for f in base}
+            fields = [(k, in_types[k]) for k in keys]
+            for out, col, kind in specs:
+                if kind == "mean":
+                    fields.append((out, pa.float64()))
+                elif kind == "count":
+                    fields.append((out, pa.int64()))
+                elif kind == "sum":
+                    fields.append((out, _acc_type(in_types[col])))
+                else:
+                    fields.append((out, in_types[col]))
+            empty_schema = pa.schema(fields)
+    except Exception:
+        empty_schema = None
+    if empty_schema is None:
+        empty_schema = pa.schema(
+            [(k, pa.string()) for k in keys]
+            + [
+                (out, pa.int64() if kind == "count" else pa.float64())
+                for out, _c, kind in specs
+            ]
+        )
+
+    return bucketed_bucket_map(
+        partials, keys, final, num_buckets=num_buckets,
+        empty_schema=empty_schema, driver_threshold=driver_threshold,
+    )

@@ -26,33 +26,11 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+from knowledge_graph_ray.functions.dsschema import dataset_schema
 from knowledge_graph_ray.functions.hashing import bucket_column
 
 _BUCKET = "__jb"
 _SIDE = "__js"
-
-
-def _arrow_schema(ds) -> pa.Schema:
-    sch = ds.schema()
-    if sch is None:
-        # a leading empty block hides the schema of a lazy map stage
-        # (Ray samples the first block); execute fully and retry
-        ds = ds.materialize()
-        sch = ds.schema()
-        if sch is None:
-            raise ValueError("cannot join a dataset with unknown schema "
-                             "(empty with no schema metadata)")
-    base = sch.base_schema
-    if isinstance(base, pa.Schema):
-        return base
-    # pandas-block schema fallback
-    sch = ds.schema()
-    return pa.schema(
-        [
-            (n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
-            for n, t in zip(sch.names, sch.types)
-        ]
-    )
 
 
 def _to_arrow_col(series: pd.Series, field: pa.Field) -> pa.Array:
@@ -104,8 +82,10 @@ def hash_join(
     assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
     on = list(on)
     filter_only = how in ("left_semi", "left_anti")
-    left_schema = _arrow_schema(left)
-    right_schema = _arrow_schema(right)
+    # probe-free schema resolution (see functions/dsschema.py); reuse the
+    # materialized handle when resolution had to execute the input
+    left_schema, left = dataset_schema(left)
+    right_schema, right = dataset_schema(right)
     left_cols = left_schema.names
     right_payload = (
         [] if filter_only else [c for c in right_schema.names if c not in on]

@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Sum
 
 from knowledge_graph_ray.corpus import docs_table_to_interleaved
 from knowledge_graph_ray.functions.numeric import round_half_away, scaled_int_column
@@ -78,11 +78,14 @@ def kg_entity_merge(sf_dir: str):
                        ("cnt", pa.int64())])
         )
 
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
     per_doc = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
         mentions, batch_format="pyarrow"
     )
-    return per_doc.groupby("name").aggregate(
-        Sum("cnt", alias_name="mention_count"), Count(alias_name="n_docs")
+    return grouped_agg(
+        per_doc, ["name"],
+        [("mention_count", "cnt", "sum"), ("n_docs", None, "count")],
     )
 
 
@@ -134,8 +137,11 @@ def _presence_pairs(sf_dir: str):
 
 def kg_edge_merge(sf_dir: str):
     """G2 shape: co-occurrence edges, undirected key, weight = doc count."""
-    edges = _presence_pairs(sf_dir).groupby(["src", "dst"]).count()
-    return edges.rename_columns({"count()": "weight"})
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    return grouped_agg(
+        _presence_pairs(sf_dir), ["src", "dst"], [("weight", None, "count")]
+    )
 
 
 KG_EDGE_MERGE_SQL = f"""
@@ -156,10 +162,11 @@ def kg_degree(sf_dir: str):
         dst = batch.column("dst").combine_chunks()
         return pa.Table.from_pydict({"name": pa.concat_arrays([src, dst])})
 
-    return (
-        edges.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("name")
-        .aggregate(Count(alias_name="degree"))
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    return grouped_agg(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        ["name"], [("degree", None, "count")],
     )
 
 
@@ -541,16 +548,18 @@ def text_lang_quality(sf_dir: str):
             }
         )
 
-    agg = (
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    agg = grouped_agg(
         _docs(sf_dir)
         .select_columns(["lang", "n_chars", "text"])
-        .map_batches(per_doc, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="sum_chars"),
-            Sum("has_the", alias_name="docs_with_the"),
-        )
+        .map_batches(per_doc, batch_format="pyarrow"),
+        ["lang"],
+        [
+            ("n_docs", None, "count"),
+            ("sum_chars", "n_chars", "sum"),
+            ("docs_with_the", "has_the", "sum"),
+        ],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -600,11 +609,14 @@ def events_hourly_agg(sf_dir: str):
             }
         )
 
-    agg = (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
-        .map_batches(windowed, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    agg = grouped_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["ts", "event_type", "value"])
+        .map_batches(windowed, batch_format="pyarrow"),
+        ["event_type", "window_start"],
+        [("n_events", None, "count"), ("sum_value", "value", "sum")],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -957,21 +969,22 @@ def agg_pricing_summary(sf_dir: str):
         )
         return batch.append_column("disc_price", disc)
 
-    agg = (
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    agg = grouped_agg(
         rd.read_parquet(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_quantity",
                      "l_extendedprice", "l_discount"],
-        )
-        .map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
-        )
+        ).map_batches(revenue, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "l_quantity", "sum"),
+            ("sum_base_price", "l_extendedprice", "sum"),
+            ("sum_disc_price", "disc_price", "sum"),
+            ("avg_disc", "l_discount", "mean"),
+            ("count_order", None, "count"),
+        ],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -1050,8 +1063,11 @@ def join_revenue_by_segment(sf_dir: str, broadcast_max: int = BROADCAST_KEYS_MAX
             how="inner",
         )
 
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    agg = grouped_agg(
+        joined, ["c_mktsegment"],
+        [("n_orders", None, "count"), ("revenue", "o_totalprice", "sum")],
     )
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -14,7 +14,6 @@ outer, fillna 0), which scales to entity tables that don't fit one node.
 from __future__ import annotations
 
 import pyarrow as pa
-from ray.data.aggregate import Sum
 
 from knowledge_graph_ray.functions.joins import hash_join, project
 
@@ -41,10 +40,12 @@ def compute_degrees(relationships):
     (matches nx.Graph.degree on the merged graph: one undirected edge per
     endpoint pair, self-loop-free by construction of the canonical key).
     """
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
     partials = relationships.select_columns(["src", "dst"]).map_batches(
         degree_partials_batch, batch_format="pyarrow"
     )
-    return partials.groupby("name").aggregate(Sum("cnt", alias_name="degree"))
+    return grouped_agg(partials, ["name"], [("degree", "cnt", "sum")])
 
 
 def attach_entity_degrees(entities, degrees, num_partitions: int = 32):

@@ -165,19 +165,23 @@ def grouped_quantiles_binned(ds, group_col: str, value_col: str,
 
 def grouped_distinct_count(ds, group_col: str, value_col: str,
                            num_buckets: int = 16):
-    """-> Dataset[(group, n_distinct)] — exact, pair-distinct shuffle."""
-    from ray.data.aggregate import Count
+    """-> Dataset[(group, n_distinct)] — exact, pair-distinct shuffle
+    (per-batch dedup combiner, then two partial-aggregate groupbys)."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
 
     def batch_distinct(b: pa.Table) -> pa.Table:
         df = b.select([group_col, value_col]).to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    pairs = (
-        ds.map_batches(batch_distinct, batch_format="pyarrow")
-        .groupby([group_col, value_col])
-        .count()
+    pairs = grouped_agg(
+        ds.map_batches(batch_distinct, batch_format="pyarrow"),
+        [group_col, value_col], [("n", None, "count")],
+        num_buckets=num_buckets,
     )
-    return pairs.groupby(group_col).aggregate(Count(alias_name="n_distinct"))
+    return grouped_agg(
+        pairs, [group_col], [("n_distinct", None, "count")],
+        num_buckets=num_buckets,
+    )
 
 
 class HyperLogLog:

@@ -110,9 +110,11 @@ def sliding_window_agg(events, window_seconds: int, slide_seconds: int,
                        value_column: str = "value"):
     """Sliding windows: each row is enumerated into every window that
     covers it (window_seconds / slide_seconds copies) inside map_batches,
-    then a tumbling-style groupby aggregates (key, window_start)."""
+    then a tumbling-style partial-aggregate groupby over (key,
+    window_start)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
 
     copies = window_seconds // slide_seconds
 
@@ -143,11 +145,11 @@ def sliding_window_agg(events, window_seconds: int, slide_seconds: int,
             }
         )
 
-    return (
+    return grouped_agg(
         events.select_columns([key, ts_column, value_column])
-        .map_batches(explode, batch_format="pyarrow")
-        .groupby([key, "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum(value_column, alias_name="sum_value"))
+        .map_batches(explode, batch_format="pyarrow"),
+        [key, "window_start"],
+        [("n_events", None, "count"), ("sum_value", value_column, "sum")],
     )
 
 
@@ -174,9 +176,11 @@ def asof_join_backward(left, right, by: str, on: str,
     """
     import numpy as np
 
+    from knowledge_graph_ray.functions.dsschema import dataset_schema
+
     rvals = right_value_columns or []
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema, left = dataset_schema(left)
+    rschema, right = dataset_schema(right)
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
     left_payload = [n for n in lschema.names if n not in (by, on)]

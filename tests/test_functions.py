@@ -159,3 +159,54 @@ def test_bucketed_group_map_size_hint_regimes_agree():
         outs.append(out)
     for other in outs[1:]:
         pd.testing.assert_frame_equal(outs[0], other)
+
+
+def test_grouped_agg_matches_pandas_all_kinds():
+    """grouped_agg (combiner + size-adaptive merge) vs plain pandas on
+    sum/count/min/max/mean with null values and null keys, both regimes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    rng = np.random.RandomState(4)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", None], n),
+            "x": rng.randn(n) * 10,
+            "i": rng.randint(0, 100, n).astype("int64"),
+        }
+    )
+    df.loc[rng.choice(n, 50, replace=False), "x"] = np.nan
+    ds = rd.from_pandas(df).repartition(6)
+    specs = [
+        ("sum_x", "x", "sum"),
+        ("n", None, "count"),
+        ("min_i", "i", "min"),
+        ("max_i", "i", "max"),
+        ("avg_x", "x", "mean"),
+        ("sum_i", "i", "sum"),
+    ]
+    want = (
+        df.groupby("k", dropna=False)
+        .agg(sum_x=("x", "sum"), n=("k", "size"), min_i=("i", "min"),
+             max_i=("i", "max"), avg_x=("x", "mean"), sum_i=("i", "sum"))
+        .reset_index()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    for dt in (500_000, None):  # driver path and distributed path
+        got = (
+            grouped_agg(ds, ["k"], specs, driver_threshold=dt)
+            .to_pandas()
+            .sort_values("k", na_position="last")
+            .reset_index(drop=True)
+        )
+        assert got["sum_i"].dtype == np.dtype("int64")  # exact int sums
+        for c in ("sum_x", "avg_x"):
+            assert np.allclose(got[c], want[c], rtol=1e-12)
+        for c in ("n", "min_i", "max_i", "sum_i"):
+            assert got[c].tolist() == want[c].tolist(), c
