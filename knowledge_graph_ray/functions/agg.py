@@ -178,3 +178,60 @@ def grouped_agg(ds, keys: list[str],
         partials, keys, final, num_buckets=num_buckets,
         empty_schema=empty_schema, driver_threshold=driver_threshold,
     )
+
+
+def distinct_rows(ds, keys: list[str], num_buckets: int = 16,
+                  driver_threshold: "int | None" = None,
+                  empty_schema: "pa.Schema | None" = None):
+    """Distinct ``keys`` rows, combiner-first.
+
+    Per-batch ``drop_duplicates`` bounds the shuffle to distinct rows
+    per batch, then one bucket shuffle + per-bucket ``drop_duplicates``
+    finishes — cheaper than a count aggregate when only distinctness is
+    needed (no count column on the wire, no per-bucket groupby).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.select(keys)
+        df = batch.select(keys).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, schema=batch.select(keys).schema,
+                                    preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(bucket: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(bucket.drop_duplicates(),
+                                    preserve_index=False)
+
+    if empty_schema is None:
+        sch = _to_arrow_input_schema(ds)
+        if sch is not None:
+            empty_schema = pa.schema([(k, sch.field(k).type) for k in keys])
+        else:
+            empty_schema = pa.schema([(k, pa.string()) for k in keys])
+
+    return bucketed_bucket_map(
+        partials, keys, final, num_buckets=num_buckets,
+        empty_schema=empty_schema, driver_threshold=driver_threshold,
+    )
+
+
+def _to_arrow_input_schema(ds) -> "pa.Schema | None":
+    """Non-executing input schema (see module docstring for why no
+    fetching probe is ever run)."""
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+    except Exception:
+        return None
+    if sch is None:
+        return None
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    try:
+        return pa.schema(
+            [(n, _arrow_type(t)) for n, t in zip(sch.names, sch.types)]
+        )
+    except Exception:
+        return None

@@ -195,10 +195,11 @@ def kg_text_units(sf_dir: str):
             {"doc_id": batch.column("doc_id").cast(pa.int64())}
         )
 
-    return (
-        chunks.map_batches(doc_rows, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_chunks"))
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    return grouped_agg(
+        chunks.map_batches(doc_rows, batch_format="pyarrow"),
+        ["doc_id"], [("n_chunks", None, "count")],
     )
 
 
@@ -873,11 +874,12 @@ def topk_customers_per_nation(sf_dir: str,
 
     from knowledge_graph_ray.functions.grouping import grouped_topk
 
-    rev = (
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    rev = grouped_agg(
         rd.read_parquet(f"{sf_dir}/orders.parquet",
-                        columns=["o_custkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"))
+                        columns=["o_custkey", "o_totalprice"]),
+        ["o_custkey"], [("revenue", "o_totalprice", "sum")],
     )
 
     def to_cents(batch: pa.Table) -> pa.Table:
@@ -1089,10 +1091,12 @@ GROUP BY c_mktsegment
 
 
 def topk_parts_by_quantity(sf_dir: str):
-    agg = (
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
-        .groupby("l_partkey")
-        .aggregate(Sum("l_quantity", alias_name="total_qty"))
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    agg = grouped_agg(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_partkey", "l_quantity"]),
+        ["l_partkey"], [("total_qty", "l_quantity", "sum")],
     )
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -1143,7 +1147,7 @@ def antijoin_customers_without_orders(sf_dir: str,
             has = np.isin(keys, known)
             return pa.Table.from_pydict(
                 {
-                    "c_nationkey": batch.column("c_nationkey"),
+                    "c_nationkey": batch.column("c_nationkey").cast(pa.int64()),
                     "no_orders": pa.array(
                         (~has).astype(np.int64), type=pa.int64()
                     ),
@@ -1160,13 +1164,11 @@ def antijoin_customers_without_orders(sf_dir: str,
                 {"c_custkey": np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))}
             )
 
-        from knowledge_graph_ray.functions.joins import project
+        from knowledge_graph_ray.functions.agg import grouped_agg
 
-        distinct = project(
-            orders_keys.map_batches(batch_distinct, batch_format="pyarrow")
-            .groupby("c_custkey")
-            .count(),
-            {"c_custkey": "c_custkey", "count()": "ord_marker"},
+        distinct = grouped_agg(
+            orders_keys.map_batches(batch_distinct, batch_format="pyarrow"),
+            ["c_custkey"], [("ord_marker", None, "count")],
         )
         joined = hash_join(
             customer, distinct, on=["c_custkey"], how="left_outer"
@@ -1177,7 +1179,7 @@ def antijoin_customers_without_orders(sf_dir: str,
 
             return pa.Table.from_pydict(
                 {
-                    "c_nationkey": b.column("c_nationkey"),
+                    "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
                     "no_orders": pc.if_else(
                         pc.is_null(b.column("ord_marker")),
                         pa.scalar(1, type=pa.int64()),
@@ -1188,9 +1190,12 @@ def antijoin_customers_without_orders(sf_dir: str,
 
         flagged = joined.map_batches(flag, batch_format="pyarrow")
 
-    return flagged.groupby("c_nationkey").aggregate(
-        Count(alias_name="n_customers"),
-        Sum("no_orders", alias_name="n_without_orders"),
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    return grouped_agg(
+        flagged, ["c_nationkey"],
+        [("n_customers", None, "count"),
+         ("n_without_orders", "no_orders", "sum")],
     )
 
 
@@ -1469,9 +1474,12 @@ def join_revenue_by_brand(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]),
         {"p_partkey": "l_partkey", "p_brand": "p_brand"},
     )
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
     joined = hash_join(lineitem, part, on=["l_partkey"], how="inner", num_partitions=32)
-    agg = joined.groupby("p_brand").aggregate(
-        Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="revenue")
+    agg = grouped_agg(
+        joined, ["p_brand"],
+        [("n_items", None, "count"), ("revenue", "l_extendedprice", "sum")],
     )
 
     def finish(batch: pa.Table) -> pa.Table:

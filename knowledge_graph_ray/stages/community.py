@@ -22,9 +22,12 @@ stable under any execution order.
 from __future__ import annotations
 
 import hashlib
+from typing import TYPE_CHECKING
 
-import networkx as nx
 import pandas as pd
+
+if TYPE_CHECKING:  # imported lazily at use sites: ~0.5s import per
+    import networkx as nx  # worker process, paid only by clustering tasks
 
 from knowledge_graph_ray.config import MAX_CLUSTER_SIZE, SEED
 from knowledge_graph_ray.functions.joins import hash_join
@@ -64,6 +67,8 @@ def _cluster_component(
     max_louvain_nodes: int = MAX_LOUVAIN_COMPONENT_NODES,
 ) -> list[dict]:
     """Hierarchical louvain: rows (level, community, name)."""
+    import networkx as nx
+
     rows: list[dict] = []
 
     def recurse(subgraph: nx.Graph, level: int, path: str) -> None:
@@ -186,11 +191,17 @@ def detect_communities(
         ]
         edges_by_comp = dict(tuple(rels_pdf.groupby("component", sort=False)))
         rows: list[dict] = []
+        import networkx as nx
+
         for component, sub in comp_pdf.groupby("component"):
             g = nx.Graph()
-            g.add_nodes_from(sub["name"])
+            # sorted insertion: louvain tie-breaks depend on node/edge
+            # iteration order, so graph build must not inherit upstream
+            # row order (which differs between shuffle strategies)
+            g.add_nodes_from(sorted(sub["name"]))
             e = edges_by_comp.get(component)
             if e is not None:
+                e = e.sort_values(["src", "dst"], kind="stable")
                 g.add_weighted_edges_from(zip(e["src"], e["dst"], e["weight"]))
             rows.extend(
                 _cluster_component(g, component, max_cluster_size, seed,
@@ -235,17 +246,19 @@ def detect_communities(
     )
 
     def cluster_group(group: pd.DataFrame):
+        import networkx as nx
+
         component = group["component"].iloc[0]
         g = nx.Graph()
-        for name in group["name"]:
-            if isinstance(name, str):
-                g.add_node(name)
-        edge_mask = group["src"].notna()
-        for src, dst, w in zip(
-            group.loc[edge_mask, "src"],
-            group.loc[edge_mask, "dst"],
-            group.loc[edge_mask, "weight"],
-        ):
+        # sorted insertion — see the driver path: louvain tie-breaks
+        # depend on node/edge iteration order
+        g.add_nodes_from(
+            sorted(n for n in group["name"] if isinstance(n, str))
+        )
+        edges = group.loc[
+            group["src"].notna(), ["src", "dst", "weight"]
+        ].sort_values(["src", "dst"], kind="stable")
+        for src, dst, w in zip(edges["src"], edges["dst"], edges["weight"]):
             g.add_edge(src, dst, weight=w)
         rows = _cluster_component(
             g, component, max_cluster_size, seed, max_louvain_nodes

@@ -51,8 +51,11 @@ def _edge_pairs(relationships):
 
 
 def _dedup_edges(edges):
-    """distinct (u, v) via groupby count (no join)."""
-    return edges.groupby(["u", "v"]).count().select_columns(["u", "v"])
+    """distinct (u, v) — combiner-first bucket dedup (no join, and no
+    count column on the wire; runs once per star round)."""
+    from knowledge_graph_ray.functions.agg import distinct_rows
+
+    return distinct_rows(edges, ["u", "v"], empty_schema=_EDGE_SCHEMA)
 
 
 def _adjacency(edges):
@@ -240,9 +243,11 @@ def _labels_from_star(edges, nodes=None):
             batch_format="pyarrow",
         )
         sources = sources.union(self_labels)
-    from ray.data.aggregate import Min
+    from knowledge_graph_ray.functions.agg import grouped_agg
 
-    return sources.groupby("name").aggregate(Min("component", alias_name="component"))
+    return grouped_agg(sources, ["name"],
+                       [("component", "component", "min")],
+                       driver_threshold=None)
 
 
 def connected_components(

@@ -44,10 +44,13 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs: list[float],
     values pass ``bins=N`` to take ``grouped_quantiles_binned``'s
     quantize-first path instead (shuffle bounded by groups x N; value
     error <= one bin width, see its docstring)."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
     if bins is not None:
         return grouped_quantiles_binned(ds, group_col, value_col, qs,
                                         bins=bins, num_buckets=num_buckets)
-    counts = ds.groupby([group_col, value_col]).count()
+    counts = grouped_agg(ds, [group_col, value_col],
+                         [("cnt", None, "count")], num_buckets=num_buckets)
     out_schema = pa.schema(
         [(group_col, pa.string()), ("q", pa.float64()),
          (value_col, pa.float64())]
@@ -55,7 +58,7 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs: list[float],
 
     def per_group(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values(value_col)
-        cum = g["count()"].cumsum().to_numpy()
+        cum = g["cnt"].cumsum().to_numpy()
         n = int(cum[-1])
         vals = g[value_col].to_numpy()
         import math
@@ -99,14 +102,13 @@ def grouped_quantiles_binned(ds, group_col: str, value_col: str,
     import math
 
     import ray
-    from ray.data.aggregate import Max, Min
 
-    ranges = (
-        ds.groupby(group_col)
-        .aggregate(Min(value_col, alias_name="lo"),
-                   Max(value_col, alias_name="hi"))
-        .to_pandas()
-    )
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    ranges = grouped_agg(
+        ds, [group_col],
+        [("lo", value_col, "min"), ("hi", value_col, "max")],
+    ).to_pandas()
     lo_map = dict(zip(ranges[group_col], ranges["lo"].astype("float64")))
     hi_map = dict(zip(ranges[group_col], ranges["hi"].astype("float64")))
     # broadcast once via the object store — the maps are O(groups) and a
@@ -129,10 +131,10 @@ def grouped_quantiles_binned(ds, group_col: str, value_col: str,
              "__bin": pa.array(idx, type=pa.int64())}
         )
 
-    counts = (
-        ds.map_batches(to_bins, batch_format="pyarrow")
-        .groupby([group_col, "__bin"])
-        .count()
+    counts = grouped_agg(
+        ds.map_batches(to_bins, batch_format="pyarrow"),
+        [group_col, "__bin"], [("cnt", None, "count")],
+        num_buckets=num_buckets,
     )
     out_schema = pa.schema(
         [(group_col, pa.string()), ("q", pa.float64()),
@@ -141,7 +143,7 @@ def grouped_quantiles_binned(ds, group_col: str, value_col: str,
 
     def per_group(group: pd.DataFrame) -> pa.Table:
         g = group.sort_values("__bin")
-        cum = g["count()"].cumsum().to_numpy()
+        cum = g["cnt"].cumsum().to_numpy()
         n = int(cum[-1])
         bin_ids = g["__bin"].to_numpy()
         key = str(g[group_col].iloc[0])
