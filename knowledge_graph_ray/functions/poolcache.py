@@ -42,3 +42,15 @@ def materialize_concurrently(datasets: list):
 
     with concurrent.futures.ThreadPoolExecutor(len(datasets)) as ex:
         return list(ex.map(lambda d: d.materialize(), datasets))
+
+
+def run_concurrently(thunks: list):
+    """Run independent dataset-producing thunks in parallel driver
+    threads (each thunk typically builds a pipeline and materializes
+    it).  Unlike ``materialize_concurrently`` this also overlaps
+    driver-side probes inside the thunk (size gates, to_pandas pulls),
+    not just the final materialize."""
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(len(thunks)) as ex:
+        return list(ex.map(lambda f: f(), thunks))

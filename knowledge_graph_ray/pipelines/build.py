@@ -213,19 +213,40 @@ def build_knowledge_graph(
             "relationships_summarized",
         )
 
-    degrees = compute_degrees(relationships).materialize()
     if checkpoint_dir is None:
-        from knowledge_graph_ray.functions.poolcache import (
-            materialize_concurrently,
-        )
+        from knowledge_graph_ray.functions.poolcache import run_concurrently
 
-        entities, relationships = materialize_concurrently(
+        # components depend only on names/edges, not on degree columns —
+        # overlap the CC chain (several shuffle rounds + driver probes)
+        # with the degree DAGs instead of running the waves back-to-back
+        degrees, components = run_concurrently(
             [
-                attach_entity_degrees(entities, degrees, num_partitions),
-                attach_edge_degrees(relationships, degrees, num_partitions),
+                lambda: compute_degrees(relationships).materialize(),
+                lambda: connected_components(
+                    entities, relationships, num_partitions=num_partitions
+                ).materialize(),
+            ]
+        )
+        entities, relationships, communities = run_concurrently(
+            [
+                lambda: attach_entity_degrees(
+                    entities, degrees, num_partitions
+                ).materialize(),
+                lambda: attach_edge_degrees(
+                    relationships, degrees, num_partitions
+                ).materialize(),
+                lambda: detect_communities(
+                    components,
+                    relationships,
+                    max_cluster_size=cfg.max_cluster_size,
+                    seed=cfg.seed,
+                    use_lcc=cfg.use_lcc,
+                    num_partitions=num_partitions,
+                ).materialize(),
             ]
         )
     else:
+        degrees = compute_degrees(relationships).materialize()
         entities = staged(
             lambda: attach_entity_degrees(entities, degrees, num_partitions),
             "entities_degreed",
@@ -234,24 +255,23 @@ def build_knowledge_graph(
             lambda: attach_edge_degrees(relationships, degrees, num_partitions),
             "relationships_degreed",
         )
-
-    # materialize once: detect_communities probes the component table
-    # several times (LCC pick, size gate, driver pull) and each probe
-    # would otherwise re-run the final label aggregate
-    components = connected_components(
-        entities, relationships, num_partitions=num_partitions
-    ).materialize()
-    communities = staged(
-        lambda: detect_communities(
-            components,
-            relationships,
-            max_cluster_size=cfg.max_cluster_size,
-            seed=cfg.seed,
-            use_lcc=cfg.use_lcc,
-            num_partitions=num_partitions,
-        ),
-        "communities",
-    )
+        # materialize once: detect_communities probes the component table
+        # several times (LCC pick, size gate, driver pull) and each probe
+        # would otherwise re-run the final label aggregate
+        components = connected_components(
+            entities, relationships, num_partitions=num_partitions
+        ).materialize()
+        communities = staged(
+            lambda: detect_communities(
+                components,
+                relationships,
+                max_cluster_size=cfg.max_cluster_size,
+                seed=cfg.seed,
+                use_lcc=cfg.use_lcc,
+                num_partitions=num_partitions,
+            ),
+            "communities",
+        )
     entities = staged(
         lambda: assign_clusters(entities, communities, num_partitions=num_partitions),
         "entities_clustered",
