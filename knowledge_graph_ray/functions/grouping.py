@@ -119,7 +119,8 @@ def bucketed_group_map(ds, keys: list[str], fn, num_buckets: int = 64,
 
 def grouped_topk(ds, group_cols: list[str], order_col: str, k: int,
                  descending: bool = True, tie_cols: list[str] | None = None,
-                 num_buckets: int = 64):
+                 num_buckets: int = 64, driver_threshold: int | None = None,
+                 size_hint: int | None = None):
     """Top-k rows per group with a dense 1..k ``rk`` column.
 
     Scale shape: a per-batch local top-k combiner bounds the shuffle to
@@ -151,5 +152,9 @@ def grouped_topk(ds, group_cols: list[str], order_col: str, k: int,
         top = top.assign(rk=range(1, len(top) + 1))
         return pa.Table.from_pandas(top, preserve_index=False)
 
+    # the combiner bounds partials to <= k per (group, batch), so a
+    # driver_threshold probe over PARTIALS is cheap even for huge inputs
     return bucketed_group_map(partials, group_cols, final_topk,
-                              num_buckets=num_buckets)
+                              num_buckets=num_buckets,
+                              driver_threshold=driver_threshold,
+                              size_hint=size_hint)

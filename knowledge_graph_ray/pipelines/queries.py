@@ -837,7 +837,11 @@ def events_asof_join(sf_dir: str):
     clicks = project(
         events.filter(expr="event_type == 'click'"), ["user_id", "ts_s"]
     )
-    joined = asof_join_backward(purchases, clicks, by="user_id", on="ts_s")
+    # events.count() on the materialized prep is metadata-cheap and
+    # upper-bounds the tagged union (the two sides are filters of it)
+    joined = asof_join_backward(purchases, clicks, by="user_id", on="ts_s",
+                                driver_threshold=500_000,
+                                size_hint=events.count())
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -924,8 +928,14 @@ def topk_customers_per_nation(sf_dir: str,
                     {"c_custkey": "c_custkey", "c_nationkey": "c_nationkey"}),
             on=["c_custkey"], how="inner",
         )
+    # topk partials are bounded by k x groups x batches <= input rows;
+    # the orders row count (parquet metadata, free) proves smallness here
     top = grouped_topk(joined, ["c_nationkey"], "revenue_cents", k=3,
-                       descending=True, tie_cols=["c_custkey"])
+                       descending=True, tie_cols=["c_custkey"],
+                       driver_threshold=500_000,
+                       size_hint=rd.read_parquet(
+                           f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey"]).count())
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -1432,10 +1442,12 @@ def events_sessionize(sf_dir: str):
     family (stages/windows.py); SQL oracle uses lag + cumulative sum."""
     from knowledge_graph_ray.stages.windows import sessionize
 
-    return sessionize(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]),
-        gap_seconds=1800,
-    )
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+    # parquet metadata count: a free row-count upper bound, so the
+    # size-adaptive path never pays a probe barrier in either regime
+    return sessionize(events, gap_seconds=1800,
+                      driver_threshold=500_000, size_hint=events.count())
 
 
 EVENTS_SESSIONIZE_SQL = """

@@ -33,12 +33,18 @@ SESSION_SCHEMA = pa.schema(
 
 def sessionize(events, gap_seconds: int = 1800, key: str = "user_id",
                ts_column: str = "ts", value_column: str = "value",
-               num_buckets: int = 64):
+               num_buckets: int = 64,
+               driver_threshold: int | None = None,
+               size_hint: int | None = None):
     """Gap-based session windows per key.
 
     A new session starts when the gap to the previous event of the same
     key exceeds ``gap_seconds``.  One groupby shuffle on the key; the
     per-key body sorts by timestamp and segments vectorized.
+    ``driver_threshold``/``size_hint``: size-adaptive single-pass driver
+    path for provably small inputs (the bucket shuffle costs ~1-3s of
+    fixed sort-round latency regardless of size) — see
+    functions/grouping.bucketed_bucket_map.
     """
 
     def bucket_body(g: pd.DataFrame) -> pa.Table:
@@ -102,7 +108,9 @@ def sessionize(events, gap_seconds: int = 1800, key: str = "user_id",
     )
     return bucketed_bucket_map(prepped, [key], bucket_body,
                                num_buckets=num_buckets,
-                               empty_schema=SESSION_SCHEMA)
+                               empty_schema=SESSION_SCHEMA,
+                               driver_threshold=driver_threshold,
+                               size_hint=size_hint)
 
 
 def sliding_window_agg(events, window_seconds: int, slide_seconds: int,
@@ -155,7 +163,9 @@ def sliding_window_agg(events, window_seconds: int, slide_seconds: int,
 
 def asof_join_backward(left, right, by: str, on: str,
                        right_value_columns: list[str] | None = None,
-                       num_buckets: int = 64):
+                       num_buckets: int = 64,
+                       driver_threshold: int | None = None,
+                       size_hint: int | None = None):
     """As-of join (backward): each left row is paired with the LATEST
     right row of the same ``by`` key whose ``on`` value is <= the left
     row's (DuckDB ``ASOF LEFT JOIN`` semantics; an operator Ray Data
@@ -286,5 +296,6 @@ def asof_join_backward(left, right, by: str, on: str,
 
     return bucketed_bucket_map(
         lt.union(rt), [by], bucket_body, num_buckets=num_buckets,
-        empty_schema=out_schema,
+        empty_schema=out_schema, driver_threshold=driver_threshold,
+        size_hint=size_hint,
     )
