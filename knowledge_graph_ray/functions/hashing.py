@@ -52,13 +52,20 @@ def _hasher() -> tuple:
     return _IMPL
 
 
-def hash_rows_u64(batch: pa.Table, keys: list[str]) -> np.ndarray:
-    """uint64 per-row hash of the key columns, vectorized + process-stable."""
+def hash_rows_u64(batch: pa.Table, keys: list[str], seed: int = 0) -> np.ndarray:
+    """uint64 per-row hash of the key columns, vectorized + process-stable.
+
+    ``seed`` selects an independent hash family — combine two seeds for a
+    128-bit content fingerprint where u64 birthday collisions matter
+    (~10^11 rows)."""
     sub = batch.select(keys)
     kind, mod = _hasher()
     if kind == "polars":
-        return mod.from_arrow(sub).hash_rows(seed=0).to_numpy()
-    return mod.util.hash_pandas_object(sub.to_pandas(), index=False).to_numpy()
+        return mod.from_arrow(sub).hash_rows(seed=seed).to_numpy()
+    key = None if seed == 0 else f"{seed:016d}"[:16]
+    return mod.util.hash_pandas_object(
+        sub.to_pandas(), index=False, hash_key=key
+    ).to_numpy()
 
 
 def bucket_column(batch: pa.Table, keys: list[str], num_buckets: int,

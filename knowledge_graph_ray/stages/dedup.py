@@ -39,29 +39,62 @@ _WORD_RE = re.compile(r"\w+", re.UNICODE)
 # ---------------------------------------------------------------- exact dedup
 
 
+_H1, _H2 = "__ch1", "__ch2"
+
+
 def add_content_hash(batch: pa.Table, column: str = "text") -> pa.Table:
-    h = [
-        hashlib.md5((t or "").encode()).hexdigest()
-        for t in batch.column(column).to_pylist()
-    ]
-    return batch.append_column("content_hash", pa.array(h, type=pa.string()))
+    """Append a 128-bit vectorized content fingerprint (two independent
+    u64 hash families): u64 alone has real birthday-collision odds at
+    10^11+ rows; 128 bits keeps P(any collision) ~1e-15 at 10^12 docs."""
+    from knowledge_graph_ray.functions.hashing import hash_rows_u64
 
-
-def exact_dedup(ds, column: str = "text", id_column: str = "doc_id"):
-    """Keep the first row (min id) per distinct content hash.
-
-    Hash-partition + per-group first (SURVEY.md D2 generalized from id
-    equality to content equality).
-    """
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, column), batch_format="pyarrow"
+    h1 = hash_rows_u64(batch, [column], seed=0).astype("int64")
+    h2 = hash_rows_u64(batch, [column], seed=1).astype("int64")
+    return batch.append_column(_H1, pa.array(h1)).append_column(
+        _H2, pa.array(h2)
     )
 
-    def keep_first(group: pd.DataFrame) -> pa.Table:
-        keep = group.sort_values(id_column).head(1).drop(columns=["content_hash"])
+
+def exact_dedup(ds, column: str = "text", id_column: str = "doc_id",
+                num_buckets: int = 64, driver_threshold: int | None = 50_000,
+                size_hint: int | None = None):
+    """Keep the first row (min id) per distinct content fingerprint.
+
+    Hash-partition + per-group first (SURVEY.md D2 generalized from id
+    equality to content equality).  Scale shape: a per-batch combiner
+    keeps one row per distinct content per batch, so the shuffle moves
+    distinct-per-batch rows, never the corpus; the final pass is the
+    size-adaptive bucketed merge (vectorized drop_duplicates per bucket).
+    """
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    def local_first(batch: pa.Table) -> pa.Table:
+        hashed = add_content_hash(batch, column)
+        if len(hashed) == 0:
+            return hashed
+        df = hashed.to_pandas()
+        keep = df.sort_values(id_column, kind="stable").drop_duplicates(
+            [_H1, _H2]
+        )
+        return pa.Table.from_pandas(keep, schema=hashed.schema,
+                                    preserve_index=False)
+
+    partials = ds.map_batches(local_first, batch_format="pyarrow")
+
+    def keep_first(bucket: pd.DataFrame) -> pa.Table:
+        keep = bucket.sort_values(id_column, kind="stable").drop_duplicates(
+            [_H1, _H2]
+        ).drop(columns=[_H1, _H2])
         return pa.Table.from_pandas(keep, preserve_index=False)
 
-    return bucketed_group_map(hashed, ["content_hash"], keep_first)
+    from knowledge_graph_ray.functions.agg import _to_arrow_input_schema
+
+    empty_schema = _to_arrow_input_schema(ds)
+    return bucketed_bucket_map(
+        partials, [_H1, _H2], keep_first, num_buckets=num_buckets,
+        driver_threshold=driver_threshold, size_hint=size_hint,
+        empty_schema=empty_schema,
+    )
 
 
 # ------------------------------------------------------------------- minhash
@@ -129,26 +162,46 @@ def minhash_signatures(ds, num_perm=128, ngram=3, seed=6969,
     )
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
-    """(doc_id, sig) -> one row per band: (band, band_hash, doc_id, sig)."""
-    out_band, out_hash, out_doc, out_sig = [], [], [], []
-    for doc, sig in zip(
-        batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist()
-    ):
-        rows_per_band = len(sig) // num_bands
-        for b in range(num_bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            out_band.append(b)
-            out_hash.append(zlib.crc32(np.array(chunk, dtype=np.int64).tobytes()))
-            out_doc.append(doc)
-            out_sig.append(sig)
-    return pa.Table.from_pydict(
-        {
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
-            "doc_id": pa.array(out_doc, type=pa.string()),
-            "sig": pa.array(out_sig, type=pa.list_(pa.int64())),
-        }
+    """(doc_id, sig) -> one row per band: (band, band_hash, doc_id, sig).
+
+    Fully vectorized: the signature matrix is reshaped to
+    (docs, bands, rows_per_band) and band hashes are an FNV-style fold
+    over the band's components (r tiny iterations, each vectorized over
+    docs x bands) — no per-row Python, no per-band crc32 calls."""
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    sig_col = batch.column("sig")
+    if n == 0:
+        return pa.Table.from_pydict(
+            {
+                "band": pa.array([], type=pa.int32()),
+                "band_hash": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.string()),
+                "sig": pa.array([], type=sig_col.type),
+            }
+        )
+    flat = sig_col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    num_perm = len(flat) // n
+    r = num_perm // num_bands
+    bm = flat.reshape(n, num_bands, r).astype(np.uint64)
+    h = np.full((n, num_bands), _FNV_OFFSET, dtype=np.uint64)
+    for k in range(r):
+        h = (h ^ bm[:, :, k]) * _FNV_PRIME
+    idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands))
+    return pa.Table.from_arrays(
+        [
+            pa.array(np.tile(np.arange(num_bands, dtype=np.int32), n)),
+            pa.array(h.reshape(-1).view(np.int64)),
+            pc.take(batch.column("doc_id"), idx),
+            pc.take(sig_col, idx),
+        ],
+        names=["band", "band_hash", "doc_id", "sig"],
     )
 
 
@@ -171,13 +224,30 @@ def minhash_lsh_pairs(sigs, num_bands: int = 16, threshold: float = 0.8,
     )
 
     def _segment_pairs(docs: list[str], sig_mat: np.ndarray, truncated: bool,
-                       rows: list[dict]):
+                       band: int, rows: list[dict]):
+        # min-band emission: each passing pair is emitted ONLY from the
+        # first band in which its signatures truly collide, so the same
+        # pair never surfaces from two buckets and no global pair-dedup
+        # shuffle is needed.  (Under band-hash truncation a pair whose
+        # minimal colliding band was truncated is dropped even if a later
+        # band kept both docs — the cap is already documented as lossy,
+        # and `truncated` records it.)
         n = len(docs)
-        chunk = max(1, twomb // max(1, n * sig_mat.shape[1]))
+        num_perm = sig_mat.shape[1]
+        r = num_perm // num_bands
+        chunk = max(1, twomb // max(1, n * num_perm))
         for lo in range(0, n, chunk):
             hi = min(n, lo + chunk)
-            est_blk = (sig_mat[lo:hi, None, :] == sig_mat[None, :, :]).mean(axis=2)
-            ii, jj = np.where(est_blk >= threshold)
+            eq = sig_mat[lo:hi, None, :] == sig_mat[None, :, :]
+            est_blk = eq.mean(axis=2)
+            band_eq = eq.reshape(hi - lo, n, num_bands, r).all(axis=3)
+            first_band = band_eq.argmax(axis=2)  # first True (0 if none)
+            emit = (
+                (est_blk >= threshold)
+                & band_eq.any(axis=2)
+                & (first_band == band)
+            )
+            ii, jj = np.where(emit)
             for i_, j in zip(ii, jj):
                 i = lo + i_
                 if j <= i:
@@ -208,7 +278,8 @@ def minhash_lsh_pairs(sigs, num_bands: int = 16, threshold: float = 0.8,
                     sig_mat = np.stack(
                         [np.asarray(s) for s in sigs_all[start:end]]
                     )
-                    _segment_pairs(docs, sig_mat, truncated, rows)
+                    _segment_pairs(docs, sig_mat, truncated,
+                                   int(keys[start][0]), rows)
                 start = i
         return pa.Table.from_pylist(rows, schema=pair_schema)
 
@@ -217,29 +288,14 @@ def minhash_lsh_pairs(sigs, num_bands: int = 16, threshold: float = 0.8,
             "__gb", bucket_column(batch, ["band", "band_hash"], 64)
         )
 
-    pairs = (
+    # min-band emission inside _segment_pairs guarantees each pair
+    # surfaces from exactly one bucket — one shuffle total, no global
+    # pair-dedup round
+    return (
         bands.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__gb")
         .map_groups(
             lambda g: bucket_pairs(g.drop(columns=["__gb"])),
-            batch_format="pandas",
-        )
-    )
-
-    # same pair can surface from several bands -> dedup on (a, b): cheap
-    # sorted-scan drop_duplicates per hash bucket
-    def dedup_pairs(group: pd.DataFrame) -> pa.Table:
-        keep = group.sort_values(["a", "b"]).drop_duplicates(["a", "b"])
-        return pa.Table.from_pandas(keep, preserve_index=False)
-
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column("__gb", bucket_column(batch, ["a", "b"], 64))
-
-    return (
-        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("__gb")
-        .map_groups(
-            lambda g: dedup_pairs(g.drop(columns=["__gb"])),
             batch_format="pandas",
         )
     )
