@@ -50,7 +50,8 @@ def _arrow_type(t) -> pa.DataType:
 def grouped_agg(ds, keys: list[str],
                 specs: list[tuple[str, "str | None", str]],
                 num_buckets: int = 16,
-                driver_threshold: "int | None" = 500_000):
+                driver_threshold: "int | None" = 500_000,
+                size_hint: "int | None" = None):
     """-> Dataset[keys + one column per spec].
 
     ``specs``: ordered ``(out_name, in_col, kind)`` tuples, kind in
@@ -177,6 +178,7 @@ def grouped_agg(ds, keys: list[str],
     return bucketed_bucket_map(
         partials, keys, final, num_buckets=num_buckets,
         empty_schema=empty_schema, driver_threshold=driver_threshold,
+        size_hint=size_hint,
     )
 
 

@@ -39,6 +39,32 @@ CHUNK_OVERLAP_Q = 8
 BROADCAST_KEYS_MAX = 5_000_000
 
 
+def _tune_streaming_gen_buffer(blocks: int = 64) -> None:
+    """Single-file parquet inputs produce ONE read task that SplitBlocks
+    fans out to ~64 blocks; the streaming generator's default 2-block
+    in-flight buffer then locksteps every downstream task behind that
+    one producer (measured: a 0.4s chunk+extract wave stretched to 2.0s
+    — downstream tasks launch nearly serially).  Raising the buffer to
+    64 restores full downstream parallelism for this query surface.
+
+    Memory safety: this surface is the small-SF bench/correctness
+    contract where blocks are ~0.03-2 MB, so 64 in-flight blocks per
+    task is <= ~128 MB.  The 100-TB pipelines do NOT import this module;
+    their many-file reads give one task per file and the 2-block default
+    backpressure is the right bound for ~128 MB blocks."""
+    try:
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        if ctx._max_num_blocks_in_streaming_gen_buffer < blocks:
+            ctx._max_num_blocks_in_streaming_gen_buffer = blocks
+    except Exception:
+        pass  # private knob: degrade to default backpressure on API drift
+
+
+_tune_streaming_gen_buffer()
+
+
 def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
