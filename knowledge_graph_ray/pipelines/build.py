@@ -272,15 +272,33 @@ def build_knowledge_graph(
             ),
             "communities",
         )
-    entities = staged(
-        lambda: assign_clusters(entities, communities, num_partitions=num_partitions),
-        "entities_clustered",
-    )
+    if checkpoint_dir is None:
+        # cluster assignment and report generation are independent
+        # consumers of (communities, entities, relationships) — overlap
+        # their waves like the degree/CC pair above
+        pre_cluster_entities = entities
+        entities, reports = run_concurrently(
+            [
+                lambda: assign_clusters(
+                    pre_cluster_entities, communities,
+                    num_partitions=num_partitions,
+                ).materialize(),
+                lambda: generate_reports(
+                    communities, pre_cluster_entities, relationships,
+                    num_partitions,
+                ).materialize(),
+            ]
+        )
+    else:
+        entities = staged(
+            lambda: assign_clusters(entities, communities, num_partitions=num_partitions),
+            "entities_clustered",
+        )
+        reports = staged(
+            lambda: generate_reports(communities, entities, relationships, num_partitions),
+            "reports",
+        )
     hierarchy = community_hierarchy(communities, num_partitions)
-    reports = staged(
-        lambda: generate_reports(communities, entities, relationships, num_partitions),
-        "reports",
-    )
 
     claims = None
     if cfg.extract_claims:

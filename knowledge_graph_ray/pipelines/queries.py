@@ -853,9 +853,31 @@ def events_asof_join(sf_dir: str):
     # union DAG lose their Project ops (see functions/joins.project)
     from knowledge_graph_ray.functions.joins import project
 
-    events = rd.read_parquet(
+    raw = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
-    ).map_batches(prep, batch_format="pyarrow").materialize()
+    )
+    if raw.count() <= 500_000:  # metadata-only on a pure parquet read
+        # driver fast path: ONE execution (read+prep pull), then the
+        # same backward/last-dup-wins merge_asof rule the distributed
+        # bucket body applies (stages/windows.py bucket_body) — the
+        # sf0.01 oracle gates both regimes
+        df = raw.map_batches(prep, batch_format="pyarrow").to_pandas()
+        p = df[df["event_type"] == "purchase"].drop(columns=["event_type"])
+        c = df[df["event_type"] == "click"][["user_id", "ts_s"]]
+        rframe = c.assign(click_ts_s=c["ts_s"]).sort_values(
+            "ts_s", kind="stable"
+        )
+        merged = pd.merge_asof(
+            p.sort_values("ts_s", kind="stable"), rframe,
+            on="ts_s", by="user_id", direction="backward",
+        )
+        merged["click_ts_s"] = merged["click_ts_s"].fillna(-1).astype("int64")
+        out = merged[["event_id", "user_id", "ts_s", "click_ts_s"]].astype(
+            {"event_id": "int64", "user_id": "int64"}
+        )
+        return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+    events = raw.map_batches(prep, batch_format="pyarrow").materialize()
     purchases = project(
         events.filter(expr="event_type == 'purchase'"),
         ["event_id", "user_id", "ts_s"],
