@@ -1564,3 +1564,99 @@ QUERIES["events_sessionize"] = events_sessionize
 QUERIES["join_revenue_by_brand"] = join_revenue_by_brand
 ORACLE_SQL["events_sessionize"] = EVENTS_SESSIONIZE_SQL
 ORACLE_SQL["join_revenue_by_brand"] = JOIN_REVENUE_BY_BRAND_SQL
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: deterministic split / sample / pack (stages/sampling.py,
+# stages/packing.py) — the reproducible-selection family a training-data
+# pipeline needs; every query below is fully DuckDB-oracled.
+
+def split_documents(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10, seed 6969) — the
+    multiplicative-hash label is recomputable row-locally and in SQL."""
+    from knowledge_graph_ray.stages.sampling import hash_split
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_split(docs, "doc_id",
+                      {"train": 0.8, "val": 0.1, "test": 0.1}, seed=6969)
+
+
+def _split_sql() -> str:
+    # inline the EXACT integer thresholds the Ray path uses — computing
+    # 0.8+0.1 in SQL would round the float boundary differently
+    from knowledge_graph_ray.stages.sampling import split_thresholds
+
+    bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    case = " ".join(
+        f"WHEN hv < {upper} THEN '{label}'" for label, upper in bounds[:-1]
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 + 6969)
+           % 4294967296 AS hv
+  FROM documents
+)
+SELECT doc_id, CASE {case} ELSE '{bounds[-1][0]}' END AS split FROM h
+"""
+
+
+SPLIT_DOCUMENTS_SQL = _split_sql()
+
+
+def sample_events_per_type(sf_dir: str):
+    """Deterministic 50-per-group uniform sample (rank-by-hash through
+    the grouped_topk combiner — shuffle bounded to n/group/batch)."""
+    from knowledge_graph_ray.stages.sampling import grouped_sample
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type"])
+    return grouped_sample(ev, ["event_type"], "event_id", 50, seed=6969,
+                          driver_threshold=500_000, size_hint=ev.count())
+
+
+SAMPLE_EVENTS_PER_TYPE_SQL = """
+WITH h AS (
+  SELECT event_id, event_type,
+         ((CAST(event_id AS HUGEINT) % 4294967296) * 2654435761 + 6969)
+           % 4294967296 AS hv
+  FROM events
+),
+r AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv, event_id) AS rk
+  FROM h
+)
+SELECT event_id, event_type, rk FROM r WHERE rk <= 50
+"""
+
+
+def pack_documents(sf_dir: str):
+    """Sequence packing (offset rule): pack_id = start_offset //
+    max_weight over the doc_id-sorted corpus — one sort + an O(blocks)
+    driver prefix-sum (functions/index.with_weight_offsets)."""
+    from knowledge_graph_ray.stages.packing import pack_by_offset
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return pack_by_offset(docs, "n_chars", 20_000, "doc_id")
+
+
+PACK_DOCUMENTS_SQL = """
+WITH o AS (
+  SELECT doc_id, n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM documents
+)
+SELECT doc_id, n_chars, start_offset, start_offset // 20000 AS pack_id FROM o
+"""
+
+
+QUERIES["split_documents"] = split_documents
+QUERIES["sample_events_per_type"] = sample_events_per_type
+QUERIES["pack_documents"] = pack_documents
+ORACLE_SQL["split_documents"] = SPLIT_DOCUMENTS_SQL
+ORACLE_SQL["sample_events_per_type"] = SAMPLE_EVENTS_PER_TYPE_SQL
+ORACLE_SQL["pack_documents"] = PACK_DOCUMENTS_SQL

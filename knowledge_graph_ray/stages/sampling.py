@@ -1,0 +1,104 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Beyond-reference operators (SURVEY §2.11 family): a 100-TB corpus needs
+reproducible train/val/test splits and per-group subsamples that any
+worker — or an auditing SQL engine — can recompute from the row alone,
+with no RNG state and no shuffle.
+
+The hash is Knuth's multiplicative scheme over the low 32 bits of the
+integer key, ``h = ((key mod 2^32) * 2654435761 + seed) mod 2^32`` —
+chosen because it is exactly expressible in both vectorized numpy
+(uint64 arithmetic, no wraparound: max intermediate < 2^64) and ANSI
+SQL (HUGEINT arithmetic), so every split/sample below carries a full
+DuckDB oracle.  For sequential keys the lattice structure makes split
+sizes *more* even than iid-random — fine for splits/samples; a
+production pipeline with adversarial keys would swap in any u64 hash
+behind the same API (the SQL-parity constraint picks this form here).
+
+Scale shapes:
+* ``hash_split``     — stateless ``map_batches``; no shuffle at all.
+* ``grouped_sample`` — rank-by-hash routed through
+  ``functions/grouping.grouped_topk``: the per-batch local top-n
+  combiner bounds the shuffle to <= n rows per (group, batch), so hot
+  groups never ship their full membership.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+KNUTH_A = 2654435761  # 2^32 / phi, Knuth multiplicative hashing
+_M32 = np.uint64(1) << np.uint64(32)
+
+
+def hash_u32(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized ``((key mod 2^32) * A + seed) mod 2^32`` as uint64."""
+    k = keys.astype(np.uint64) % _M32
+    return (k * np.uint64(KNUTH_A) + np.uint64(seed)) % _M32
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(label, exclusive upper hash bound) pairs, cumulative over 2^32."""
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    out, cum = [], 0.0
+    for label, frac in fractions.items():
+        cum += frac
+        out.append((label, int(round(cum * float(_M32)))))
+    out[-1] = (out[-1][0], int(_M32))  # close rounding gap at the top
+    return out
+
+
+def hash_split(ds, key_col: str, fractions: dict[str, float],
+               seed: int = 0, column: str = "split"):
+    """Append a deterministic split label (e.g. train/val/test) per row.
+
+    The label depends only on ``key_col`` and ``seed`` — rows keep their
+    split across re-runs, repartitions, and incremental appends (the
+    property that matters for a growing 100-TB corpus: yesterday's val
+    docs never leak into today's train set).
+    """
+    bounds = split_thresholds(fractions)
+    labels = [label for label, _ in bounds]
+    uppers = np.array([u for _, u in bounds], dtype=np.uint64)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = hash_u32(keys, seed)
+        idx = np.searchsorted(uppers, h, side="right")
+        arr = pa.DictionaryArray.from_arrays(
+            pa.array(idx.astype("int32")), pa.array(labels)
+        ).cast(pa.string())
+        return batch.append_column(column, arr)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_sample(ds, group_cols: list[str], key_col: str, n: int,
+                   seed: int = 0, num_buckets: int = 64,
+                   driver_threshold: int | None = None,
+                   size_hint: int | None = None):
+    """Deterministic uniform sample of ``n`` rows per group: rank rows by
+    ``hash_u32(key, seed)`` ascending (ties by key) and keep the first n.
+
+    Equivalent to seeded sampling without replacement, but recomputable
+    row-locally — and oracle-checkable via ``row_number() OVER
+    (PARTITION BY group ORDER BY hash, key)``.  Adds the rank as ``rk``.
+    """
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+
+    rank_col = "__sample_h"
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = hash_u32(keys, seed).astype("int64")
+        return batch.append_column(rank_col, pa.array(h, type=pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    top = grouped_topk(hashed, group_cols, rank_col, n,
+                       descending=False, tie_cols=[key_col],
+                       num_buckets=num_buckets,
+                       driver_threshold=driver_threshold,
+                       size_hint=size_hint)
+    return top.drop_columns([rank_col])

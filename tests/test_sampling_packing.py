@@ -1,0 +1,107 @@
+"""Deterministic split / sample / pack stages (SURVEY §2.11 family)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from knowledge_graph_ray.stages.packing import (
+    greedy_boundaries,
+    pack_by_offset,
+    pack_greedy,
+)
+from knowledge_graph_ray.stages.sampling import (
+    grouped_sample,
+    hash_split,
+    hash_u32,
+    split_thresholds,
+)
+
+
+def test_hash_split_deterministic_and_proportional():
+    df = pd.DataFrame({"k": np.arange(20000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(4)
+    out = hash_split(ds, "k", {"train": 0.8, "val": 0.1, "test": 0.1},
+                     seed=6969).to_pandas()
+    # determinism: label is a pure function of the key
+    again = hash_split(rd.from_pandas(df).repartition(7), "k",
+                       {"train": 0.8, "val": 0.1, "test": 0.1},
+                       seed=6969).to_pandas()
+    merged = out.merge(again, on="k", suffixes=("_a", "_b"))
+    assert (merged.split_a == merged.split_b).all()
+    frac = out.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+
+
+def test_split_stable_under_corpus_growth():
+    """Yesterday's split labels never change when new docs append."""
+    small = pd.DataFrame({"k": np.arange(1000, dtype=np.int64)})
+    big = pd.DataFrame({"k": np.arange(5000, dtype=np.int64)})
+    f = {"train": 0.9, "val": 0.1}
+    a = hash_split(rd.from_pandas(small), "k", f, seed=1).to_pandas()
+    b = hash_split(rd.from_pandas(big), "k", f, seed=1).to_pandas()
+    m = a.merge(b, on="k", suffixes=("_old", "_new"))
+    assert (m.split_old == m.split_new).all()
+
+
+def test_split_thresholds_close_rounding_gap():
+    bounds = split_thresholds({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert bounds[-1][1] == 1 << 32
+
+
+def test_grouped_sample_matches_pandas_rank():
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 3000),
+        "k": np.arange(3000, dtype=np.int64),
+    })
+    got = grouped_sample(rd.from_pandas(df).repartition(5), ["g"], "k", 7,
+                         seed=42).to_pandas()
+    h = hash_u32(df.k.to_numpy(), 42).astype("int64")
+    exp = (df.assign(h=h).sort_values(["h", "k"])
+             .groupby("g").head(7))
+    assert len(got) == len(exp)
+    assert set(zip(got.g, got.k)) == set(zip(exp.g, exp.k))
+    assert got.rk.max() <= 7 and got.rk.min() == 1
+
+
+def test_greedy_boundaries_first_fit_and_oversized():
+    w = np.array([4, 4, 4, 15, 2, 9, 1], dtype=np.int64)
+    packs = greedy_boundaries(w, 10)
+    # 4+4<=10, +4 overflows -> [0,0,1]; 15 oversized own pack; 2+9>10; 9+1<=10
+    assert packs.tolist() == [0, 0, 1, 2, 3, 4, 4]
+    assert greedy_boundaries(np.array([], dtype=np.int64), 10).tolist() == []
+
+
+def test_pack_by_offset_matches_window_sum():
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "w": rng.randint(1, 500, 400).astype(np.int64),
+    })
+    out = pack_by_offset(rd.from_pandas(df).repartition(6), "w", 1000,
+                         "doc_id").to_pandas().sort_values("doc_id")
+    exp_off = np.concatenate(([0], np.cumsum(df.w.to_numpy())[:-1]))
+    assert (out.start_offset.to_numpy() == exp_off).all()
+    assert (out.pack_id.to_numpy() == exp_off // 1000).all()
+
+
+def test_pack_greedy_per_partition():
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "shard": rng.choice(["s0", "s1"], 300),
+        "doc_id": np.arange(300, dtype=np.int64),
+        "w": rng.randint(1, 400, 300).astype(np.int64),
+    })
+    out = pack_greedy(rd.from_pandas(df).repartition(4), "w", 1000,
+                      "doc_id", "shard").to_pandas()
+    assert len(out) == 300
+    for shard, sub in out.groupby("shard"):
+        sub = sub.sort_values("doc_id")
+        exp = greedy_boundaries(sub.w.to_numpy(), 1000)
+        assert (sub.pack_id.to_numpy() == exp).all()
+        # every non-oversized pack respects the budget
+        sums = sub.groupby("pack_id").w.sum()
+        sizes = sub.groupby("pack_id").size()
+        assert ((sums <= 1000) | (sizes == 1)).all()
