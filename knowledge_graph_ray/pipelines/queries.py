@@ -1660,3 +1660,114 @@ QUERIES["pack_documents"] = pack_documents
 ORACLE_SQL["split_documents"] = SPLIT_DOCUMENTS_SQL
 ORACLE_SQL["sample_events_per_type"] = SAMPLE_EVENTS_PER_TYPE_SQL
 ORACLE_SQL["pack_documents"] = PACK_DOCUMENTS_SQL
+
+
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination composed with the deterministic split:
+    train docs (hash_split 80/10/10, seed 6969) sharing any 5-gram with
+    the held-out test split, with the distinct-shared-gram count.
+    Broadcast small side (test grams via ray.put), zero-shuffle train
+    scan — see stages/decontaminate.py."""
+    from knowledge_graph_ray.stages.decontaminate import contaminated_counts
+    from knowledge_graph_ray.stages.sampling import hash_split
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    labelled = hash_split(docs, "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1}, seed=6969)
+    train = labelled.filter(expr="split == 'train'")
+    bench = labelled.filter(expr="split == 'test'")
+    return contaminated_counts(train, bench, n=5)
+
+
+def _decontaminate_sql(n: int = 5) -> str:
+    from knowledge_graph_ray.stages.sampling import split_thresholds
+
+    bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    case = " ".join(
+        f"WHEN hv < {upper} THEN '{label}'" for label, upper in bounds[:-1]
+    )
+    gram = " || ' ' || ".join(
+        ["w"] + [f"lead(w, {i}) OVER win" for i in range(1, n)]
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE {case} ELSE '{bounds[-1][0]}' END AS split
+  FROM (SELECT doc_id, text,
+               ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 + 6969)
+                 % 4294967296 AS hv
+        FROM documents)
+),
+words AS (
+  SELECT doc_id, split, w, pos FROM (
+    SELECT doc_id, split,
+           unnest(regexp_split_to_array(lower(text), '\\W+')) AS w,
+           generate_subscripts(regexp_split_to_array(lower(text), '\\W+'), 1)
+             AS pos
+    FROM s) WHERE w <> ''
+),
+grams AS (
+  SELECT doc_id, split, {gram} AS g
+  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE split = 'test' AND g IS NOT NULL)
+SELECT t.doc_id, count(DISTINCT t.g) AS n_shared
+FROM grams t JOIN bench b ON t.g = b.g
+WHERE t.split = 'train'
+GROUP BY t.doc_id
+"""
+
+
+DECONTAMINATE_DOCUMENTS_SQL = _decontaminate_sql()
+
+QUERIES["decontaminate_documents"] = decontaminate_documents
+ORACLE_SQL["decontaminate_documents"] = DECONTAMINATE_DOCUMENTS_SQL
+
+
+def upsample_documents_by_lang(sf_dir: str):
+    """Deterministic mixture reweighting: repeat each doc by a
+    per-language weight (en 1.0, zh 2.5, others 0.75) — floor copies
+    plus a hash-Bernoulli extra (stages/sampling.weighted_repeat);
+    stateless, no shuffle."""
+    from knowledge_graph_ray.stages.sampling import weighted_repeat
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lang = batch.column("lang")
+        w = pc.case_when(
+            pc.make_struct(pc.equal(lang, "en"), pc.equal(lang, "zh")),
+            1.0, 2.5, 0.75,
+        )
+        return batch.append_column("w", w)
+
+    weighted = docs.map_batches(add_weight, batch_format="pyarrow")
+    return weighted_repeat(weighted, "w", "doc_id", seed=6969)
+
+
+UPSAMPLE_DOCUMENTS_BY_LANG_SQL = """
+WITH c AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 2.5 ELSE 0.75 END AS w,
+         ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 + 6969)
+           % 4294967296 AS hv
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang, w,
+         CAST(floor(w) AS BIGINT)
+           + CASE WHEN hv < CAST(floor((w - floor(w)) * 4294967296.0)
+                            AS HUGEINT) THEN 1 ELSE 0 END AS n_copies
+  FROM c
+)
+SELECT doc_id, lang, CAST(w AS DOUBLE) AS w,
+       unnest(generate_series(0, n_copies - 1)) AS copy_idx
+FROM n WHERE n_copies > 0
+"""
+
+QUERIES["upsample_documents_by_lang"] = upsample_documents_by_lang
+ORACLE_SQL["upsample_documents_by_lang"] = UPSAMPLE_DOCUMENTS_BY_LANG_SQL

@@ -102,3 +102,37 @@ def grouped_sample(ds, group_cols: list[str], key_col: str, n: int,
                        driver_threshold=driver_threshold,
                        size_hint=size_hint)
     return top.drop_columns([rank_col])
+
+
+def weighted_repeat(ds, weight_col: str, key_col: str, seed: int = 0,
+                    copy_col: str = "copy_idx"):
+    """Deterministic mixture upsampling: emit each row ``floor(w)``
+    times plus one extra copy iff ``hash(key) < frac(w) * 2^32`` — the
+    hash plays the Bernoulli draw, so expected multiplicity is exactly
+    the weight yet every worker (and the SQL oracle) recomputes the
+    same copies row-locally.  Rows with resolved count 0 are dropped.
+
+    Adds ``copy_col`` (0..n_copies-1) so downstream shuffles can tell
+    copies apart.  Stateless ``map_batches``; no shuffle — the standard
+    domain-reweighting step before sequence packing.
+    """
+
+    def expand(batch: pa.Table) -> pa.Table:
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        base = np.floor(w)
+        frac = w - base
+        h = hash_u32(batch.column(key_col).to_numpy(zero_copy_only=False),
+                     seed)
+        extra = h < np.floor(frac * float(_M32)).astype(np.uint64)
+        n_copies = base.astype(np.int64) + extra.astype(np.int64)
+        idx = np.repeat(np.arange(len(batch)), n_copies)
+        out = batch.take(pa.array(idx))
+        # per-source-row 0..n-1 counter, vectorized
+        starts = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
+        copy_idx = np.arange(len(idx)) - np.repeat(starts, n_copies)
+        return out.append_column(copy_col,
+                                 pa.array(copy_idx, type=pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")

@@ -105,3 +105,66 @@ def test_pack_greedy_per_partition():
         sums = sub.groupby("pack_id").w.sum()
         sizes = sub.groupby("pack_id").size()
         assert ((sums <= 1000) | (sizes == 1)).all()
+
+
+def test_weighted_repeat_multiplicity_and_copy_idx():
+    from knowledge_graph_ray.stages.sampling import weighted_repeat
+
+    df = pd.DataFrame({
+        "k": np.arange(2000, dtype=np.int64),
+        "w": np.tile([0.25, 1.0, 2.5, 0.0], 500),
+    })
+    out = weighted_repeat(rd.from_pandas(df).repartition(4), "w", "k",
+                          seed=7).to_pandas()
+    h = hash_u32(df.k.to_numpy(), 7)
+    frac_thresh = np.floor((df.w - np.floor(df.w)) * 2**32).astype("uint64")
+    exp_n = np.floor(df.w).astype(int) + (h < frac_thresh).astype(int)
+    got_n = out.groupby("k").size().reindex(df.k, fill_value=0)
+    assert (got_n.values == exp_n.values).all()
+    # copy_idx is a dense 0..n-1 counter per source row
+    for k, sub in out.groupby("k"):
+        assert sorted(sub.copy_idx) == list(range(len(sub)))
+    # expected multiplicity tracks the weight
+    mult = out.merge(df, on="k").groupby("w_x").size() / 500
+    assert abs(mult[0.25] - 0.25) < 0.06 and abs(mult[2.5] - 2.5) < 0.06
+    assert 0.0 not in mult.index
+
+
+def test_decontaminate_counts_match_bruteforce():
+    import re
+
+    from knowledge_graph_ray.stages.decontaminate import contaminated_counts
+
+    word = re.compile(r"\w+")
+
+    def grams(t, n):
+        toks = word.findall(t.lower())
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(30)]
+    mk = lambda: " ".join(rng.choice(vocab, rng.randint(2, 25)))
+    train = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                          "text": [mk() for _ in range(300)]})
+    bench = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64) + 1000,
+                          "text": [mk() for _ in range(40)]})
+    got = contaminated_counts(
+        rd.from_pandas(train).repartition(4),
+        rd.from_pandas(bench).repartition(2), n=3,
+    ).to_pandas().set_index("doc_id").n_shared
+    bg = set().union(*(grams(t, 3) for t in bench.text))
+    exp = {r.doc_id: len(grams(r.text, 3) & bg) for r in train.itertuples()
+           if len(grams(r.text, 3) & bg) > 0}
+    assert got.to_dict() == exp
+    assert len(exp) > 0  # the corpus genuinely overlaps
+
+
+def test_decontaminate_short_docs_contribute_nothing():
+    from knowledge_graph_ray.stages.decontaminate import contaminated_counts
+
+    train = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a b c d"]})
+    bench = pd.DataFrame({"doc_id": [9], "text": ["a b c"]})
+    got = contaminated_counts(rd.from_pandas(train), rd.from_pandas(bench),
+                              n=3).to_pandas()
+    # doc 1 has no 3-gram; doc 2 shares exactly "a b c"
+    assert got.doc_id.tolist() == [2] and got.n_shared.tolist() == [1]
