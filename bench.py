@@ -48,6 +48,14 @@ BENCH_QUERIES = [
     "events_value_quantiles",
     "topk_customers_per_nation",
     "events_asof_join",
+    # round-3 reproducible-selection family (appended to keep per-query
+    # comparisons against BENCH_r02 aligned)
+    "split_documents",
+    "sample_events_per_type",
+    "pack_documents",
+    "decontaminate_documents",
+    "upsample_documents_by_lang",
+    "training_data_prep",
 ]
 
 

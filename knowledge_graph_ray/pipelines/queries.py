@@ -1771,3 +1771,124 @@ FROM n WHERE n_copies > 0
 
 QUERIES["upsample_documents_by_lang"] = upsample_documents_by_lang
 ORACLE_SQL["upsample_documents_by_lang"] = UPSAMPLE_DOCUMENTS_BY_LANG_SQL
+
+
+def training_data_prep(sf_dir: str):
+    """Flagship training-data composition, every step deterministic and
+    the whole chain one SQL oracle: exact-dedup (keep min doc_id per
+    text) -> hash split 80/10/10 -> drop train docs sharing a 5-gram
+    with the test split (broadcast, zero shuffle) -> per-language
+    mixture upsampling (hash-Bernoulli, seed 1234) -> offset-rule
+    sequence packing (budget 20k chars) over (doc_id, copy_idx) order.
+    Shuffle census: one content-hash exchange (dedup) + one sort
+    (packing); everything else is stateless map_batches."""
+    from knowledge_graph_ray.stages.decontaminate import drop_contaminated
+    from knowledge_graph_ray.stages.dedup import exact_dedup
+    from knowledge_graph_ray.stages.packing import pack_by_offset
+    from knowledge_graph_ray.stages.sampling import hash_split, weighted_repeat
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "n_chars"])
+    uniq = exact_dedup(docs, column="text", id_column="doc_id")
+    labelled = hash_split(uniq, "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1}, seed=6969)
+    train = labelled.filter(expr="split == 'train'")
+    bench = labelled.filter(expr="split == 'test'")
+    clean = drop_contaminated(train, bench, n=5)
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lang = batch.column("lang")
+        w = pc.case_when(
+            pc.make_struct(pc.equal(lang, "en"), pc.equal(lang, "zh")),
+            1.0, 2.5, 0.75,
+        )
+        return batch.append_column("w", w)
+
+    ups = weighted_repeat(clean.map_batches(add_weight,
+                                            batch_format="pyarrow"),
+                          "w", "doc_id", seed=1234)
+    packed = pack_by_offset(
+        ups.select_columns(["doc_id", "lang", "copy_idx", "n_chars"]),
+        "n_chars", 20_000, ["doc_id", "copy_idx"],
+    )
+    return packed.select_columns(
+        ["doc_id", "lang", "copy_idx", "n_chars", "start_offset", "pack_id"]
+    )
+
+
+def _training_data_prep_sql(n: int = 5) -> str:
+    from knowledge_graph_ray.stages.sampling import split_thresholds
+
+    bounds = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    case = " ".join(
+        f"WHEN hv < {upper} THEN '{label}'" for label, upper in bounds[:-1]
+    )
+    gram = " || ' ' || ".join(
+        ["w"] + [f"lead(w, {i}) OVER win" for i in range(1, n)]
+    )
+    return f"""
+WITH uniq AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+s AS (
+  SELECT doc_id, text, lang, n_chars,
+         CASE {case} ELSE '{bounds[-1][0]}' END AS split
+  FROM (SELECT *,
+               ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 + 6969)
+                 % 4294967296 AS hv
+        FROM uniq)
+),
+words AS (
+  SELECT doc_id, split, w, pos FROM (
+    SELECT doc_id, split,
+           unnest(regexp_split_to_array(lower(text), '\\W+')) AS w,
+           generate_subscripts(regexp_split_to_array(lower(text), '\\W+'), 1)
+             AS pos
+    FROM s WHERE split IN ('train', 'test')) WHERE w <> ''
+),
+grams AS (
+  SELECT doc_id, split, {gram} AS g
+  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE split = 'test' AND g IS NOT NULL),
+clean AS (
+  SELECT doc_id, lang, n_chars FROM s
+  WHERE split = 'train' AND doc_id NOT IN (
+    SELECT DISTINCT t.doc_id FROM grams t JOIN bench b ON t.g = b.g
+    WHERE t.split = 'train')
+),
+ups AS (
+  SELECT doc_id, lang, n_chars,
+         unnest(generate_series(0, n_copies - 1)) AS copy_idx
+  FROM (
+    SELECT *, CAST(floor(w) AS BIGINT)
+             + CASE WHEN hv < CAST(floor((w - floor(w)) * 4294967296.0)
+                              AS HUGEINT) THEN 1 ELSE 0 END AS n_copies
+    FROM (SELECT doc_id, lang, n_chars,
+                 CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 2.5
+                      ELSE 0.75 END AS w,
+                 ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 + 1234)
+                   % 4294967296 AS hv
+          FROM clean))
+  WHERE n_copies > 0
+),
+o AS (
+  SELECT doc_id, lang, copy_idx, n_chars,
+         CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id, copy_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_offset
+  FROM ups
+)
+SELECT doc_id, lang, copy_idx, n_chars, start_offset,
+       start_offset // 20000 AS pack_id
+FROM o
+"""
+
+
+TRAINING_DATA_PREP_SQL = _training_data_prep_sql()
+
+QUERIES["training_data_prep"] = training_data_prep
+ORACLE_SQL["training_data_prep"] = TRAINING_DATA_PREP_SQL

@@ -55,6 +55,27 @@ def collect_benchmark_grams(bench, n: int, text_column: str = "text"):
     return out
 
 
+def drop_contaminated(train, bench, n: int = 5,
+                      text_column: str = "text",
+                      id_column: str = "doc_id"):
+    """Train rows sharing NO n-gram with the benchmark — the keep-side
+    filter form of ``contaminated_counts``: same broadcast gram set,
+    zero shuffle, original columns preserved."""
+    import ray
+
+    bench_ref = ray.put(collect_benchmark_grams(bench, n, text_column))
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        bench_grams = ray.get(bench_ref)
+        mask = [
+            not any(g in bench_grams for g in _grams(text, n))
+            for text in batch.column(text_column).to_pylist()
+        ]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    return train.map_batches(keep_clean, batch_format="pyarrow")
+
+
 def contaminated_counts(train, bench, n: int = 5,
                         text_column: str = "text",
                         id_column: str = "doc_id",

@@ -168,3 +168,24 @@ def test_decontaminate_short_docs_contribute_nothing():
                               n=3).to_pandas()
     # doc 1 has no 3-gram; doc 2 shares exactly "a b c"
     assert got.doc_id.tolist() == [2] and got.n_shared.tolist() == [1]
+
+
+def test_drop_contaminated_complements_counts():
+    from knowledge_graph_ray.stages.decontaminate import (
+        contaminated_counts,
+        drop_contaminated,
+    )
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(25)]
+    mk = lambda: " ".join(rng.choice(vocab, rng.randint(3, 20)))
+    train = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                          "text": [mk() for _ in range(200)]})
+    bench = pd.DataFrame({"doc_id": [900, 901],
+                          "text": [mk(), mk()]})
+    tds = rd.from_pandas(train).repartition(3)
+    bds = rd.from_pandas(bench)
+    hits = set(contaminated_counts(tds, bds, n=3).to_pandas().doc_id)
+    clean = drop_contaminated(tds, bds, n=3).to_pandas()
+    assert set(clean.doc_id) == set(train.doc_id) - hits
+    assert list(clean.columns) == ["doc_id", "text"]  # columns preserved
