@@ -1892,3 +1892,45 @@ TRAINING_DATA_PREP_SQL = _training_data_prep_sql()
 
 QUERIES["training_data_prep"] = training_data_prep
 ORACLE_SQL["training_data_prep"] = TRAINING_DATA_PREP_SQL
+
+
+def events_range_join(sf_dir: str):
+    """Range join (interval count): each purchase opens a 2-hour
+    attribution window; count same-user clicks with
+    purchase_ts <= click_ts < purchase_ts + 2h (LEFT semantics, zero
+    counts kept).  One keyed shuffle + per-key double searchsorted —
+    stages/windows.interval_join_count."""
+    from knowledge_graph_ray.stages.windows import interval_join_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def to_interval(batch: pa.Table) -> pa.Table:
+        t0 = batch.column("ts").cast(pa.int64())
+        t1 = pa.compute.add(t0, 2 * 3600 * 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "t0": t0, "t1": t1,
+        })
+
+    purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
+        to_interval, batch_format="pyarrow")
+    clicks = ev.filter(expr="event_type == 'click'")
+    joined = interval_join_count(purchases, clicks, by="user_id",
+                                 start_col="t0", end_col="t1", on="ts",
+                                 count_col="n_clicks")
+    return joined.select_columns(["event_id", "user_id", "n_clicks"])
+
+
+EVENTS_RANGE_JOIN_SQL = """
+SELECT p.event_id, p.user_id, count(c.event_id) AS n_clicks
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 2 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.user_id
+"""
+
+QUERIES["events_range_join"] = events_range_join
+ORACLE_SQL["events_range_join"] = EVENTS_RANGE_JOIN_SQL

@@ -144,3 +144,53 @@ def test_grouped_topk_matches_pandas():
         got[["g", "v", "id"]], exp[["g", "v", "id"]], check_dtype=False
     )
     assert (got.groupby("g")["rk"].apply(lambda s: list(s) == list(range(1, len(s) + 1)))).all()
+
+
+def test_interval_join_count_matches_bruteforce():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from knowledge_graph_ray.stages.windows import interval_join_count
+
+    rng = np.random.RandomState(3)
+    iv = pd.DataFrame({
+        "iid": np.arange(200, dtype=np.int64),
+        "k": rng.randint(0, 8, 200).astype(np.int64),
+        "t0": rng.randint(0, 1000, 200).astype(np.int64),
+    })
+    iv["t1"] = iv.t0 + rng.randint(1, 120, 200)
+    pts = pd.DataFrame({
+        "k": rng.randint(0, 10, 1500).astype(np.int64),  # some keys no-interval
+        "ts": rng.randint(0, 1100, 1500).astype(np.int64),
+    })
+    got = interval_join_count(
+        rd.from_pandas(iv).repartition(4), rd.from_pandas(pts).repartition(3),
+        by="k", start_col="t0", end_col="t1", on="ts",
+    ).to_pandas().sort_values("iid").reset_index(drop=True)
+    exp = [
+        ((pts.k.values == r.k) & (pts.ts.values >= r.t0)
+         & (pts.ts.values < r.t1)).sum()
+        for r in iv.itertuples()
+    ]
+    assert len(got) == len(iv)
+    assert got.n_points.tolist() == exp
+    assert (got.t0.values == iv.t0.values).all()
+
+
+def test_interval_join_count_empty_points_keeps_zero_counts():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from knowledge_graph_ray.stages.windows import interval_join_count
+
+    iv = pd.DataFrame({"iid": [1, 2], "k": [0, 1],
+                       "t0": [0, 10], "t1": [5, 20]})
+    pts = pd.DataFrame({"k": pd.array([], dtype="int64"),
+                        "ts": pd.array([], dtype="int64")})
+    got = interval_join_count(
+        rd.from_pandas(iv), rd.from_pandas(pts),
+        by="k", start_col="t0", end_col="t1", on="ts",
+    ).to_pandas()
+    assert sorted(got.n_points.tolist()) == [0, 0]
