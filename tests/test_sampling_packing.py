@@ -189,3 +189,56 @@ def test_drop_contaminated_complements_counts():
     clean = drop_contaminated(tds, bds, n=3).to_pandas()
     assert set(clean.doc_id) == set(train.doc_id) - hits
     assert list(clean.columns) == ["doc_id", "text"]  # columns preserved
+
+
+# ---------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), max_size=60),
+    st.integers(min_value=1, max_value=600),
+)
+def test_greedy_boundaries_laws(ws, budget):
+    w = np.asarray(ws, dtype=np.int64)
+    packs = greedy_boundaries(w, budget)
+    assert len(packs) == len(w)
+    if len(w) == 0:
+        return
+    # contiguous, 0-based, non-decreasing by at most 1
+    assert packs[0] == 0
+    steps = np.diff(packs)
+    assert ((steps == 0) | (steps == 1)).all()
+    for p in range(packs.max() + 1):
+        idx = np.flatnonzero(packs == p)
+        total = w[idx].sum()
+        # budget respected unless a single oversized row
+        assert total <= budget or len(idx) == 1
+        # first-fit: the row after this pack would not have fit
+        nxt = idx[-1] + 1
+        if nxt < len(w) and total <= budget:
+            assert total + w[nxt] > budget
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0.01, max_value=0.99), min_size=1,
+             max_size=6),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_split_thresholds_partition_the_hash_space(fracs, hv):
+    total = sum(fracs)
+    fractions = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    # renormalize rounding drift so the contract (sum==1) holds
+    fractions[f"s{len(fracs)-1}"] += 1.0 - sum(fractions.values())
+    bounds = split_thresholds(fractions)
+    uppers = [u for _, u in bounds]
+    assert uppers == sorted(uppers)
+    assert uppers[-1] == 1 << 32
+    # every hash value lands in exactly one bucket
+    idx = np.searchsorted(np.array(uppers, dtype=np.uint64),
+                          np.uint64(hv), side="right")
+    assert 0 <= idx < len(bounds)
