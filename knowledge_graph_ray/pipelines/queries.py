@@ -1934,3 +1934,107 @@ GROUP BY p.event_id, p.user_id
 
 QUERIES["events_range_join"] = events_range_join
 ORACLE_SQL["events_range_join"] = EVENTS_RANGE_JOIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# ranking / ordered-scan window functions (stages/ranking.py)
+
+
+def events_percent_rank(sf_dir: str):
+    """RANK + PERCENT_RANK of spend per user — the ranking-window family
+    (stages/ranking.window_rank): one shuffle on the high-cardinality
+    partition key, per-bucket vectorized pandas rank, no global sort."""
+    from knowledge_graph_ray.stages.ranking import window_rank
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "value"])
+    return window_rank(events, key="user_id", order_col="value",
+                      id_cols=["event_id"],
+                      driver_threshold=500_000, size_hint=events.count())
+
+
+EVENTS_PERCENT_RANK_SQL = """
+SELECT event_id, user_id, value,
+       CAST(rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rk,
+       percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS pct_rank
+FROM events
+"""
+
+
+def events_running_total(sf_dir: str):
+    """Running total (SUM ... ROWS UNBOUNDED PRECEDING) of cents per
+    user ordered by (ts, event_id) — exact integer prefix sums via
+    stages/ranking.running_sum; floats scaled to cents upstream so the
+    cumsum never drifts."""
+    from knowledge_graph_ray.stages.ranking import running_sum
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    return running_sum(prepped, key="user_id",
+                       order_cols=["ts_s", "event_id"], value_col="cents",
+                       out_col="running_cents",
+                       driver_threshold=500_000, size_hint=events.count())
+
+
+EVENTS_RUNNING_TOTAL_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts_s, event_id, cents,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS running_cents
+FROM e
+"""
+
+
+def events_user_gaps(sf_dir: str):
+    """LAG-delta aggregate (stages/ranking.ordered_gaps): per user the
+    max inter-event gap and the count of gaps > 30 min; output is
+    user-cardinality-sized regardless of input rows."""
+    from knowledge_graph_ray.stages.ranking import ordered_gaps
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+    return ordered_gaps(events, key="user_id", ts_col="ts",
+                        over_seconds=1800,
+                        driver_threshold=500_000, size_hint=events.count())
+
+
+EVENTS_USER_GAPS_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+),
+g AS (
+  SELECT user_id,
+         ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) AS gap
+  FROM e
+)
+SELECT user_id, count(*) AS n_events,
+       coalesce(max(gap), -1) AS max_gap_s,
+       CAST(coalesce(sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_gaps_over
+FROM g GROUP BY user_id
+"""
+
+QUERIES["events_percent_rank"] = events_percent_rank
+QUERIES["events_running_total"] = events_running_total
+QUERIES["events_user_gaps"] = events_user_gaps
+ORACLE_SQL["events_percent_rank"] = EVENTS_PERCENT_RANK_SQL
+ORACLE_SQL["events_running_total"] = EVENTS_RUNNING_TOTAL_SQL
+ORACLE_SQL["events_user_gaps"] = EVENTS_USER_GAPS_SQL

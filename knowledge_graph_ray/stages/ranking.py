@@ -1,0 +1,175 @@
+"""Ranking / ordered-scan window functions over partitioned tables.
+
+SQL's ranking windows (RANK / PERCENT_RANK / running SUM / LAG deltas)
+have no Ray Data native form; like stages/windows.py they are computed
+by treating the input as a partitioned log — ONE shuffle on the
+partition key (functions/grouping.bucketed_bucket_map), then a single
+vectorized sort + pandas groupby pass per bucket, never a per-key
+Python loop and never a global sort.
+
+Partitioning assumption (documented per the custom-operator rule): all
+rows of one partition key fit one bucket task.  ``num_buckets`` bounds
+per-task memory to ~|input|/num_buckets; hot keys still colocate — for
+a key too hot for one task, pre-aggregate upstream or salt on a coarser
+(key, order-prefix) and merge, as stages/windows.py documents for the
+same shape.
+
+Scale shape vs a global sort: ORDER BY inside a partition only needs
+per-bucket sorts after one hash shuffle — no range-partition planning
+pass, no skewed global merge.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+
+def window_rank(ds, key: str, order_col: str, id_cols: list[str],
+                descending: bool = False, num_buckets: int = 64,
+                driver_threshold: int | None = None,
+                size_hint: int | None = None):
+    """RANK() and PERCENT_RANK() per partition.
+
+    Emits one row per input row: ``id_cols`` + key + order_col + ``rk``
+    (SQL RANK(): ties share the minimum rank, gaps after ties) +
+    ``pct_rank`` (SQL PERCENT_RANK(): ``(rk-1)/(n-1)``, 0.0 for a
+    single-row partition).  The division is the same two exact int64
+    operands IEEE-divided on both engines, so the result is bit-stable
+    against a DuckDB oracle.
+    """
+    cols = list(dict.fromkeys(id_cols + [key, order_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        gb = g.groupby(key, sort=False, dropna=False)[order_col]
+        rk = (
+            gb.rank(method="min", ascending=not descending)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        n = gb.transform("size").to_numpy().astype(np.int64)
+        pct = np.where(n > 1, (rk - 1) / np.maximum(n - 1, 1), 0.0)
+        out = g[cols].copy()
+        out["rk"] = rk
+        out["pct_rank"] = pct
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )
+
+
+def running_sum(ds, key: str, order_cols: list[str], value_col: str,
+                out_col: str = "running", num_buckets: int = 64,
+                driver_threshold: int | None = None,
+                size_hint: int | None = None):
+    """SUM(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING) — the running total.
+
+    ``order_cols`` must be a total order within each key (include a
+    unique id as tiebreak) or the prefix sums are oracle-ambiguous.
+    ``value_col`` must already be integer (scale floats to cents
+    upstream via functions/numeric.scaled_int_column) so the cumsum is
+    exact.  One shuffle; per bucket one sort + groupby cumsum.
+    """
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key] + order_cols, kind="stable")
+        out = g[cols].copy()
+        out[out_col] = (
+            g.groupby(key, sort=False, dropna=False)[value_col]
+            .cumsum()
+            .astype("int64")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )
+
+
+GAPS_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("n_events", pa.int64()),
+        ("max_gap_s", pa.int64()),
+        ("n_gaps_over", pa.int64()),
+    ]
+)
+
+
+def ordered_gaps(events, key: str = "user_id", ts_col: str = "ts",
+                 over_seconds: int = 1800, num_buckets: int = 64,
+                 driver_threshold: int | None = None,
+                 size_hint: int | None = None):
+    """LAG-delta aggregate: per key, the event count, the maximum gap
+    between consecutive events (epoch seconds; -1 for single-event
+    keys, matching SQL ``coalesce(max(gap), -1)``), and how many gaps
+    exceed ``over_seconds``.
+
+    The per-key ordered scan is one vectorized diff over the bucket
+    sorted by (key, ts) — key boundaries masked out — then one pandas
+    groupby; output is key-cardinality-sized, so the shuffle result is
+    tiny regardless of input rows.
+    """
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column(ts_col).cast(pa.int64()), 1_000_000)
+        return pa.Table.from_pydict(
+            {key: batch.column(key), "ts_s": ts_s.cast(pa.int64())}
+        )
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_values([key, "ts_s"], kind="stable")
+        ts = g["ts_s"].to_numpy()
+        codes, _ = pd.factorize(g[key], use_na_sentinel=False)
+        n = len(g)
+        gap = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            same = codes[1:] == codes[:-1]
+            gap[1:] = np.where(same, ts[1:] - ts[:-1], -1)
+        df = pd.DataFrame(
+            {
+                key: g[key].to_numpy(),
+                "gap": gap,
+                "over": (gap > over_seconds).astype(np.int64),
+            }
+        )
+        agg = df.groupby(key, sort=False, dropna=False).agg(
+            n_events=("gap", "size"),
+            max_gap_s=("gap", "max"),
+            n_gaps_over=("over", "sum"),
+        )
+        return pa.Table.from_pydict(
+            {
+                # from_pandas: a null key groups under NaN; keep it null
+                "user_id": pa.Array.from_pandas(agg.index.to_series(),
+                                                type=pa.int64()),
+                "n_events": pa.array(agg["n_events"].astype("int64")),
+                "max_gap_s": pa.array(agg["max_gap_s"].astype("int64")),
+                "n_gaps_over": pa.array(agg["n_gaps_over"].astype("int64")),
+            },
+            schema=GAPS_SCHEMA,
+        )
+
+    prepped = events.select_columns([key, ts_col]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return bucketed_bucket_map(
+        prepped, [key], bucket_body, num_buckets=num_buckets,
+        empty_schema=GAPS_SCHEMA, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

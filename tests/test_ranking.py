@@ -1,0 +1,152 @@
+"""Ranking / ordered-scan window stage tests vs pandas brute force.
+
+Stage calls default ``driver_threshold=None`` so the DISTRIBUTED path
+(shuffle + bucket bodies) is what's exercised; regime equivalence vs
+the driver fast path is asserted separately.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from knowledge_graph_ray.stages.ranking import (
+    ordered_gaps,
+    running_sum,
+    window_rank,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_window_rank_matches_pandas():
+    events = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "user_id", "value"])
+    got = (
+        window_rank(events, key="user_id", order_col="value",
+                    id_cols=["event_id"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet",
+                          columns=["event_id", "user_id", "value"])
+    gb = pdf.groupby("user_id")["value"]
+    pdf["rk"] = gb.rank(method="min").astype("int64")
+    n = gb.transform("size").to_numpy().astype("int64")
+    pdf["pct_rank"] = np.where(
+        n > 1, (pdf["rk"].to_numpy() - 1) / np.maximum(n - 1, 1), 0.0
+    )
+    expected = pdf.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[expected.columns.tolist()], expected, check_dtype=False
+    )
+
+
+def test_window_rank_descending_and_singleton():
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4],
+        "k": ["a", "a", "a", "b"],
+        "v": [10.0, 30.0, 30.0, 7.0],
+    }))
+    got = (
+        window_rank(ds, key="k", order_col="v", id_cols=["id"],
+                    descending=True)
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # ties share the min rank; gap after ties (SQL RANK)
+    assert got.rk.tolist() == [3, 1, 1, 1]
+    # singleton partition: pct_rank defined as 0.0
+    assert got.pct_rank.tolist() == [1.0, 0.0, 0.0, 0.0]
+
+
+def test_running_sum_matches_pandas():
+    events = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "ts_s": pc.divide(b.column("ts").cast(pa.int64()),
+                              1_000_000).cast(pa.int64()),
+            "cents": pc.round(
+                pc.multiply(b.column("value").cast(pa.float64()), 100.0),
+                ndigits=0, round_mode="half_towards_infinity",
+            ).cast(pa.int64()),
+        })
+
+    got = (
+        running_sum(events.map_batches(prep, batch_format="pyarrow"),
+                    key="user_id", order_cols=["ts_s", "event_id"],
+                    value_col="cents", out_col="running_cents")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf["ts_s"] = (pdf.ts.astype("int64") // 10**6).astype("int64")
+    v = pdf.value.to_numpy() * 100.0
+    pdf["cents"] = np.where(v >= 0, np.floor(v + 0.5),
+                            np.ceil(v - 0.5)).astype("int64")
+    pdf = pdf.sort_values(["user_id", "ts_s", "event_id"], kind="stable")
+    pdf["running_cents"] = pdf.groupby("user_id")["cents"].cumsum()
+    expected = pdf.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, expected[got.columns.tolist()], check_dtype=False
+    )
+
+
+def test_ordered_gaps_matches_bruteforce():
+    events = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts"])
+    got = (
+        ordered_gaps(events, over_seconds=1800)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    pdf["ts_s"] = (pdf.ts.astype("int64") // 10**6).astype("int64")
+    rows = []
+    for uid, g in pdf.groupby("user_id"):
+        ts = np.sort(g.ts_s.to_numpy())
+        gaps = np.diff(ts)
+        rows.append((uid, len(ts),
+                     int(gaps.max()) if len(gaps) else -1,
+                     int((gaps > 1800).sum())))
+    expected = pd.DataFrame(
+        rows, columns=["user_id", "n_events", "max_gap_s", "n_gaps_over"]
+    ).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_ranking_regime_equivalence():
+    """Driver fast path and distributed bucket path agree row-for-row."""
+    events = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "user_id", "value"])
+
+    def norm(df):
+        return df.sort_values("event_id").reset_index(drop=True)
+
+    dist = norm(window_rank(events, key="user_id", order_col="value",
+                            id_cols=["event_id"]).to_pandas())
+    drv = norm(window_rank(events, key="user_id", order_col="value",
+                           id_cols=["event_id"], driver_threshold=10**9,
+                           size_hint=1000).to_pandas())
+    pd.testing.assert_frame_equal(dist, drv[dist.columns.tolist()])
+
+
+def test_ordered_gaps_null_key_and_empty():
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([None, None, 7], type=pa.int64()),
+        "ts": pa.array([0, 4_000_000_000, 0], type=pa.int64()).cast(
+            pa.timestamp("us")),
+    }))
+    got = ordered_gaps(ds, over_seconds=1800).to_pandas()
+    # null keys form one group (factorize use_na_sentinel=False)
+    null_row = got[got.user_id.isna()]
+    assert len(null_row) == 1
+    assert null_row.n_events.iloc[0] == 2
+    assert null_row.max_gap_s.iloc[0] == 4000
+    assert null_row.n_gaps_over.iloc[0] == 1
+    single = got[got.user_id == 7]
+    assert single.max_gap_s.iloc[0] == -1 and single.n_gaps_over.iloc[0] == 0
