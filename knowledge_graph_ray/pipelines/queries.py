@@ -2038,3 +2038,72 @@ QUERIES["events_user_gaps"] = events_user_gaps
 ORACLE_SQL["events_percent_rank"] = EVENTS_PERCENT_RANK_SQL
 ORACLE_SQL["events_running_total"] = EVENTS_RUNNING_TOTAL_SQL
 ORACLE_SQL["events_user_gaps"] = EVENTS_USER_GAPS_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary statistics (stages/vocab.py)
+
+
+def text_vocabulary(sf_dir: str):
+    """Top-100 terms by document frequency — distinct-term explode with
+    a per-batch partial-count combiner (stages/vocab.document_frequency);
+    the final sort runs over the term-cardinality table, not the corpus."""
+    from knowledge_graph_ray.stages.vocab import top_vocabulary
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return top_vocabulary(docs, k=100)
+
+
+TEXT_VOCABULARY_SQL = """
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(list_distinct(string_split(lower(text), ' '))) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT term, count(*) AS df FROM terms GROUP BY term
+ORDER BY df DESC, term LIMIT 100
+"""
+
+
+def text_term_pmi(sf_dir: str):
+    """PMI-weighted co-occurrence over a bounded top-50 vocabulary —
+    the two-pass broadcast pattern (stages/vocab.term_cooccurrence_pmi):
+    vocab derived then ray.put-broadcast, pairs via vectorized per-batch
+    self-merge, output bounded at k^2/2 rows at any corpus size."""
+    from knowledge_graph_ray.stages.vocab import term_cooccurrence_pmi
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return term_cooccurrence_pmi(docs, n_docs=docs.count(), vocab_k=50)
+
+
+TEXT_TERM_PMI_SQL = """
+WITH terms AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       unnest(list_distinct(string_split(lower(text), ' '))) AS t(term)
+  WHERE t.term <> ''
+),
+df AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+vocab AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 50),
+vt AS (SELECT terms.doc_id, terms.term FROM terms JOIN vocab USING (term)),
+pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_ab, va.df AS df_a, vb.df AS df_b,
+       CAST(round(ln((CAST(n_ab AS DOUBLE) * (SELECT count(*) FROM documents))
+                     / (CAST(va.df AS DOUBLE) * vb.df)) * 1000000)
+            AS BIGINT) AS pmi_e6
+FROM pairs
+JOIN vocab va ON va.term = pairs.term_a
+JOIN vocab vb ON vb.term = pairs.term_b
+"""
+
+QUERIES["text_vocabulary"] = text_vocabulary
+QUERIES["text_term_pmi"] = text_term_pmi
+ORACLE_SQL["text_vocabulary"] = TEXT_VOCABULARY_SQL
+ORACLE_SQL["text_term_pmi"] = TEXT_TERM_PMI_SQL
