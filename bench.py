@@ -56,6 +56,14 @@ BENCH_QUERIES = [
     "decontaminate_documents",
     "upsample_documents_by_lang",
     "training_data_prep",
+    # round-3b window/corpus-stat families (appended to keep per-query
+    # comparisons against earlier BENCH_r03 runs aligned)
+    "events_range_join",
+    "events_percent_rank",
+    "events_running_total",
+    "events_user_gaps",
+    "text_vocabulary",
+    "text_term_pmi",
 ]
 
 

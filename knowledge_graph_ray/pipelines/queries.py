@@ -1917,9 +1917,16 @@ def events_range_join(sf_dir: str):
     purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
         to_interval, batch_format="pyarrow")
     clicks = ev.filter(expr="event_type == 'click'")
+    # purchases + clicks are disjoint subsets of events, so the parquet
+    # metadata count bounds the union input — the size-adaptive driver
+    # path (one pull + one vectorized pass) then skips the ~2s
+    # shuffle-round fixed cost at bench scale; the distributed path is
+    # regime-equivalent (sf0.01 oracle gates whichever runs)
     joined = interval_join_count(purchases, clicks, by="user_id",
                                  start_col="t0", end_col="t1", on="ts",
-                                 count_col="n_clicks")
+                                 count_col="n_clicks",
+                                 driver_threshold=500_000,
+                                 size_hint=ev.count())
     return joined.select_columns(["event_id", "user_id", "n_clicks"])
 
 
@@ -2107,3 +2114,39 @@ QUERIES["text_vocabulary"] = text_vocabulary
 QUERIES["text_term_pmi"] = text_term_pmi
 ORACLE_SQL["text_vocabulary"] = TEXT_VOCABULARY_SQL
 ORACLE_SQL["text_term_pmi"] = TEXT_TERM_PMI_SQL
+
+
+def documents_above_p90(sf_dir: str):
+    """Per-language long-tail selection: docs strictly longer than their
+    language's P90 char count — stages/sketches.quantile_threshold_filter
+    (group-quantile broadcast + stateless vectorized filter, no join)."""
+    from knowledge_graph_ray.stages.sketches import quantile_threshold_filter
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_chars": batch.column("n_chars"),
+            "p90_chars": batch.column("q_threshold").cast(pa.int64()),
+        })
+
+    return quantile_threshold_filter(
+        docs, group_col="lang", value_col="n_chars", q=0.9
+    ).map_batches(finish, batch_format="pyarrow")
+
+
+DOCUMENTS_ABOVE_P90_SQL = """
+WITH p AS (
+  SELECT lang, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, documents.lang, n_chars, p90_chars
+FROM documents JOIN p ON documents.lang = p.lang
+WHERE n_chars > p90_chars
+"""
+
+QUERIES["documents_above_p90"] = documents_above_p90
+ORACLE_SQL["documents_above_p90"] = DOCUMENTS_ABOVE_P90_SQL

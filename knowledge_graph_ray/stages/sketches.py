@@ -294,3 +294,47 @@ def grouped_hll_distinct(ds, group_col: str, value_col: str, p: int = 12,
 
     return bucketed_group_map(sketches, [group_col], merge_group,
                               num_buckets=num_buckets)
+
+
+def quantile_threshold_filter(ds, group_col: str, value_col: str,
+                              q: float = 0.9, num_buckets: int = 16,
+                              threshold_col: str = "q_threshold"):
+    """Keep rows strictly ABOVE their group's q-quantile of ``value_col``
+    (per-group outlier / long-tail selection — e.g. the longest 10% of
+    documents per language for a curation pass).
+
+    Scale shape: the per-group quantile table is group-cardinality-sized
+    (grouped_quantiles' distinct-pair shuffle), pulled once and
+    broadcast via ``ray.put``; the filter itself is a stateless
+    vectorized ``map_batches`` — no join, no second shuffle.  Rows whose
+    group has no quantile (all-null values) are dropped, matching the
+    SQL inner-join formulation.
+    """
+    import ray
+
+    qt = grouped_quantiles(ds, group_col, value_col, [q],
+                           num_buckets=num_buckets).to_pandas()
+    thresholds = pd.Series(
+        qt[value_col].to_numpy(),
+        index=qt[group_col].to_numpy(),
+    )
+    ref = ray.put(thresholds)
+
+    def body(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        th = ray.get(ref)
+        groups = batch.column(group_col).to_pandas()
+        t = th.reindex(groups).to_numpy(dtype="float64")
+        vals = (
+            batch.column(value_col)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        mask = vals > t  # NaN threshold (unknown group) compares False
+        out = batch.filter(pa.array(mask))
+        return out.append_column(
+            threshold_col, pa.array(t[mask], type=pa.float64())
+        )
+
+    return ds.map_batches(body, batch_format="pyarrow")

@@ -371,32 +371,59 @@ def interval_join_count(intervals, points, by: str, start_col: str,
     pt = points.map_batches(tag_points, batch_format="pyarrow")
 
     def bucket_body(g: pd.DataFrame) -> pa.Table:
+        """Fully vectorized across keys: one joint factorize + lexsort,
+        per-key contiguous slices, TWO searchsorted calls per distinct
+        key on numpy slices, ONE output frame.  (The obvious per-key
+        ``pd.DataFrame`` loop costs ~1-2ms/key of frame construction —
+        seconds at a few thousand keys on the driver fast path.)"""
         import numpy as np
 
-        iv = g[g["__side"] == 0]
-        if iv.empty:
+        side = g["__side"].to_numpy()
+        iv_mask = side == 0
+        if not iv_mask.any():
             return out_schema.empty_table()
-        pts_by_key = {
-            k: np.sort(sub["__t0"].to_numpy())
-            for k, sub in g[g["__side"] == 1].groupby(by, dropna=False)
-        }
-        frames = []
-        for k, sub in iv.groupby(by, dropna=False):
-            t0 = sub["__t0"].to_numpy()
-            t1 = sub["__t1"].to_numpy()
-            pts = pts_by_key.get(k)
-            if pts is None or len(pts) == 0:
-                counts = np.zeros(len(sub), dtype=np.int64)
-            else:
-                counts = (np.searchsorted(pts, t1, side="left")
-                          - np.searchsorted(pts, t0, side="left"))
-            frames.append(pd.DataFrame({
-                by: sub[by].to_numpy(),
-                **{n: sub[n].to_numpy() for n in payload},
-                start_col: t0, end_col: t1,
-                count_col: counts.astype(np.int64),
-            }))
-        out = pd.concat(frames, ignore_index=True)
+        # joint factorize so interval and point key codes align; null
+        # keys get a code like any other (use_na_sentinel=False)
+        codes = pd.factorize(g[by], use_na_sentinel=False)[0]
+        t0_all = g["__t0"].to_numpy()
+
+        p_codes = codes[~iv_mask]
+        p_t = t0_all[~iv_mask]
+        p_order = np.lexsort((p_t, p_codes))
+        p_codes_s = p_codes[p_order]
+        p_t_s = p_t[p_order]
+
+        iv_codes = codes[iv_mask]
+        iv_t0 = t0_all[iv_mask]
+        iv_t1 = g["__t1"].to_numpy()[iv_mask]
+        i_order = np.argsort(iv_codes, kind="stable")
+        counts_sorted = np.zeros(len(iv_codes), dtype=np.int64)
+
+        uniq = np.unique(iv_codes)
+        i_bounds = np.searchsorted(iv_codes[i_order], uniq, side="left")
+        i_ends = np.searchsorted(iv_codes[i_order], uniq, side="right")
+        p_bounds = np.searchsorted(p_codes_s, uniq, side="left")
+        p_ends = np.searchsorted(p_codes_s, uniq, side="right")
+        for c_i in range(len(uniq)):
+            ps, pe = p_bounds[c_i], p_ends[c_i]
+            if ps == pe:
+                continue  # no points for this key: counts stay 0
+            s, e = i_bounds[c_i], i_ends[c_i]
+            sl = i_order[s:e]
+            seg = p_t_s[ps:pe]
+            counts_sorted[s:e] = (
+                np.searchsorted(seg, iv_t1[sl], side="left")
+                - np.searchsorted(seg, iv_t0[sl], side="left")
+            )
+        counts = np.empty(len(iv_codes), dtype=np.int64)
+        counts[i_order] = counts_sorted
+
+        iv = g[iv_mask]
+        out = pd.DataFrame({
+            by: iv[by].to_numpy(),
+            **{n: iv[n].to_numpy() for n in payload},
+            start_col: iv_t0, end_col: iv_t1, count_col: counts,
+        })
         return pa.Table.from_pandas(out[[f.name for f in out_schema]],
                                     schema=out_schema, preserve_index=False)
 

@@ -376,3 +376,45 @@ def test_grouped_quantiles_binned_constant_group():
         rd.from_pandas(df).repartition(2), "g", "v", qs=[0.5]
     ).to_pandas()
     assert got["v"].tolist() == [7.25]
+
+
+def test_quantile_threshold_filter_matches_bruteforce():
+    import math
+
+    from knowledge_graph_ray.stages.sketches import quantile_threshold_filter
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "lang", "n_chars"])
+    ds = rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+    got = (
+        quantile_threshold_filter(ds, "lang", "n_chars", q=0.9)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # brute force: quantile_disc rule = ceil(n*q)-th (1-indexed) sorted value
+    keep = []
+    for lang, g in pdf.groupby("lang"):
+        vals = sorted(g.n_chars)
+        thr = vals[math.ceil(len(vals) * 0.9) - 1]
+        sub = g[g.n_chars > thr].copy()
+        sub["q_threshold"] = float(thr)
+        keep.append(sub)
+    expected = (
+        pd.concat(keep).sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, expected[got.columns.tolist()], check_dtype=False
+    )
+
+
+def test_quantile_threshold_filter_drops_unknown_groups():
+    from knowledge_graph_ray.stages.sketches import quantile_threshold_filter
+
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a", "a", "b"],
+        "v": pa.array([1.0, 2.0, 3.0, None], type=pa.float64()),
+    }))
+    got = quantile_threshold_filter(ds, "g", "v", q=0.5).to_pandas()
+    # a's median (quantile_disc 0.5 of [1,2,3]) = 2 -> only v=3 passes;
+    # b has no non-null values -> no threshold -> dropped entirely
+    assert got.g.tolist() == ["a"]
+    assert got.v.tolist() == [3.0]
