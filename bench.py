@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "events_user_gaps",
     "text_vocabulary",
     "text_term_pmi",
+    "documents_above_p90",
 ]
 
 
