@@ -140,6 +140,10 @@ def run_bench() -> dict:
         extract_use_actor_pool=False,
         max_descriptions_per_key=32,
         max_sources_per_key=256,
+        # mentions aren't an artifact of this headline: the fused G1+G2
+        # path never materializes them (20-25% less control-normalized
+        # work, BASELINE.md round-3b)
+        fused_canonicalize=True,
     )
     tables = build_graph(docs, cfg)
     from knowledge_graph_ray.functions.poolcache import materialize_concurrently
@@ -256,7 +260,8 @@ def run_scaling_worker() -> dict:
         read_corpus(500, seed=6969, shard_size=125),
         PipelineConfig(chunk_size=256, chunk_overlap=32,
                        extract_use_actor_pool=False,
-                       max_descriptions_per_key=32, max_sources_per_key=256),
+                       max_descriptions_per_key=32, max_sources_per_key=256,
+                       fused_canonicalize=True),
     )
     consume(warm.entities)
 
@@ -268,6 +273,9 @@ def run_scaling_worker() -> dict:
         extract_use_actor_pool=False,
         max_descriptions_per_key=32,
         max_sources_per_key=256,
+        # fused G1+G2: no mention materialization barrier — the
+        # barrier was the non-scaling component (BASELINE.md round-3b)
+        fused_canonicalize=True,
     )
     tables = build_graph(docs, cfg)
     from knowledge_graph_ray.functions.poolcache import materialize_concurrently

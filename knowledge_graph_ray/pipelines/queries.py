@@ -2150,3 +2150,77 @@ WHERE n_chars > p90_chars
 
 QUERIES["documents_above_p90"] = documents_above_p90
 ORACLE_SQL["documents_above_p90"] = DOCUMENTS_ABOVE_P90_SQL
+
+
+def documents_length_norm(sf_dir: str):
+    """Per-language min-max normalized doc length — the broadcast-
+    moments pattern (stages/sketches.group_minmax_normalize): one
+    combiner-compressed min/max groupby, thresholds ray.put-broadcast,
+    stateless vectorized normalize.  Integer operands make the single
+    division bit-identical to the SQL oracle."""
+    from knowledge_graph_ray.stages.sketches import group_minmax_normalize
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return group_minmax_normalize(docs, "lang", "n_chars",
+                                  out_col="len_norm")
+
+
+DOCUMENTS_LENGTH_NORM_SQL = """
+WITH s AS (
+  SELECT lang, min(n_chars) AS mn, max(n_chars) AS mx
+  FROM documents GROUP BY lang
+)
+SELECT doc_id, documents.lang, n_chars,
+       CASE WHEN mx > mn
+            THEN CAST(n_chars - mn AS DOUBLE) / (mx - mn)
+            ELSE 0.0 END AS len_norm
+FROM documents JOIN s ON documents.lang = s.lang
+"""
+
+
+def dedup_incremental(sf_dir: str):
+    """Incremental crawl dedup: drop NEW docs (odd doc_id) whose exact
+    text already exists in the PRIOR corpus (even doc_id) — the
+    left_anti hash_join (functions/joins.py), the same shape as
+    deduplicating a fresh crawl against an existing 100-TB corpus's
+    content-hash table."""
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    # filter(expr=) handles only plain comparisons (ray-249 pitfalls);
+    # parity needs arithmetic -> explicit arrow-compute filter
+    def side(parity):
+        def body(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.equal(
+                pc.bit_wise_and(b.column("doc_id"), pa.scalar(1, pa.int64())),
+                pa.scalar(parity, pa.int64()),
+            )
+            return b.filter(keep)
+
+        return body
+
+    new = docs.map_batches(side(1), batch_format="pyarrow")
+    prior = project(
+        docs.map_batches(side(0), batch_format="pyarrow"),
+        {"text": "text"},
+    )
+    return hash_join(new, prior, on=["text"], how="left_anti",
+                     num_partitions=16)
+
+
+DEDUP_INCREMENTAL_SQL = """
+SELECT doc_id, text FROM documents n
+WHERE doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents p WHERE p.doc_id % 2 = 0 AND p.text = n.text
+  )
+"""
+
+QUERIES["documents_length_norm"] = documents_length_norm
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLE_SQL["documents_length_norm"] = DOCUMENTS_LENGTH_NORM_SQL
+ORACLE_SQL["dedup_incremental"] = DEDUP_INCREMENTAL_SQL

@@ -338,3 +338,50 @@ def quantile_threshold_filter(ds, group_col: str, value_col: str,
         )
 
     return ds.map_batches(body, batch_format="pyarrow")
+
+
+def group_minmax_normalize(ds, group_col: str, value_col: str,
+                           out_col: str = "norm", num_buckets: int = 16):
+    """Per-group min-max normalization: ``(v - min) / (max - min)`` in
+    [0, 1]; constant groups (max == min) normalize to 0.0.
+
+    Scale shape: one partial-aggregate min/max groupby (combiner-
+    compressed, group-cardinality output) pulled once and broadcast via
+    ``ray.put``; the normalization is a stateless vectorized
+    ``map_batches``.  Bit-stability note: with an integer value column
+    both operands of the single division are exact, so the result is
+    IEEE-identical to a SQL ``(v - mn)::DOUBLE / (mx - mn)`` oracle.
+    """
+    import ray
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    stats = grouped_agg(
+        ds.select_columns([group_col, value_col]), [group_col],
+        [("mn", value_col, "min"), ("mx", value_col, "max")],
+        num_buckets=num_buckets,
+    ).to_pandas()
+    mins = pd.Series(stats["mn"].to_numpy(),
+                     index=stats[group_col].to_numpy())
+    maxs = pd.Series(stats["mx"].to_numpy(),
+                     index=stats[group_col].to_numpy())
+    ref = ray.put((mins, maxs))
+
+    def body(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mn_s, mx_s = ray.get(ref)
+        groups = batch.column(group_col).to_pandas()
+        mn = mn_s.reindex(groups).to_numpy(dtype="float64")
+        span = mx_s.reindex(groups).to_numpy(dtype="float64") - mn
+        vals = (
+            batch.column(value_col)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        norm = np.where(span > 0, (vals - mn) / np.where(span > 0, span, 1.0),
+                        0.0)
+        return batch.append_column(out_col,
+                                   pa.array(norm, type=pa.float64()))
+
+    return ds.map_batches(body, batch_format="pyarrow")

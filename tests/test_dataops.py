@@ -418,3 +418,37 @@ def test_quantile_threshold_filter_drops_unknown_groups():
     # b has no non-null values -> no threshold -> dropped entirely
     assert got.g.tolist() == ["a"]
     assert got.v.tolist() == [3.0]
+
+
+def test_group_minmax_normalize_matches_bruteforce():
+    from knowledge_graph_ray.stages.sketches import group_minmax_normalize
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "lang", "n_chars"])
+    ds = rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+    got = (
+        group_minmax_normalize(ds, "lang", "n_chars", out_col="norm")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    g = pdf.groupby("lang")["n_chars"]
+    mn, mx = g.transform("min"), g.transform("max")
+    span = (mx - mn).to_numpy().astype("float64")
+    expected = pdf.copy()
+    expected["norm"] = np.where(
+        span > 0,
+        (pdf.n_chars - mn).to_numpy().astype("float64")
+        / np.where(span > 0, span, 1.0),
+        0.0,
+    )
+    expected = expected.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expected[got.columns.tolist()],
+                                  check_dtype=False)
+    assert got.norm.between(0, 1).all()
+
+
+def test_group_minmax_normalize_constant_group():
+    from knowledge_graph_ray.stages.sketches import group_minmax_normalize
+
+    ds = rd.from_arrow(pa.table({"g": ["a", "a"], "v": [5, 5]}))
+    got = group_minmax_normalize(ds, "g", "v").to_pandas()
+    assert got.norm.tolist() == [0.0, 0.0]
