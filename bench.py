@@ -140,10 +140,10 @@ def run_bench() -> dict:
         extract_use_actor_pool=False,
         max_descriptions_per_key=32,
         max_sources_per_key=256,
-        # mentions aren't an artifact of this headline: the fused G1+G2
-        # path never materializes them (20-25% less control-normalized
-        # work, BASELINE.md round-3b)
-        fused_canonicalize=True,
+        # unfused here: at 20k docs the mention barrier is tiny and the
+        # two-DAG overlap wins (~2.4s vs ~4s fused); the fused path's
+        # barrier saving only dominates at volume — the 1.6M scaling
+        # worker and the sf0.1 flagship run fused (BASELINE.md round-3b)
     )
     tables = build_graph(docs, cfg)
     from knowledge_graph_ray.functions.poolcache import materialize_concurrently

@@ -1278,9 +1278,12 @@ def kg_pipeline_entities(sf_dir: str):
     from knowledge_graph_ray.stages.extract import CooccurrenceExtractor
 
     docs = _docs(sf_dir).map_batches(docs_table_to_interleaved, batch_format="pyarrow")
+    # fused G1+G2: the flagship consumes only the canonical tables, so
+    # the raw mention stream never needs to materialize
     cfg = PipelineConfig(chunk_size=256, chunk_overlap=16,
                          extract_use_actor_pool=False,
-                         max_descriptions_per_key=32, max_sources_per_key=256)
+                         max_descriptions_per_key=32, max_sources_per_key=256,
+                         fused_canonicalize=True)
     tables = build_knowledge_graph(
         docs,
         cfg,

@@ -540,7 +540,7 @@ def combined_partials_batch(batch: pa.Table,
     return pa.Table.from_pydict(cols, schema=COMBINED_PARTIAL_SCHEMA)
 
 
-def canonicalize_fused(mentions, batch_size: int = 32768,
+def canonicalize_fused(mentions, batch_size: int | None = None,
                        num_buckets: int = 64,
                        max_descriptions: int | None = None,
                        max_sources: int | None = None,
@@ -562,6 +562,12 @@ def canonicalize_fused(mentions, batch_size: int = 32768,
 
     from knowledge_graph_ray.functions.grouping import bucketed_group_map
 
+    # batch_size=None = whole upstream blocks: an explicit batch size
+    # here COALESCES extract-shard outputs into fewer fused tasks
+    # (measured 128 -> ~10 tasks at 20k docs, a 4x wall regression);
+    # block-sized batches keep one fused chunk->extract->combine task
+    # per shard and produce FEWER partials (keys x blocks, not
+    # keys x 32k-batches)
     combined = mentions.map_batches(
         functools.partial(combined_partials_batch,
                           max_descriptions=max_descriptions,
