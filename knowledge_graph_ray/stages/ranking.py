@@ -46,8 +46,12 @@ def window_rank(ds, key: str, order_col: str, id_cols: list[str],
         import numpy as np
 
         gb = g.groupby(key, sort=False, dropna=False)[order_col]
+        # na_option="bottom": null order values rank AFTER non-nulls in
+        # either direction (DuckDB's default_null_order=nulls_last) and
+        # tie with each other — also keeps the int64 cast total
         rk = (
-            gb.rank(method="min", ascending=not descending)
+            gb.rank(method="min", ascending=not descending,
+                    na_option="bottom")
             .to_numpy()
             .astype(np.int64)
         )
@@ -97,14 +101,15 @@ def running_sum(ds, key: str, order_cols: list[str], value_col: str,
     )
 
 
-GAPS_SCHEMA = pa.schema(
-    [
-        ("user_id", pa.int64()),
-        ("n_events", pa.int64()),
-        ("max_gap_s", pa.int64()),
-        ("n_gaps_over", pa.int64()),
-    ]
-)
+def _gaps_schema(key: str) -> pa.Schema:
+    return pa.schema(
+        [
+            (key, pa.int64()),
+            ("n_events", pa.int64()),
+            ("max_gap_s", pa.int64()),
+            ("n_gaps_over", pa.int64()),
+        ]
+    )
 
 
 def ordered_gaps(events, key: str = "user_id", ts_col: str = "ts",
@@ -156,13 +161,13 @@ def ordered_gaps(events, key: str = "user_id", ts_col: str = "ts",
         return pa.Table.from_pydict(
             {
                 # from_pandas: a null key groups under NaN; keep it null
-                "user_id": pa.Array.from_pandas(agg.index.to_series(),
-                                                type=pa.int64()),
+                key: pa.Array.from_pandas(agg.index.to_series(),
+                                          type=pa.int64()),
                 "n_events": pa.array(agg["n_events"].astype("int64")),
                 "max_gap_s": pa.array(agg["max_gap_s"].astype("int64")),
                 "n_gaps_over": pa.array(agg["n_gaps_over"].astype("int64")),
             },
-            schema=GAPS_SCHEMA,
+            schema=_gaps_schema(key),
         )
 
     prepped = events.select_columns([key, ts_col]).map_batches(
@@ -170,6 +175,6 @@ def ordered_gaps(events, key: str = "user_id", ts_col: str = "ts",
     )
     return bucketed_bucket_map(
         prepped, [key], bucket_body, num_buckets=num_buckets,
-        empty_schema=GAPS_SCHEMA, driver_threshold=driver_threshold,
+        empty_schema=_gaps_schema(key), driver_threshold=driver_threshold,
         size_hint=size_hint,
     )

@@ -150,3 +150,17 @@ def test_ordered_gaps_null_key_and_empty():
     assert null_row.n_gaps_over.iloc[0] == 1
     single = got[got.user_id == 7]
     assert single.max_gap_s.iloc[0] == -1 and single.n_gaps_over.iloc[0] == 0
+
+
+def test_window_rank_null_order_values_rank_last():
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4],
+        "k": ["a", "a", "a", "a"],
+        "v": pa.array([2.0, None, 1.0, None], type=pa.float64()),
+    }))
+    got = (
+        window_rank(ds, key="k", order_col="v", id_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # nulls last (DuckDB default_null_order) and tied with each other
+    assert got.rk.tolist() == [2, 3, 1, 3]
