@@ -11,7 +11,8 @@ set is provably tiny, bucket shuffle otherwise).
 
 Mean decomposes to (sum, count).  Sums over integer input columns
 accumulate in int64 (exact); floats in float64.  Null handling matches
-SQL/Ray: sum/mean/min/max skip nulls, ``count`` counts rows.
+SQL/Ray: sum/mean/min/max skip nulls, ``count`` counts rows, and a
+group whose values are ALL null sums to NULL (``min_count=1``), not 0.
 
 Schema note: the partial schema is derived from ``batch.schema`` INSIDE
 the combiner, never via ``ds.schema()`` — a driver-side schema fetch on
@@ -107,7 +108,9 @@ def grouped_agg(ds, keys: list[str],
             elif how == "vcount":  # non-null value count (mean denominator)
                 pieces[pname] = gb[col].count()
             elif how == "sum":
-                pieces[pname] = gb[col].sum()
+                # min_count=1: an all-null group sums to NULL (SQL/Ray
+                # Sum semantics), not pandas' default 0
+                pieces[pname] = gb[col].sum(min_count=1)
             else:
                 pieces[pname] = gb[col].min() if how == "min" else gb[col].max()
         out = pd.DataFrame(pieces).reset_index()
@@ -120,7 +123,10 @@ def grouped_agg(ds, keys: list[str],
                             sort=False, dropna=False)
         merged = {}
         for pname, (_c, how) in partial_cols.items():
-            if how in ("count", "vcount", "sum"):
+            if how == "sum":
+                # all partials NULL (all-null group) -> NULL, like SQL
+                merged[pname] = gb[pname].sum(min_count=1)
+            elif how in ("count", "vcount"):
                 merged[pname] = gb[pname].sum()
             elif how == "min":
                 merged[pname] = gb[pname].min()
@@ -145,12 +151,9 @@ def grouped_agg(ds, keys: list[str],
     # (parquet reads know it from metadata; unknown -> string keys)
     empty_schema = None
     try:
-        sch = ds.schema(fetch_if_missing=False)
-        base = getattr(sch, "base_schema", None)
-        if not isinstance(base, pa.Schema) and sch is not None:
-            base = pa.schema(
-                [(n, _arrow_type(t)) for n, t in zip(sch.names, sch.types)]
-            )
+        from knowledge_graph_ray.functions.dsschema import plan_schema
+
+        base = plan_schema(ds)
         if isinstance(base, pa.Schema):
             in_types = {f.name: f.type for f in base}
             fields = [(k, in_types[k]) for k in keys]
@@ -207,7 +210,9 @@ def distinct_rows(ds, keys: list[str], num_buckets: int = 16,
                                     preserve_index=False)
 
     if empty_schema is None:
-        sch = _to_arrow_input_schema(ds)
+        from knowledge_graph_ray.functions.dsschema import plan_schema
+
+        sch = plan_schema(ds)
         if sch is not None:
             empty_schema = pa.schema([(k, sch.field(k).type) for k in keys])
         else:
@@ -219,21 +224,3 @@ def distinct_rows(ds, keys: list[str], num_buckets: int = 16,
     )
 
 
-def _to_arrow_input_schema(ds) -> "pa.Schema | None":
-    """Non-executing input schema (see module docstring for why no
-    fetching probe is ever run)."""
-    try:
-        sch = ds.schema(fetch_if_missing=False)
-    except Exception:
-        return None
-    if sch is None:
-        return None
-    base = getattr(sch, "base_schema", None)
-    if isinstance(base, pa.Schema):
-        return base
-    try:
-        return pa.schema(
-            [(n, _arrow_type(t)) for n, t in zip(sch.names, sch.types)]
-        )
-    except Exception:
-        return None

@@ -22,6 +22,16 @@ from __future__ import annotations
 import pyarrow as pa
 
 
+def _norm_type(t) -> pa.DataType:
+    if isinstance(t, pa.DataType):
+        return t
+    import numpy as np
+
+    if t is object or t is str or np.dtype(t) == np.dtype("O"):
+        return pa.string()
+    return pa.from_numpy_dtype(np.dtype(t))
+
+
 def _to_arrow(sch) -> "pa.Schema | None":
     if sch is None:
         return None
@@ -30,11 +40,19 @@ def _to_arrow(sch) -> "pa.Schema | None":
         return base
     try:
         return pa.schema(
-            [
-                (n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
-                for n, t in zip(sch.names, sch.types)
-            ]
+            [(n, _norm_type(t)) for n, t in zip(sch.names, sch.types)]
         )
+    except Exception:
+        return None
+
+
+def plan_schema(ds) -> "pa.Schema | None":
+    """Non-executing-only variant of ``dataset_schema``: the plan's
+    metadata schema or None — never materializes, never probes.  For
+    callers that only need a best-effort schema (empty-input
+    fallbacks) and must not trigger execution."""
+    try:
+        return _to_arrow(ds.schema(fetch_if_missing=False))
     except Exception:
         return None
 

@@ -37,7 +37,12 @@ def with_weight_offsets(ds, weight_col: str, column: str = "start_offset",
     def block_sum(table: pa.Table) -> int:
         import pyarrow.compute as pc
 
-        return int(pc.sum(table.column(weight_col)).as_py() or 0)
+        # cast BEFORE summing so block bases agree exactly with the
+        # per-row int64 cumsum below (a float weight column would
+        # otherwise truncate sum-of-floats here but sum-of-truncated
+        # there — silently inconsistent offsets)
+        col = table.column(weight_col).cast(pa.int64())
+        return int(pc.sum(col).as_py() or 0)
 
     sums = ray.get([block_sum.remote(r) for r in refs])
     offsets = []

@@ -272,15 +272,17 @@ def build_knowledge_graph(
             lambda: attach_edge_degrees(relationships, degrees, num_partitions),
             "relationships_degreed",
         )
-        # materialize once: detect_communities probes the component table
-        # several times (LCC pick, size gate, driver pull) and each probe
-        # would otherwise re-run the final label aggregate
-        components = connected_components(
-            entities, relationships, num_partitions=num_partitions
-        ).materialize()
+        # the whole CC chain lives INSIDE the staged lambda: a complete
+        # 'communities' checkpoint must skip it entirely (resume
+        # contract), not compute-and-discard it.  The inner materialize
+        # stays because detect_communities probes the component table
+        # several times (LCC pick, size gate, driver pull) and each
+        # probe would otherwise re-run the final label aggregate
         communities = staged(
             lambda: detect_communities(
-                components,
+                connected_components(
+                    entities, relationships, num_partitions=num_partitions
+                ).materialize(),
                 relationships,
                 max_cluster_size=cfg.max_cluster_size,
                 seed=cfg.seed,

@@ -18,7 +18,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
 
 from knowledge_graph_ray.corpus import docs_table_to_interleaved
 from knowledge_graph_ray.functions.numeric import round_half_away, scaled_int_column
@@ -1596,7 +1595,7 @@ def _split_sql() -> str:
     return f"""
 WITH h AS (
   SELECT doc_id,
-         ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 + 6969)
+         ((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296) % 4294967296) * 2654435761 + 6969)
            % 4294967296 AS hv
   FROM documents
 )
@@ -1621,7 +1620,7 @@ def sample_events_per_type(sf_dir: str):
 SAMPLE_EVENTS_PER_TYPE_SQL = """
 WITH h AS (
   SELECT event_id, event_type,
-         ((CAST(event_id AS HUGEINT) % 4294967296) * 2654435761 + 6969)
+         ((((CAST(event_id AS HUGEINT) % 4294967296) + 4294967296) % 4294967296) * 2654435761 + 6969)
            % 4294967296 AS hv
   FROM events
 ),
@@ -1698,7 +1697,7 @@ WITH s AS (
   SELECT doc_id, text,
          CASE {case} ELSE '{bounds[-1][0]}' END AS split
   FROM (SELECT doc_id, text,
-               ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 + 6969)
+               ((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296) % 4294967296) * 2654435761 + 6969)
                  % 4294967296 AS hv
         FROM documents)
 ),
@@ -1756,7 +1755,7 @@ UPSAMPLE_DOCUMENTS_BY_LANG_SQL = """
 WITH c AS (
   SELECT doc_id, lang,
          CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 2.5 ELSE 0.75 END AS w,
-         ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 + 6969)
+         ((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296) % 4294967296) * 2654435761 + 6969)
            % 4294967296 AS hv
   FROM documents
 ),
@@ -1840,7 +1839,7 @@ s AS (
   SELECT doc_id, text, lang, n_chars,
          CASE {case} ELSE '{bounds[-1][0]}' END AS split
   FROM (SELECT *,
-               ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 + 6969)
+               ((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296) % 4294967296) * 2654435761 + 6969)
                  % 4294967296 AS hv
         FROM uniq)
 ),
@@ -1873,7 +1872,7 @@ ups AS (
     FROM (SELECT doc_id, lang, n_chars,
                  CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 2.5
                       ELSE 0.75 END AS w,
-                 ((CAST(doc_id AS HUGEINT) % 4294967296) * 2654435761 + 1234)
+                 ((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296) % 4294967296) * 2654435761 + 1234)
                    % 4294967296 AS hv
           FROM clean))
   WHERE n_copies > 0

@@ -87,9 +87,9 @@ def exact_dedup(ds, column: str = "text", id_column: str = "doc_id",
         ).drop(columns=[_H1, _H2])
         return pa.Table.from_pandas(keep, preserve_index=False)
 
-    from knowledge_graph_ray.functions.agg import _to_arrow_input_schema
+    from knowledge_graph_ray.functions.dsschema import plan_schema
 
-    empty_schema = _to_arrow_input_schema(ds)
+    empty_schema = plan_schema(ds)
     return bucketed_bucket_map(
         partials, [_H1, _H2], keep_first, num_buckets=num_buckets,
         driver_threshold=driver_threshold, size_hint=size_hint,
@@ -189,7 +189,18 @@ def _band_rows(batch: pa.Table, num_bands: int) -> pa.Table:
     flat = sig_col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
     num_perm = len(flat) // n
     r = num_perm // num_bands
-    bm = flat.reshape(n, num_bands, r).astype(np.uint64)
+    if r == 0:
+        raise ValueError(
+            f"num_bands={num_bands} exceeds signature length {num_perm}"
+        )
+    # trailing permutations beyond num_bands*r are ignored for BANDING
+    # (the pre-vectorization loop sliced bands and dropped the tail);
+    # est_jaccard still uses the full signature
+    bm = (
+        flat.reshape(n, num_perm)[:, : num_bands * r]
+        .reshape(n, num_bands, r)
+        .astype(np.uint64)
+    )
     h = np.full((n, num_bands), _FNV_OFFSET, dtype=np.uint64)
     for k in range(r):
         h = (h ^ bm[:, :, k]) * _FNV_PRIME
@@ -240,7 +251,13 @@ def minhash_lsh_pairs(sigs, num_bands: int = 16, threshold: float = 0.8,
             hi = min(n, lo + chunk)
             eq = sig_mat[lo:hi, None, :] == sig_mat[None, :, :]
             est_blk = eq.mean(axis=2)
-            band_eq = eq.reshape(hi - lo, n, num_bands, r).all(axis=3)
+            # banding ignores the tail beyond num_bands*r (matches
+            # _band_rows; est_jaccard above still uses the full width)
+            band_eq = (
+                eq[:, :, : num_bands * r]
+                .reshape(hi - lo, n, num_bands, r)
+                .all(axis=3)
+            )
             first_band = band_eq.argmax(axis=2)  # first True (0 if none)
             emit = (
                 (est_blk >= threshold)

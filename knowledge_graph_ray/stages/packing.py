@@ -37,7 +37,11 @@ def pack_by_offset(ds, weight_col: str, max_weight: int, sort_key: str,
                    offset_col: str = "start_offset",
                    pack_col: str = "pack_id"):
     """Append ``start_offset`` (exclusive running weight sum in
-    ``sort_key`` order) and ``pack_id = floor(start_offset/max_weight)``."""
+    ``sort_key`` order) and ``pack_id = floor(start_offset/max_weight)``.
+
+    ``weight_col`` must be integer-valued (token/char counts); a
+    non-integral float column raises in the offset pass rather than
+    silently truncating."""
     from knowledge_graph_ray.functions.index import with_weight_offsets
 
     with_off = with_weight_offsets(ds, weight_col, column=offset_col,

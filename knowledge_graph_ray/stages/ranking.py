@@ -101,10 +101,10 @@ def running_sum(ds, key: str, order_cols: list[str], value_col: str,
     )
 
 
-def _gaps_schema(key: str) -> pa.Schema:
+def _gaps_schema(key: str, key_type: pa.DataType) -> pa.Schema:
     return pa.schema(
         [
-            (key, pa.int64()),
+            (key, key_type),
             ("n_events", pa.int64()),
             ("max_gap_s", pa.int64()),
             ("n_gaps_over", pa.int64()),
@@ -126,6 +126,11 @@ def ordered_gaps(events, key: str = "user_id", ts_col: str = "ts",
     groupby; output is key-cardinality-sized, so the shuffle result is
     tiny regardless of input rows.
     """
+    from knowledge_graph_ray.functions.dsschema import dataset_schema
+
+    in_schema, events = dataset_schema(events)
+    key_type = dict(zip(in_schema.names, in_schema.types))[key]
+    out_schema = _gaps_schema(key, key_type)
 
     def prep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -162,12 +167,12 @@ def ordered_gaps(events, key: str = "user_id", ts_col: str = "ts",
             {
                 # from_pandas: a null key groups under NaN; keep it null
                 key: pa.Array.from_pandas(agg.index.to_series(),
-                                          type=pa.int64()),
+                                          type=key_type),
                 "n_events": pa.array(agg["n_events"].astype("int64")),
                 "max_gap_s": pa.array(agg["max_gap_s"].astype("int64")),
                 "n_gaps_over": pa.array(agg["n_gaps_over"].astype("int64")),
             },
-            schema=_gaps_schema(key),
+            schema=out_schema,
         )
 
     prepped = events.select_columns([key, ts_col]).map_batches(
@@ -175,6 +180,6 @@ def ordered_gaps(events, key: str = "user_id", ts_col: str = "ts",
     )
     return bucketed_bucket_map(
         prepped, [key], bucket_body, num_buckets=num_buckets,
-        empty_schema=_gaps_schema(key), driver_threshold=driver_threshold,
+        empty_schema=out_schema, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )

@@ -33,7 +33,12 @@ _M32 = np.uint64(1) << np.uint64(32)
 
 
 def hash_u32(keys: np.ndarray, seed: int = 0) -> np.ndarray:
-    """Vectorized ``((key mod 2^32) * A + seed) mod 2^32`` as uint64."""
+    """Vectorized ``((key mod 2^32) * A + seed) mod 2^32`` as uint64.
+
+    Negative int64 keys wrap modulo 2^64 first (numpy uint cast), so
+    ``k mod 2^32`` equals the NON-NEGATIVE residue — the SQL oracles
+    use the sign-safe ``((x % 2^32) + 2^32) % 2^32`` form to match
+    (DuckDB's ``%`` follows the sign of the dividend)."""
     k = keys.astype(np.uint64) % _M32
     return (k * np.uint64(KNUTH_A) + np.uint64(seed)) % _M32
 
@@ -118,6 +123,14 @@ def weighted_repeat(ds, weight_col: str, key_col: str, seed: int = 0,
     """
 
     def expand(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            # np.concatenate(([0], cumsum[:-1])) has shape (1,) for an
+            # empty batch and np.repeat then raises — and upstream
+            # filters (hash_split, drop_contaminated) routinely empty a
+            # whole block
+            return batch.append_column(
+                copy_col, pa.array([], type=pa.int64())
+            )
         w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
             np.float64
         )

@@ -383,12 +383,16 @@ def interval_join_count(intervals, points, by: str, start_col: str,
         if not iv_mask.any():
             return out_schema.empty_table()
         # joint factorize so interval and point key codes align; null
-        # keys get a code like any other (use_na_sentinel=False)
+        # keys get a code (use_na_sentinel=False) but null-key POINTS
+        # are excluded from matching — SQL equality (the oracle's
+        # ``ON c.key = p.key``) never matches NULL = NULL, so a
+        # null-key interval keeps count 0 (LEFT semantics)
         codes = pd.factorize(g[by], use_na_sentinel=False)[0]
         t0_all = g["__t0"].to_numpy()
+        nonnull = g[by].notna().to_numpy()
 
-        p_codes = codes[~iv_mask]
-        p_t = t0_all[~iv_mask]
+        p_codes = codes[~iv_mask & nonnull]
+        p_t = t0_all[~iv_mask & nonnull]
         p_order = np.lexsort((p_t, p_codes))
         p_codes_s = p_codes[p_order]
         p_t_s = p_t[p_order]

@@ -452,3 +452,50 @@ def test_group_minmax_normalize_constant_group():
     ds = rd.from_arrow(pa.table({"g": ["a", "a"], "v": [5, 5]}))
     got = group_minmax_normalize(ds, "g", "v").to_pandas()
     assert got.norm.tolist() == [0.0, 0.0]
+
+
+def test_grouped_agg_all_null_group_sums_to_null():
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    ds = rd.from_arrow(pa.table({
+        "g": ["a", "a", "b", "b"],
+        "v": pa.array([1.5, 2.5, None, None], type=pa.float64()),
+    }))
+    got = (
+        grouped_agg(ds, ["g"], [("s", "v", "sum"), ("n", None, "count")])
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    assert got.s.tolist()[0] == 4.0
+    assert pd.isna(got.s.tolist()[1])  # SQL SUM over all nulls = NULL
+    assert got.n.tolist() == [2, 2]
+
+
+def test_weighted_repeat_empty_batch_after_filter():
+    from knowledge_graph_ray.stages.sampling import weighted_repeat
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "w": [1.0, 1.0],
+        "keep": [False, False],
+    })).filter(expr="keep == False").filter(expr="keep == True")
+    # entire dataset filtered away -> empty batches reach expand
+    assert weighted_repeat(ds, "w", "doc_id").count() == 0
+
+
+def test_minhash_bands_with_remainder_permutations():
+    import numpy as np
+
+    from knowledge_graph_ray.stages.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": ["a", "b", "c"],
+        "text": ["x y z w v u", "x y z w v u", "totally different text here"],
+    }))
+    # 100 perms / 16 bands leaves a remainder of 4 — must not crash,
+    # identical docs must still pair
+    sigs = minhash_signatures(docs, num_perm=100)
+    pairs = minhash_lsh_pairs(sigs, num_bands=16, threshold=0.8).to_pandas()
+    assert ("a", "b") in set(zip(pairs.a, pairs.b))

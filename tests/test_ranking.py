@@ -164,3 +164,18 @@ def test_window_rank_null_order_values_rank_last():
     )
     # nulls last (DuckDB default_null_order) and tied with each other
     assert got.rk.tolist() == [2, 3, 1, 3]
+
+
+def test_ordered_gaps_string_key():
+    ds = rd.from_arrow(pa.table({
+        "session": pa.array(["s1", "s1", "s2"], type=pa.string()),
+        "ts": pa.array([0, 10_000_000, 0], type=pa.int64()).cast(
+            pa.timestamp("us")),
+    }))
+    got = (
+        ordered_gaps(ds, key="session", over_seconds=5)
+        .to_pandas().sort_values("session").reset_index(drop=True)
+    )
+    assert got.session.tolist() == ["s1", "s2"]
+    assert got.max_gap_s.tolist() == [10, -1]
+    assert got.n_gaps_over.tolist() == [1, 0]

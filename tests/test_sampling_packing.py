@@ -242,3 +242,16 @@ def test_split_thresholds_partition_the_hash_space(fracs, hv):
     idx = np.searchsorted(np.array(uppers, dtype=np.uint64),
                           np.uint64(hv), side="right")
     assert 0 <= idx < len(bounds)
+
+
+def test_hash_u32_matches_sql_for_negative_keys():
+    import duckdb
+
+    keys = np.array([-5, -1, 0, 7, -2**40], dtype=np.int64)
+    ours = hash_u32(keys, seed=6969).astype(np.uint64)
+    sql = duckdb.sql(
+        "SELECT ((((CAST(x AS HUGEINT) % 4294967296) + 4294967296)"
+        "         % 4294967296) * 2654435761 + 6969) % 4294967296 AS hv "
+        "FROM (SELECT unnest([-5, -1, 0, 7, -1099511627776]) AS x)"
+    ).fetchnumpy()["hv"].astype(np.uint64)
+    assert (ours == sql).all()

@@ -194,3 +194,27 @@ def test_interval_join_count_empty_points_keeps_zero_counts():
         by="k", start_col="t0", end_col="t1", on="ts",
     ).to_pandas()
     assert sorted(got.n_points.tolist()) == [0, 0]
+
+
+def test_interval_join_null_keys_never_match():
+    import pyarrow as pa
+
+    from knowledge_graph_ray.stages.windows import interval_join_count
+
+    intervals = rd.from_arrow(pa.table({
+        "k": pa.array([None, 1], type=pa.int64()),
+        "t0": pa.array([0, 0], type=pa.int64()),
+        "t1": pa.array([100, 100], type=pa.int64()),
+        "iid": pa.array([10, 11], type=pa.int64()),
+    }))
+    points = rd.from_arrow(pa.table({
+        "k": pa.array([None, 1], type=pa.int64()),
+        "ts": pa.array([50, 50], type=pa.int64()),
+    }))
+    got = (
+        interval_join_count(intervals, points, by="k", start_col="t0",
+                            end_col="t1", on="ts", count_col="n")
+        .to_pandas().sort_values("iid").reset_index(drop=True)
+    )
+    # SQL equality join: NULL = NULL never matches -> count 0, row kept
+    assert got.n.tolist() == [0, 1]
