@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "text_vocabulary",
     "text_term_pmi",
     "documents_above_p90",
+    "events_ntile",
+    "documents_length_norm",
+    "dedup_incremental",
 ]
 
 

@@ -2226,3 +2226,42 @@ QUERIES["documents_length_norm"] = documents_length_norm
 QUERIES["dedup_incremental"] = dedup_incremental
 ORACLE_SQL["documents_length_norm"] = DOCUMENTS_LENGTH_NORM_SQL
 ORACLE_SQL["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
+
+
+def events_ntile(sf_dir: str):
+    """NTILE(4) spend-quartile per user ordered by (ts, event_id) —
+    stages/ranking.window_ntile, the exact SQL uneven-bucket rule."""
+    from knowledge_graph_ray.stages.ranking import window_ntile
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    return window_ntile(prepped, key="user_id",
+                        order_cols=["ts_s", "event_id"], n_tiles=4,
+                        driver_threshold=500_000, size_hint=events.count())
+
+
+EVENTS_NTILE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+)
+SELECT user_id, ts_s, event_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+            AS BIGINT) AS tile
+FROM e
+"""
+
+QUERIES["events_ntile"] = events_ntile
+ORACLE_SQL["events_ntile"] = EVENTS_NTILE_SQL

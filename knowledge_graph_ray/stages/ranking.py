@@ -183,3 +183,45 @@ def ordered_gaps(events, key: str = "user_id", ts_col: str = "ts",
         empty_schema=out_schema, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def window_ntile(ds, key: str, order_cols: list[str], n_tiles: int,
+                 out_col: str = "tile", num_buckets: int = 64,
+                 driver_threshold: int | None = None,
+                 size_hint: int | None = None):
+    """NTILE(n) OVER (PARTITION BY key ORDER BY order_cols): rows of
+    each partition split into ``n_tiles`` buckets as equal as possible —
+    the first ``n %% n_tiles`` buckets get one extra row (the exact SQL
+    rule, reproduced bit-for-bit).
+
+    ``order_cols`` must be a total order within each key (include a
+    unique id) or tile assignment is oracle-ambiguous.  Same
+    one-shuffle shape as the other ranking windows; the bucket body is
+    one sort + cumcount + arithmetic, no per-key loop.
+    """
+    cols = list(dict.fromkeys([key] + order_cols))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_values([key] + order_cols, kind="stable")
+        gb = g.groupby(key, sort=False, dropna=False)
+        rn = gb.cumcount().to_numpy()                     # 0-based
+        n = gb[order_cols[0]].transform("size").to_numpy().astype(np.int64)
+        small = n // n_tiles
+        rem = n % n_tiles
+        big_span = rem * (small + 1)   # rows covered by the larger tiles
+        tile = np.where(
+            rn < big_span,
+            rn // np.maximum(small + 1, 1),
+            rem + (rn - big_span) // np.maximum(small, 1),
+        ) + 1
+        out = g[cols].copy()
+        out[out_col] = tile.astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

@@ -179,3 +179,30 @@ def test_ordered_gaps_string_key():
     assert got.session.tolist() == ["s1", "s2"]
     assert got.max_gap_s.tolist() == [10, -1]
     assert got.n_gaps_over.tolist() == [1, 0]
+
+
+def test_window_ntile_uneven_buckets():
+    from knowledge_graph_ray.stages.ranking import window_ntile
+
+    # 7 rows into 3 tiles: sizes 3,2,2 (first n%b tiles get the extra)
+    ds = rd.from_arrow(pa.table({
+        "k": ["a"] * 7,
+        "o": list(range(7)),
+    }))
+    got = (
+        window_ntile(ds, key="k", order_cols=["o"], n_tiles=3)
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    )
+    assert got.tile.tolist() == [1, 1, 1, 2, 2, 3, 3]
+
+
+def test_window_ntile_fewer_rows_than_tiles():
+    from knowledge_graph_ray.stages.ranking import window_ntile
+
+    ds = rd.from_arrow(pa.table({"k": ["a", "a"], "o": [1, 2]}))
+    got = (
+        window_ntile(ds, key="k", order_cols=["o"], n_tiles=4)
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    )
+    # each row its own tile, like SQL NTILE
+    assert got.tile.tolist() == [1, 2]
