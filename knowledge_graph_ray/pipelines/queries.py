@@ -2183,11 +2183,12 @@ FROM documents JOIN s ON documents.lang = s.lang
 
 def dedup_incremental(sf_dir: str):
     """Incremental crawl dedup: drop NEW docs (odd doc_id) whose exact
-    text already exists in the PRIOR corpus (even doc_id) — the
-    left_anti hash_join (functions/joins.py), the same shape as
-    deduplicating a fresh crawl against an existing 100-TB corpus's
-    content-hash table."""
-    from knowledge_graph_ray.functions.joins import hash_join, project
+    text already exists in the PRIOR corpus (even doc_id) — a left_anti
+    hash_join on a 128-bit content fingerprint
+    (stages/dedup.anti_join_by_content_hash): the shuffle moves 16
+    bytes per row instead of full document text, the shape that matters
+    when the prior corpus is 100 TB."""
+    from knowledge_graph_ray.stages.dedup import anti_join_by_content_hash
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
@@ -2206,12 +2207,10 @@ def dedup_incremental(sf_dir: str):
         return body
 
     new = docs.map_batches(side(1), batch_format="pyarrow")
-    prior = project(
-        docs.map_batches(side(0), batch_format="pyarrow"),
-        {"text": "text"},
+    prior = docs.map_batches(side(0), batch_format="pyarrow").select_columns(
+        ["text"]
     )
-    return hash_join(new, prior, on=["text"], how="left_anti",
-                     num_partitions=16)
+    return anti_join_by_content_hash(new, prior, content_col="text")
 
 
 DEDUP_INCREMENTAL_SQL = """

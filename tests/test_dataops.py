@@ -499,3 +499,22 @@ def test_minhash_bands_with_remainder_permutations():
     sigs = minhash_signatures(docs, num_perm=100)
     pairs = minhash_lsh_pairs(sigs, num_bands=16, threshold=0.8).to_pandas()
     assert ("a", "b") in set(zip(pairs.a, pairs.b))
+
+
+def test_anti_join_by_content_hash():
+    from knowledge_graph_ray.stages.dedup import anti_join_by_content_hash
+
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": ["seen before", "brand new", "brand new", "also new"],
+    }))
+    prior = rd.from_arrow(pa.table({
+        "text": ["seen before", "other prior"],
+    }))
+    got = (
+        anti_join_by_content_hash(new, prior)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # prior content dropped; duplicates WITHIN new are all kept
+    assert got.doc_id.tolist() == [2, 3, 4]
+    assert list(got.columns) == ["doc_id", "text"]

@@ -79,3 +79,25 @@ def test_media_features_branch(tmp_path):
     assert feats.kind.isin(["image", "audio", "table"]).all()
     manifests = export_tables(tables, str(tmp_path / "out"), fingerprint="m")
     assert manifests["media_features"]["rows"] == len(feats)
+
+
+def test_resume_skips_cc_chain_entirely(tmp_path, monkeypatch):
+    """A complete 'communities' checkpoint must not re-execute the
+    connected-components chain (compute-and-discard regression)."""
+    import knowledge_graph_ray.stages.community as community_mod
+    import knowledge_graph_ray.stages.components as components_mod
+
+    ckpt = str(tmp_path / "ckpt")
+    docs = rd.from_arrow(generate_corpus_table(80, seed=6969)).repartition(2)
+    t1 = build_knowledge_graph(docs, CFG, num_partitions=4,
+                               checkpoint_dir=ckpt, fingerprint="fp-cc")
+    n = t1.entities.count()
+
+    def _boom(*a, **k):
+        raise AssertionError("CC chain executed despite complete checkpoint")
+
+    monkeypatch.setattr(components_mod, "connected_components", _boom)
+    monkeypatch.setattr(community_mod, "detect_communities", _boom)
+    t2 = build_knowledge_graph(docs, CFG, num_partitions=4,
+                               checkpoint_dir=ckpt, fingerprint="fp-cc")
+    assert t2.entities.count() == n
