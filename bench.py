@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "events_ntile",
     "documents_length_norm",
     "dedup_incremental",
+    "events_funnel",
+    "events_retention",
 ]
 
 

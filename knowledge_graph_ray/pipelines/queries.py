@@ -2264,3 +2264,72 @@ FROM e
 
 QUERIES["events_ntile"] = events_ntile
 ORACLE_SQL["events_ntile"] = EVENTS_NTILE_SQL
+
+
+def events_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel per user — stages/funnel:
+    one key shuffle, vectorized per-bucket threshold sweep, partial
+    counts so the final exchange is steps x buckets rows."""
+    from knowledge_graph_ray.stages.funnel import funnel_counts
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+    return funnel_counts(events, steps=["view", "click", "purchase"],
+                         driver_threshold=500_000,
+                         size_hint=events.count())
+
+
+EVENTS_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+s1 AS (SELECT user_id, min(ts_s) AS t FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts_s) AS t FROM e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts_s >= s1.t
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts_s) AS t FROM e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts_s >= s2.t
+       GROUP BY e.user_id)
+SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_idx,
+       (SELECT count(*) FROM s1) AS n_keys
+UNION ALL SELECT 'click', CAST(2 AS BIGINT),
+       (SELECT count(*) FROM s2)
+UNION ALL SELECT 'purchase', CAST(3 AS BIGINT),
+       (SELECT count(*) FROM s3)
+"""
+
+QUERIES["events_funnel"] = events_funnel
+ORACLE_SQL["events_funnel"] = EVENTS_FUNNEL_SQL
+
+
+def events_retention(sf_dir: str):
+    """Weekly cohort retention — stages/funnel.cohort_retention: one
+    key shuffle, cohorts x offsets bounded output."""
+    from knowledge_graph_ray.stages.funnel import cohort_retention
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+    return cohort_retention(events, driver_threshold=500_000,
+                            size_hint=events.count())
+
+
+EVENTS_RETENTION_SQL = """
+WITH e AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+  FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id)
+SELECT cohort AS cohort_week, wk - cohort AS week_offset,
+       count(*) AS n_keys
+FROM e JOIN first ON e.user_id = first.user_id
+GROUP BY 1, 2
+"""
+
+QUERIES["events_retention"] = events_retention
+ORACLE_SQL["events_retention"] = EVENTS_RETENTION_SQL
