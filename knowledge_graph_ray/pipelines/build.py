@@ -263,13 +263,26 @@ def build_knowledge_graph(
             ]
         )
     else:
-        degrees = compute_degrees(relationships).materialize()
+        # degrees computed lazily and at most once, INSIDE the staged
+        # lambdas: when both *_degreed checkpoints are complete neither
+        # lambda runs and the degree shuffle is skipped entirely
+        # (resume contract — same class as the CC chain below)
+        _degrees_box: dict = {}
+
+        def _degrees():
+            if "d" not in _degrees_box:
+                _degrees_box["d"] = compute_degrees(relationships).materialize()
+            return _degrees_box["d"]
+
+        pre_degree_relationships = relationships
         entities = staged(
-            lambda: attach_entity_degrees(entities, degrees, num_partitions),
+            lambda: attach_entity_degrees(entities, _degrees(),
+                                          num_partitions),
             "entities_degreed",
         )
         relationships = staged(
-            lambda: attach_edge_degrees(relationships, degrees, num_partitions),
+            lambda: attach_edge_degrees(pre_degree_relationships,
+                                        _degrees(), num_partitions),
             "relationships_degreed",
         )
         # the whole CC chain lives INSIDE the staged lambda: a complete

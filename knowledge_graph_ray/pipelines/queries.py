@@ -2207,9 +2207,11 @@ def dedup_incremental(sf_dir: str):
         return body
 
     new = docs.map_batches(side(1), batch_format="pyarrow")
-    prior = docs.map_batches(side(0), batch_format="pyarrow").select_columns(
-        ["text"]
-    )
+    # no projection here: the fingerprint pass inside
+    # anti_join_by_content_hash discards the prior side's payload
+    # anyway, and a select_columns on one branch of a fused union DAG
+    # is the Project-elision shape this repo bans (see joins.project)
+    prior = docs.map_batches(side(0), batch_format="pyarrow")
     return anti_join_by_content_hash(new, prior, content_col="text")
 
 

@@ -568,36 +568,28 @@ def anti_join_by_content_hash(new, prior, content_col: str = "text",
     """Keep ``new`` rows whose ``content_col`` value does NOT appear in
     ``prior`` — incremental-crawl dedup against an existing corpus.
 
-    Equality is decided on a 128-bit content fingerprint (two
-    independent u64 hash families, functions/hashing.hash_rows_u64), so
-    the anti-join shuffles 16 bytes per row instead of full document
-    text — the difference between moving KBs and moving a fingerprint
-    at 100-TB corpus scale.  Collision odds at 2x64 bits are ~n^2/2^129
-    (negligible below ~10^17 rows).
+    Equality is decided on the SAME 128-bit content fingerprint
+    ``exact_dedup`` uses (``add_content_hash`` — one definition of
+    "same content" in this module), so the anti-join shuffles 16 bytes
+    per row instead of full document text — the difference between
+    moving KBs and moving a fingerprint at 100-TB corpus scale.
+    Collision odds at 2x64 bits are ~n^2/2^129 (negligible below
+    ~10^17 rows).
     """
-    from knowledge_graph_ray.functions.hashing import hash_rows_u64
     from knowledge_graph_ray.functions.joins import hash_join
 
-    def fingerprint(keep_payload: bool):
-        def body(b: pa.Table) -> pa.Table:
-            h1 = hash_rows_u64(b, [content_col], seed=0)
-            h2 = hash_rows_u64(b, [content_col], seed=7)
-            cols = (
-                {n: b.column(n) for n in b.schema.names}
-                if keep_payload else {}
-            )
-            cols["__h1"] = pa.array(h1.view(np.int64))
-            cols["__h2"] = pa.array(h2.view(np.int64))
-            return pa.Table.from_pydict(cols)
+    def fp_full(b: pa.Table) -> pa.Table:
+        return add_content_hash(b, content_col)
 
-        return body
+    def fp_only(b: pa.Table) -> pa.Table:
+        return add_content_hash(b, content_col).select([_H1, _H2])
 
-    new_fp = new.map_batches(fingerprint(True), batch_format="pyarrow")
-    prior_fp = prior.map_batches(fingerprint(False), batch_format="pyarrow")
-    kept = hash_join(new_fp, prior_fp, on=["__h1", "__h2"], how="left_anti",
+    new_fp = new.map_batches(fp_full, batch_format="pyarrow")
+    prior_fp = prior.map_batches(fp_only, batch_format="pyarrow")
+    kept = hash_join(new_fp, prior_fp, on=[_H1, _H2], how="left_anti",
                      num_partitions=num_partitions)
 
     def strip(b: pa.Table) -> pa.Table:
-        return b.drop_columns(["__h1", "__h2"])
+        return b.drop_columns([_H1, _H2])
 
     return kept.map_batches(strip, batch_format="pyarrow")

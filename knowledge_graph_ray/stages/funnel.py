@@ -63,8 +63,13 @@ def funnel_counts(events, steps: list[str], key: str = "user_id",
             if arrived is not None:
                 thr = arrived.reindex(sub[key]).to_numpy()
                 sub = sub[sub["ts_s"].to_numpy() >= thr]  # NaN -> False
-            arrived = sub.groupby(key, sort=False)["ts_s"].min()
+            # dropna=False: a NULL key forms a group at step 1 (SQL
+            # GROUP BY keeps the NULL group)...
+            arrived = sub.groupby(key, sort=False, dropna=False)["ts_s"].min()
             rows.append((s, i + 1, int(len(arrived))))
+            # ...but can never advance (SQL NULL = NULL never joins):
+            # drop it from the threshold lookup for the next step
+            arrived = arrived[arrived.index.notna()]
             if arrived.empty:
                 # no key reached this step in this bucket; later steps
                 # are empty too but must still emit 0 rows
@@ -84,9 +89,30 @@ def funnel_counts(events, steps: list[str], key: str = "user_id",
         empty_schema=FUNNEL_SCHEMA, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
-    return grouped_agg(
+    agg = grouped_agg(
         partials, ["step", "step_idx"], [("n_keys", "n_keys", "sum")],
         num_buckets=4,
+    ).to_pandas()  # bounded: <= len(steps) rows
+    if "step" not in agg.columns:
+        # empty Datasets lose their schema through to_pandas (known
+        # Ray 2.49 pitfall) — rebuild the empty frame with columns
+        agg = pd.DataFrame({"step": pd.Series([], dtype="object"),
+                            "step_idx": pd.Series([], dtype="int64"),
+                            "n_keys": pd.Series([], dtype="int64")})
+    # a step no bucket reached (or an entirely empty log) must still
+    # emit its zero row — the SQL oracle's UNION ALL always yields one
+    # row per step
+    import ray.data as rd
+
+    full = pd.DataFrame(
+        {"step": steps,
+         "step_idx": pd.array(range(1, len(steps) + 1), dtype="int64")}
+    )
+    merged = full.merge(agg, on=["step", "step_idx"], how="left")
+    merged["n_keys"] = merged["n_keys"].fillna(0).astype("int64")
+    return rd.from_arrow(
+        pa.Table.from_pandas(merged, schema=FUNNEL_SCHEMA,
+                             preserve_index=False)
     )
 
 

@@ -84,3 +84,34 @@ def test_cohort_retention_matches_bruteforce_distributed():
     # active in its own first week)
     z = got[got.week_offset == 0]
     assert (z.n_keys.to_numpy() >= got.groupby("cohort_week").n_keys.max().to_numpy()).all()
+
+
+def test_funnel_null_key_counts_step1_only():
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([None, None, 5, 5], type=pa.int64()),
+        "event_type": ["view", "click", "view", "click"],
+        "ts": pa.array([0, 10**6, 0, 10**6], type=pa.int64()).cast(
+            pa.timestamp("us")),
+    }))
+    got = (
+        funnel_counts(ds, steps=["view", "click"])
+        .to_pandas().sort_values("step_idx")
+    )
+    # SQL: the NULL group exists at step 1 (GROUP BY keeps it) but
+    # NULL = NULL never joins, so it cannot advance
+    assert got.n_keys.tolist() == [2, 1]
+
+
+def test_funnel_empty_log_emits_zero_rows_per_step():
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([1], type=pa.int64()),
+        "event_type": ["error"],  # none of the funnel steps
+        "ts": pa.array([0], type=pa.int64()).cast(pa.timestamp("us")),
+    }))
+    got = (
+        funnel_counts(ds, steps=STEPS)
+        .to_pandas().sort_values("step_idx").reset_index(drop=True)
+    )
+    # oracle's UNION ALL always yields one row per step
+    assert got.step.tolist() == STEPS
+    assert got.n_keys.tolist() == [0, 0, 0]

@@ -86,6 +86,7 @@ def test_resume_skips_cc_chain_entirely(tmp_path, monkeypatch):
     connected-components chain (compute-and-discard regression)."""
     import knowledge_graph_ray.stages.community as community_mod
     import knowledge_graph_ray.stages.components as components_mod
+    import knowledge_graph_ray.stages.degree as degree_mod
 
     ckpt = str(tmp_path / "ckpt")
     docs = rd.from_arrow(generate_corpus_table(80, seed=6969)).repartition(2)
@@ -98,6 +99,7 @@ def test_resume_skips_cc_chain_entirely(tmp_path, monkeypatch):
 
     monkeypatch.setattr(components_mod, "connected_components", _boom)
     monkeypatch.setattr(community_mod, "detect_communities", _boom)
+    monkeypatch.setattr(degree_mod, "compute_degrees", _boom)
     t2 = build_knowledge_graph(docs, CFG, num_partitions=4,
                                checkpoint_dir=ckpt, fingerprint="fp-cc")
     assert t2.entities.count() == n
