@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "events_funnel",
     "events_retention",
+    "events_lag_value",
 ]
 
 

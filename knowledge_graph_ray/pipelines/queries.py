@@ -2335,3 +2335,53 @@ GROUP BY 1, 2
 
 QUERIES["events_retention"] = events_retention
 ORACLE_SQL["events_retention"] = EVENTS_RETENTION_SQL
+
+
+def events_lag_value(sf_dir: str):
+    """Per-row LAG of the previous spend (cents) per user ordered by
+    (ts, event_id) — stages/ranking.window_lag."""
+    from knowledge_graph_ray.stages.ranking import window_lag
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    out = window_lag(prepped, key="user_id",
+                     order_cols=["ts_s", "event_id"], value_col="cents",
+                     out_col="lag_cents",
+                     driver_threshold=500_000, size_hint=events.count())
+
+    def cast_lag(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("lag_cents")
+        return batch.set_column(
+            idx, "lag_cents", batch.column("lag_cents").cast(pa.int64())
+        )
+
+    return out.map_batches(cast_lag, batch_format="pyarrow")
+
+
+EVENTS_LAG_VALUE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts_s, event_id, cents,
+       lag(cents) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+         AS lag_cents
+FROM e
+"""
+
+QUERIES["events_lag_value"] = events_lag_value
+ORACLE_SQL["events_lag_value"] = EVENTS_LAG_VALUE_SQL

@@ -225,3 +225,31 @@ def window_ntile(ds, key: str, order_cols: list[str], n_tiles: int,
         num_buckets=num_buckets, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def window_lag(ds, key: str, order_cols: list[str], value_col: str,
+               out_col: str = "lag_value", num_buckets: int = 64,
+               driver_threshold: int | None = None,
+               size_hint: int | None = None):
+    """LAG(value) OVER (PARTITION BY key ORDER BY order_cols): each row
+    carries the PREVIOUS row's value within its partition (null for the
+    partition's first row — SQL default).
+
+    ``order_cols`` must be a total order within each key.  One shuffle;
+    per bucket one sort + a vectorized groupby shift.
+    """
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key] + order_cols, kind="stable")
+        out = g[cols].copy()
+        out[out_col] = (
+            g.groupby(key, sort=False, dropna=False)[value_col].shift(1)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

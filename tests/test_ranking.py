@@ -206,3 +206,21 @@ def test_window_ntile_fewer_rows_than_tiles():
     )
     # each row its own tile, like SQL NTILE
     assert got.tile.tolist() == [1, 2]
+
+
+def test_window_lag_matches_pandas():
+    from knowledge_graph_ray.stages.ranking import window_lag
+
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b"],
+        "o": [3, 1, 2, 1],
+        "v": pa.array([30, 10, 20, 5], type=pa.int64()),
+    }))
+    got = (
+        window_lag(ds, key="k", order_cols=["o"], value_col="v")
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    # within a: ordered by o -> lag values null,10,20; b first row null
+    assert pd.isna(got.lag_value.iloc[0])
+    assert got.lag_value.iloc[1] == 10 and got.lag_value.iloc[2] == 20
+    assert pd.isna(got.lag_value.iloc[3])
