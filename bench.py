@@ -139,7 +139,12 @@ def run_bench() -> dict:
     from knowledge_graph_ray.pipelines.build import build_graph
 
     t0 = time.time()
-    docs = read_corpus(SYNTH_DOCS, seed=6969, shard_size=max(64, SYNTH_DOCS // 128))
+    # FIXED shard size, not fixed shard count: shards must stay
+    # bounded-memory as the corpus grows (at a fixed 128 shards the
+    # 32-cpu leg degraded super-linearly past ~2M docs — concurrent
+    # per-task memory traffic saturates the node)
+    docs = read_corpus(SYNTH_DOCS, seed=6969,
+                       shard_size=max(64, min(12_500, SYNTH_DOCS // 128)))
     cfg = PipelineConfig(
         chunk_size=256,
         chunk_overlap=32,
@@ -261,9 +266,14 @@ def run_scaling_worker() -> dict:
     from knowledge_graph_ray.corpus import read_corpus
     from knowledge_graph_ray.pipelines.build import build_graph
 
-    # warm-up (untimed): small run to pay actor/worker startup once
+    # warm-up (untimed): pay worker startup + package imports once, on
+    # EVERY worker — shard_size sized so warm tasks >= 2x the worker
+    # count (a 4-shard warm-up left 28 of 32 workers importing
+    # pandas/polars inside the timed leg)
+    warm_docs = max(2000, NUM_CPUS * 64)
     warm = build_graph(
-        read_corpus(500, seed=6969, shard_size=125),
+        read_corpus(warm_docs, seed=6969,
+                    shard_size=max(8, warm_docs // (NUM_CPUS * 2))),
         PipelineConfig(chunk_size=256, chunk_overlap=32,
                        extract_use_actor_pool=False,
                        max_descriptions_per_key=32, max_sources_per_key=256,
@@ -272,7 +282,12 @@ def run_scaling_worker() -> dict:
     consume(warm.entities)
 
     t0 = time.time()
-    docs = read_corpus(SYNTH_DOCS, seed=6969, shard_size=max(64, SYNTH_DOCS // 128))
+    # FIXED shard size, not fixed shard count: shards must stay
+    # bounded-memory as the corpus grows (at a fixed 128 shards the
+    # 32-cpu leg degraded super-linearly past ~2M docs — concurrent
+    # per-task memory traffic saturates the node)
+    docs = read_corpus(SYNTH_DOCS, seed=6969,
+                       shard_size=max(64, min(12_500, SYNTH_DOCS // 128)))
     cfg = PipelineConfig(
         chunk_size=256,
         chunk_overlap=32,
