@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "events_lag_value",
+    "events_enumerate",
 ]
 
 

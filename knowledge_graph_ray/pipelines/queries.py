@@ -2385,3 +2385,58 @@ FROM e
 
 QUERIES["events_lag_value"] = events_lag_value
 ORACLE_SQL["events_lag_value"] = EVENTS_LAG_VALUE_SQL
+
+
+def events_enumerate(sf_dir: str):
+    """ROW_NUMBER + DENSE_RANK + LEAD per user in one shuffle —
+    stages/ranking.window_enumerate."""
+    from knowledge_graph_ray.stages.ranking import window_enumerate
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    out = window_enumerate(prepped, key="user_id",
+                           order_cols=["ts_s", "event_id"],
+                           dense_rank_col="ts_s", value_col="cents",
+                           driver_threshold=500_000,
+                           size_hint=events.count())
+
+    def cast_lead(batch: pa.Table) -> pa.Table:
+        idx = batch.schema.get_field_index("lead_value")
+        return batch.set_column(
+            idx, "lead_cents", batch.column("lead_value").cast(pa.int64())
+        )
+
+    return out.map_batches(cast_lead, batch_format="pyarrow")
+
+
+EVENTS_ENUMERATE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts_s, event_id, cents,
+       CAST(row_number() OVER
+            (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT) AS rn,
+       CAST(dense_rank() OVER
+            (PARTITION BY user_id ORDER BY ts_s) AS BIGINT) AS drk,
+       lead(cents) OVER
+            (PARTITION BY user_id ORDER BY ts_s, event_id) AS lead_cents
+FROM e
+"""
+
+QUERIES["events_enumerate"] = events_enumerate
+ORACLE_SQL["events_enumerate"] = EVENTS_ENUMERATE_SQL

@@ -253,3 +253,42 @@ def window_lag(ds, key: str, order_cols: list[str], value_col: str,
         num_buckets=num_buckets, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def window_enumerate(ds, key: str, order_cols: list[str],
+                     dense_rank_col: str, value_col: str,
+                     num_buckets: int = 64,
+                     driver_threshold: int | None = None,
+                     size_hint: int | None = None):
+    """ROW_NUMBER + DENSE_RANK + LEAD in ONE pass per partition.
+
+    Emits, per row: ``rn`` = ROW_NUMBER() over (key ORDER BY
+    order_cols), ``drk`` = DENSE_RANK() over (key ORDER BY
+    dense_rank_col) — ties share a rank, no gaps — and ``lead_value`` =
+    the NEXT row's ``value_col`` in order_cols order (null for the
+    partition's last row).  One shuffle, one sort, three vectorized
+    groupby ops — the point of the combined operator: the window
+    family's marginal cost per extra function is one kernel, not one
+    more shuffle.
+    """
+    cols = list(dict.fromkeys([key] + order_cols
+                              + [dense_rank_col, value_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_values([key] + order_cols, kind="stable")
+        gb = g.groupby(key, sort=False, dropna=False)
+        out = g[cols].copy()
+        out["rn"] = (gb.cumcount() + 1).astype("int64")
+        out["drk"] = (
+            gb[dense_rank_col].rank(method="dense").astype("int64")
+        )
+        out["lead_value"] = gb[value_col].shift(-1)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

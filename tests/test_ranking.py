@@ -224,3 +224,26 @@ def test_window_lag_matches_pandas():
     assert pd.isna(got.lag_value.iloc[0])
     assert got.lag_value.iloc[1] == 10 and got.lag_value.iloc[2] == 20
     assert pd.isna(got.lag_value.iloc[3])
+
+
+def test_window_enumerate_matches_pandas():
+    from knowledge_graph_ray.stages.ranking import window_enumerate
+
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b"],
+        "o": [2, 1, 1, 1],          # ties at o=1 within a
+        "id": [10, 11, 12, 13],
+        "v": pa.array([5, 6, 7, 8], type=pa.int64()),
+    }))
+    got = (
+        window_enumerate(ds, key="k", order_cols=["o", "id"],
+                         dense_rank_col="o", value_col="v")
+        .to_pandas().sort_values(["k", "o", "id"]).reset_index(drop=True)
+    )
+    # a ordered by (o,id): rows (1,11),(1,12),(2,10)
+    assert got.rn.tolist() == [1, 2, 3, 1]
+    # dense_rank on o: ties share, no gaps
+    assert got.drk.tolist() == [1, 1, 2, 1]
+    # lead of v in order: 7, 5, null; b single row null
+    assert got.lead_value.iloc[0] == 7 and got.lead_value.iloc[1] == 5
+    assert pd.isna(got.lead_value.iloc[2]) and pd.isna(got.lead_value.iloc[3])
