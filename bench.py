@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "events_retention",
     "events_lag_value",
     "events_enumerate",
+    "documents_rollup",
 ]
 
 

@@ -224,3 +224,98 @@ def distinct_rows(ds, keys: list[str], num_buckets: int = 16,
     )
 
 
+
+
+def rollup_agg(ds, keys: list[str], specs: list[tuple[str, "str | None", str]],
+               num_buckets: int = 16,
+               driver_threshold: "int | None" = 500_000):
+    """GROUP BY ROLLUP(keys): every prefix level of ``keys`` down to the
+    grand total, in ONE input scan.
+
+    The finest level runs ``grouped_agg`` over the input; every coarser
+    level re-aggregates the PREVIOUS level's (group-cardinality-sized)
+    output — sums of sums, sums of counts, min of mins, max of maxes —
+    so the input is never re-read and no extra wide shuffle runs.
+    ``specs`` kinds are limited to the re-aggregable sum/count/min/max
+    (mean does not compose; derive it from sum+count downstream).
+
+    Grouped-out key columns are emitted as NULL with a ``grouping_id``
+    bitmask column (SQL ``GROUPING(keys...)``) so rollup NULLs stay
+    distinguishable from genuine NULL key values — the same mechanism
+    SQL uses.
+    """
+    for _, _, kind in specs:
+        assert kind in ("sum", "count", "min", "max"), (
+            f"rollup_agg: {kind} does not re-aggregate; use sum/count/"
+            "min/max and derive means from sum+count"
+        )
+
+    def rekind(kind: str) -> str:
+        # count partials re-aggregate by SUMMING
+        return "sum" if kind == "count" else kind
+
+    from knowledge_graph_ray.functions.dsschema import plan_schema
+
+    in_schema = plan_schema(ds)
+    key_types = (
+        {f.name: f.type for f in in_schema if f.name in keys}
+        if in_schema is not None else {}
+    )
+
+    levels = []
+    finest = grouped_agg(ds, keys, specs, num_buckets=num_buckets,
+                         driver_threshold=driver_threshold)
+    cur = finest
+    for depth in range(len(keys), -1, -1):
+        kept = keys[:depth]
+        dropped = keys[depth:]
+        # grouping_id bitmask: bit i set when keys[i] is grouped out
+        gid = sum(1 << (len(keys) - 1 - keys.index(k)) for k in dropped)
+        if depth < len(keys):
+            cur = grouped_agg(
+                cur, kept,
+                [(out, out, rekind(kind)) for out, _c, kind in specs],
+                num_buckets=num_buckets, driver_threshold=driver_threshold,
+            ) if kept else _total_row(cur, specs)
+
+        def tag(level_ds, dropped=tuple(dropped), gid=gid):
+            def body(b: pa.Table) -> pa.Table:
+                for name in dropped:
+                    b = b.append_column(
+                        name,
+                        pa.nulls(len(b), key_types.get(name, pa.string())),
+                    )
+                b = b.append_column(
+                    "grouping_id",
+                    pa.array([gid] * len(b), type=pa.int64()),
+                )
+                # canonical column order so the level union lines up
+                order = keys + [out for out, _c, _k in specs] + ["grouping_id"]
+                return b.select(order)
+
+            return level_ds.map_batches(body, batch_format="pyarrow")
+
+        levels.append(tag(cur))
+
+    out = levels[0]
+    for extra in levels[1:]:
+        out = out.union(extra)
+    return out
+
+
+def _total_row(level_ds, specs):
+    """Grand-total: re-aggregate a group-cardinality dataset to ONE row
+    (bounded driver pull — the input is already an aggregate)."""
+    import ray.data as rd
+
+    pdf = level_ds.to_pandas()
+    row = {}
+    for out, _c, kind in specs:
+        col = pdf[out]
+        if kind in ("sum", "count"):
+            row[out] = col.sum()
+        elif kind == "min":
+            row[out] = col.min()
+        else:
+            row[out] = col.max()
+    return rd.from_arrow(pa.Table.from_pylist([row]))

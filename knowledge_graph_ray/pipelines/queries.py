@@ -2440,3 +2440,30 @@ FROM e
 
 QUERIES["events_enumerate"] = events_enumerate
 ORACLE_SQL["events_enumerate"] = EVENTS_ENUMERATE_SQL
+
+
+def documents_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) in one input scan —
+    functions/agg.rollup_agg: coarser levels re-aggregate the previous
+    level's group-cardinality output (sums of sums), never the input;
+    grouping_id carries the SQL GROUPING() bitmask."""
+    from knowledge_graph_ray.functions.agg import rollup_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+    return rollup_agg(
+        docs, ["lang", "source"],
+        [("total_chars", "n_chars", "sum"), ("n_docs", None, "count")],
+    )
+
+
+DOCUMENTS_ROLLUP_SQL = """
+SELECT lang, source,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(*) AS n_docs,
+       CAST(grouping(lang, source) AS BIGINT) AS grouping_id
+FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+QUERIES["documents_rollup"] = documents_rollup
+ORACLE_SQL["documents_rollup"] = DOCUMENTS_ROLLUP_SQL

@@ -518,3 +518,55 @@ def test_anti_join_by_content_hash():
     # prior content dropped; duplicates WITHIN new are all kept
     assert got.doc_id.tolist() == [2, 3, 4]
     assert list(got.columns) == ["doc_id", "text"]
+
+
+def test_rollup_agg_levels_consistent():
+    from knowledge_graph_ray.functions.agg import rollup_agg
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                          columns=["lang", "source", "n_chars"])
+    ds = rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+    got = rollup_agg(
+        ds, ["lang", "source"],
+        [("total_chars", "n_chars", "sum"), ("n_docs", None, "count")],
+    ).to_pandas()
+
+    finest = got[got.grouping_id == 0]
+    lang_lvl = got[got.grouping_id == 1]
+    total = got[got.grouping_id == 3]
+    # finest matches pandas
+    exp = (pdf.groupby(["lang", "source"])
+           .agg(total_chars=("n_chars", "sum"), n_docs=("n_chars", "size"))
+           .reset_index())
+    pd.testing.assert_frame_equal(
+        finest[["lang", "source", "total_chars", "n_docs"]]
+        .sort_values(["lang", "source"]).reset_index(drop=True),
+        exp.sort_values(["lang", "source"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # each level re-aggregates the one below exactly
+    assert lang_lvl.source.isna().all()
+    assert lang_lvl.n_docs.sum() == len(pdf)
+    per_lang = finest.groupby("lang").total_chars.sum()
+    got_lang = lang_lvl.set_index("lang").total_chars
+    assert (per_lang.sort_index() == got_lang.sort_index()).all()
+    assert len(total) == 1
+    assert total.n_docs.iloc[0] == len(pdf)
+    assert total.total_chars.iloc[0] == pdf.n_chars.sum()
+
+
+def test_rollup_agg_int_keys():
+    from knowledge_graph_ray.functions.agg import rollup_agg
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array([1, 1, 2], type=pa.int64()),
+        "b": pa.array([10, 20, 10], type=pa.int64()),
+        "v": pa.array([1, 2, 4], type=pa.int64()),
+    }))
+    got = rollup_agg(ds, ["a", "b"], [("s", "v", "sum")]).to_pandas()
+    # int key columns stay int64-typed nulls, not strings
+    assert str(got.a.dtype) in ("float64", "Int64", "object") or got.a.isna().any()
+    total = got[got.grouping_id == 3]
+    assert total.s.iloc[0] == 7
+    a_lvl = got[got.grouping_id == 1].set_index("a").s
+    assert a_lvl[1] == 3 and a_lvl[2] == 4
