@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "events_lag_value",
     "events_enumerate",
     "documents_rollup",
+    "documents_cube",
 ]
 
 

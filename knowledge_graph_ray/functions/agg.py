@@ -319,3 +319,69 @@ def _total_row(level_ds, specs):
         else:
             row[out] = col.max()
     return rd.from_arrow(pa.Table.from_pylist([row]))
+
+
+def cube_agg(ds, keys: list[str], specs: list[tuple[str, "str | None", str]],
+             num_buckets: int = 16,
+             driver_threshold: "int | None" = 500_000):
+    """GROUP BY CUBE(keys): every SUBSET of ``keys``, one input scan.
+
+    Same re-aggregation principle as ``rollup_agg``: the finest level
+    scans the input once; every subset level re-aggregates the FINEST
+    level's group-cardinality output (dropping dimensions is just a
+    coarser groupby over it).  2^len(keys) levels — keep ``keys``
+    short, as SQL CUBE users do.  Emits the same ``grouping_id``
+    bitmask as SQL ``GROUPING(keys...)``.
+    """
+    from itertools import combinations
+
+    for _, _, kind in specs:
+        assert kind in ("sum", "count", "min", "max"), (
+            f"cube_agg: {kind} does not re-aggregate"
+        )
+
+    def rekind(kind: str) -> str:
+        return "sum" if kind == "count" else kind
+
+    from knowledge_graph_ray.functions.dsschema import plan_schema
+
+    in_schema = plan_schema(ds)
+    key_types = (
+        {f.name: f.type for f in in_schema if f.name in keys}
+        if in_schema is not None else {}
+    )
+
+    finest = grouped_agg(ds, keys, specs, num_buckets=num_buckets,
+                         driver_threshold=driver_threshold)
+    re_specs = [(out, out, rekind(kind)) for out, _c, kind in specs]
+
+    def tag(level_ds, dropped: tuple, gid: int):
+        def body(b: pa.Table) -> pa.Table:
+            for name in dropped:
+                b = b.append_column(
+                    name, pa.nulls(len(b), key_types.get(name, pa.string()))
+                )
+            b = b.append_column(
+                "grouping_id", pa.array([gid] * len(b), type=pa.int64())
+            )
+            order = keys + [out for out, _c, _k in specs] + ["grouping_id"]
+            return b.select(order)
+
+        return level_ds.map_batches(body, batch_format="pyarrow")
+
+    out = None
+    for r in range(len(keys), -1, -1):
+        for kept in combinations(keys, r):
+            dropped = tuple(k for k in keys if k not in kept)
+            gid = sum(1 << (len(keys) - 1 - keys.index(k)) for k in dropped)
+            if r == len(keys):
+                level = finest
+            elif r == 0:
+                level = _total_row(finest, specs)
+            else:
+                level = grouped_agg(finest, list(kept), re_specs,
+                                    num_buckets=num_buckets,
+                                    driver_threshold=driver_threshold)
+            tagged = tag(level, dropped, gid)
+            out = tagged if out is None else out.union(tagged)
+    return out

@@ -2467,3 +2467,29 @@ FROM documents GROUP BY ROLLUP (lang, source)
 
 QUERIES["documents_rollup"] = documents_rollup
 ORACLE_SQL["documents_rollup"] = DOCUMENTS_ROLLUP_SQL
+
+
+def documents_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) in one input scan —
+    functions/agg.cube_agg: every subset level re-aggregates the finest
+    level's output."""
+    from knowledge_graph_ray.functions.agg import cube_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+    return cube_agg(
+        docs, ["lang", "source"],
+        [("total_chars", "n_chars", "sum"), ("n_docs", None, "count")],
+    )
+
+
+DOCUMENTS_CUBE_SQL = """
+SELECT lang, source,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(*) AS n_docs,
+       CAST(grouping(lang, source) AS BIGINT) AS grouping_id
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+QUERIES["documents_cube"] = documents_cube
+ORACLE_SQL["documents_cube"] = DOCUMENTS_CUBE_SQL

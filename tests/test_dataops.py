@@ -570,3 +570,24 @@ def test_rollup_agg_int_keys():
     assert total.s.iloc[0] == 7
     a_lvl = got[got.grouping_id == 1].set_index("a").s
     assert a_lvl[1] == 3 and a_lvl[2] == 4
+
+
+def test_cube_agg_all_subsets():
+    from knowledge_graph_ray.functions.agg import cube_agg
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                          columns=["lang", "source", "n_chars"])
+    ds = rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+    got = cube_agg(
+        ds, ["lang", "source"],
+        [("total_chars", "n_chars", "sum"), ("n_docs", None, "count")],
+    ).to_pandas()
+    # four grouping levels present: 0=finest, 1=(lang), 2=(source), 3=()
+    assert set(got.grouping_id) == {0, 1, 2, 3}
+    # the source-only level (lang grouped out -> bit for lang set)
+    src_lvl = got[got.grouping_id == 2]
+    assert src_lvl.lang.isna().all()
+    exp = pdf.groupby("source").n_chars.sum()
+    got_src = src_lvl.set_index("source").total_chars
+    assert (exp.sort_index() == got_src.sort_index()).all()
+    assert got[got.grouping_id == 3].n_docs.iloc[0] == len(pdf)
