@@ -118,9 +118,27 @@ def grouped_agg(ds, keys: list[str],
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def final(bucket: pd.DataFrame) -> pa.Table:
-        gb = bucket.groupby(keys[0] if len(keys) == 1 else keys,
-                            sort=False, dropna=False)
+    def final(bucket: pa.Table) -> pa.Table:
+        # output schema from the PARTIAL arrow schema (exact accumulator
+        # types), not pandas inference — a bucket whose sum partials are
+        # all NULL would otherwise come out float64 (NaN) while other
+        # buckets stay int64, yielding mixed-type blocks (ADVICE r3)
+        psch = bucket.schema
+        out_fields = [(k, psch.field(k).type) for k in keys]
+        for out, _col, kind in specs:
+            if kind == "mean":
+                out_fields.append((out, pa.float64()))
+            elif kind == "count":
+                out_fields.append((out, pa.int64()))
+            elif kind == "sum":
+                out_fields.append((out, psch.field(f"__{out}_s").type))
+            else:
+                out_fields.append((out, psch.field(f"__{out}_{kind}").type))
+        out_schema = pa.schema(out_fields)
+
+        df = bucket.to_pandas()
+        gb = df.groupby(keys[0] if len(keys) == 1 else keys,
+                        sort=False, dropna=False)
         merged = {}
         for pname, (_c, how) in partial_cols.items():
             if how == "sum":
@@ -145,7 +163,8 @@ def grouped_agg(ds, keys: list[str],
                 cols[out] = res[f"__{out}_s"]
             else:
                 cols[out] = res[f"__{out}_{kind}"]
-        return pa.Table.from_pandas(pd.DataFrame(cols), preserve_index=False)
+        return pa.Table.from_pandas(pd.DataFrame(cols), schema=out_schema,
+                                    preserve_index=False)
 
     # empty-input fallback schema from the NON-executing schema fetch
     # (parquet reads know it from metadata; unknown -> string keys)
@@ -181,7 +200,7 @@ def grouped_agg(ds, keys: list[str],
     return bucketed_bucket_map(
         partials, keys, final, num_buckets=num_buckets,
         empty_schema=empty_schema, driver_threshold=driver_threshold,
-        size_hint=size_hint,
+        size_hint=size_hint, body_format="pyarrow",
     )
 
 
@@ -190,24 +209,26 @@ def distinct_rows(ds, keys: list[str], num_buckets: int = 16,
                   empty_schema: "pa.Schema | None" = None):
     """Distinct ``keys`` rows, combiner-first.
 
-    Per-batch ``drop_duplicates`` bounds the shuffle to distinct rows
-    per batch, then one bucket shuffle + per-bucket ``drop_duplicates``
-    finishes — cheaper than a count aggregate when only distinctness is
-    needed (no count column on the wire, no per-bucket groupby).
+    Per-batch Arrow hash-distinct (``group_by(keys).aggregate([])``)
+    bounds the shuffle to distinct rows per batch, then one bucket
+    shuffle + per-bucket distinct finishes — cheaper than a count
+    aggregate when only distinctness is needed (no count column on the
+    wire), and staying in Arrow keeps exact key types (nulls group
+    together, like SQL ``DISTINCT``).  Row order is unspecified.
     """
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(keys).aggregate([]).select(keys)
 
     def partial(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return batch.select(keys)
-        df = batch.select(keys).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, schema=batch.select(keys).schema,
-                                    preserve_index=False)
+        return _distinct(batch.select(keys))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def final(bucket: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(bucket.drop_duplicates(),
-                                    preserve_index=False)
+    def final(bucket: pa.Table) -> pa.Table:
+        return _distinct(bucket)
 
     if empty_schema is None:
         from knowledge_graph_ray.functions.dsschema import plan_schema
@@ -221,6 +242,7 @@ def distinct_rows(ds, keys: list[str], num_buckets: int = 16,
     return bucketed_bucket_map(
         partials, keys, final, num_buckets=num_buckets,
         empty_schema=empty_schema, driver_threshold=driver_threshold,
+        body_format="pyarrow",
     )
 
 
@@ -250,21 +272,13 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, "str | None", str]],
             "min/max and derive means from sum+count"
         )
 
-    def rekind(kind: str) -> str:
-        # count partials re-aggregate by SUMMING
-        return "sum" if kind == "count" else kind
-
-    from knowledge_graph_ray.functions.dsschema import plan_schema
-
-    in_schema = plan_schema(ds)
-    key_types = (
-        {f.name: f.type for f in in_schema if f.name in keys}
-        if in_schema is not None else {}
+    finest, fin_schema, empty_total = _finest_level(
+        ds, keys, specs, num_buckets, driver_threshold
     )
+    key_types = {k: fin_schema.field(k).type for k in keys}
+    tag = _level_tagger(keys, specs, key_types)
 
     levels = []
-    finest = grouped_agg(ds, keys, specs, num_buckets=num_buckets,
-                         driver_threshold=driver_threshold)
     cur = finest
     for depth in range(len(keys), -1, -1):
         kept = keys[:depth]
@@ -272,30 +286,19 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, "str | None", str]],
         # grouping_id bitmask: bit i set when keys[i] is grouped out
         gid = sum(1 << (len(keys) - 1 - keys.index(k)) for k in dropped)
         if depth < len(keys):
-            cur = grouped_agg(
-                cur, kept,
-                [(out, out, rekind(kind)) for out, _c, kind in specs],
-                num_buckets=num_buckets, driver_threshold=driver_threshold,
-            ) if kept else _total_row(cur, specs)
-
-        def tag(level_ds, dropped=tuple(dropped), gid=gid):
-            def body(b: pa.Table) -> pa.Table:
-                for name in dropped:
-                    b = b.append_column(
-                        name,
-                        pa.nulls(len(b), key_types.get(name, pa.string())),
-                    )
-                b = b.append_column(
-                    "grouping_id",
-                    pa.array([gid] * len(b), type=pa.int64()),
-                )
-                # canonical column order so the level union lines up
-                order = keys + [out for out, _c, _k in specs] + ["grouping_id"]
-                return b.select(order)
-
-            return level_ds.map_batches(body, batch_format="pyarrow")
-
-        levels.append(tag(cur))
+            if kept:
+                # re-aggregate the PREVIOUS level (prefix levels nest);
+                # materialize: each level feeds both its tag branch and
+                # the next level — group-cardinality sized, so cheap
+                cur = grouped_agg(
+                    cur, kept, _re_specs(specs),
+                    num_buckets=num_buckets,
+                    driver_threshold=driver_threshold,
+                ).materialize()
+            else:
+                cur = (empty_total if empty_total is not None
+                       else _grand_total(finest, specs, driver_threshold))
+        levels.append(tag(cur, tuple(dropped), gid))
 
     out = levels[0]
     for extra in levels[1:]:
@@ -303,22 +306,85 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, "str | None", str]],
     return out
 
 
-def _total_row(level_ds, specs):
-    """Grand-total: re-aggregate a group-cardinality dataset to ONE row
-    (bounded driver pull — the input is already an aggregate)."""
+def _re_specs(specs):
+    """Re-aggregation specs over a level's own output columns — sums of
+    sums, min of mins; count partials re-aggregate by SUMMING."""
+    return [(out, out, "sum" if kind == "count" else kind)
+            for out, _c, kind in specs]
+
+
+def _finest_level(ds, keys, specs, num_buckets, driver_threshold):
+    """-> (materialized finest-level aggregate, its exact schema,
+    SQL-parity grand-total for the empty-input case | None).
+
+    The finest level is materialized ONCE: every coarser level and the
+    grand total re-read its group-cardinality-sized blocks instead of
+    re-executing the input scan per level, and its block schema is the
+    authoritative source for the key types the coarser levels' NULL key
+    columns must carry (plan_schema is None for lazy mapped inputs and
+    would otherwise type them string, splitting the union's schema —
+    ADVICE r3)."""
     import ray.data as rd
 
-    pdf = level_ds.to_pandas()
-    row = {}
-    for out, _c, kind in specs:
-        col = pdf[out]
-        if kind in ("sum", "count"):
-            row[out] = col.sum()
-        elif kind == "min":
-            row[out] = col.min()
-        else:
-            row[out] = col.max()
-    return rd.from_arrow(pa.Table.from_pylist([row]))
+    from knowledge_graph_ray.functions.dsschema import dataset_schema
+
+    finest = grouped_agg(ds, keys, specs, num_buckets=num_buckets,
+                         driver_threshold=driver_threshold).materialize()
+    fin_schema, finest = dataset_schema(finest)
+
+    empty_total = None
+    if finest.count() == 0:
+        # SQL GROUP BY ROLLUP/CUBE over empty input still emits the ()
+        # grouping set: one row, NULL sums/mins/maxes, count 0
+        fields, row = [], {}
+        for out, _c, kind in specs:
+            fields.append((out, pa.int64() if kind == "count"
+                           else fin_schema.field(out).type))
+            row[out] = 0 if kind == "count" else None
+        empty_total = rd.from_arrow(
+            pa.Table.from_pylist([row], schema=pa.schema(fields))
+        )
+    return finest, fin_schema, empty_total
+
+
+def _level_tagger(keys, specs, key_types):
+    """Tag one level with its NULL grouped-out keys + grouping_id and
+    project to the canonical column order so the level union lines up."""
+
+    def tag(level_ds, dropped: tuple, gid: int):
+        def body(b: pa.Table) -> pa.Table:
+            for name in dropped:
+                b = b.append_column(name, pa.nulls(len(b), key_types[name]))
+            b = b.append_column(
+                "grouping_id", pa.array([gid] * len(b), type=pa.int64())
+            )
+            order = keys + [out for out, _c, _k in specs] + ["grouping_id"]
+            return b.select(order)
+
+        return level_ds.map_batches(body, batch_format="pyarrow")
+
+    return tag
+
+
+def _grand_total(finest, specs, driver_threshold):
+    """Grand-total via a constant-key ``grouped_agg`` over the finest
+    level — fully distributed (the per-batch combiner reduces each block
+    to one row; no driver materialization of the aggregate, however many
+    groups the finest level has).  NULL-sum semantics (``min_count=1``)
+    and the explicit output schema come with ``grouped_agg``."""
+    import numpy as np
+
+    const = "__grand"
+
+    def add_const(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            const, pa.array(np.zeros(len(b), dtype=np.int8))
+        )
+
+    keyed = finest.map_batches(add_const, batch_format="pyarrow")
+    # the extra const key column is dropped by the level tagger's select
+    return grouped_agg(keyed, [const], _re_specs(specs),
+                       num_buckets=1, driver_threshold=driver_threshold)
 
 
 def cube_agg(ds, keys: list[str], specs: list[tuple[str, "str | None", str]],
@@ -340,34 +406,12 @@ def cube_agg(ds, keys: list[str], specs: list[tuple[str, "str | None", str]],
             f"cube_agg: {kind} does not re-aggregate"
         )
 
-    def rekind(kind: str) -> str:
-        return "sum" if kind == "count" else kind
-
-    from knowledge_graph_ray.functions.dsschema import plan_schema
-
-    in_schema = plan_schema(ds)
-    key_types = (
-        {f.name: f.type for f in in_schema if f.name in keys}
-        if in_schema is not None else {}
+    finest, fin_schema, empty_total = _finest_level(
+        ds, keys, specs, num_buckets, driver_threshold
     )
-
-    finest = grouped_agg(ds, keys, specs, num_buckets=num_buckets,
-                         driver_threshold=driver_threshold)
-    re_specs = [(out, out, rekind(kind)) for out, _c, kind in specs]
-
-    def tag(level_ds, dropped: tuple, gid: int):
-        def body(b: pa.Table) -> pa.Table:
-            for name in dropped:
-                b = b.append_column(
-                    name, pa.nulls(len(b), key_types.get(name, pa.string()))
-                )
-            b = b.append_column(
-                "grouping_id", pa.array([gid] * len(b), type=pa.int64())
-            )
-            order = keys + [out for out, _c, _k in specs] + ["grouping_id"]
-            return b.select(order)
-
-        return level_ds.map_batches(body, batch_format="pyarrow")
+    key_types = {k: fin_schema.field(k).type for k in keys}
+    tag = _level_tagger(keys, specs, key_types)
+    re_specs = _re_specs(specs)
 
     out = None
     for r in range(len(keys), -1, -1):
@@ -377,7 +421,8 @@ def cube_agg(ds, keys: list[str], specs: list[tuple[str, "str | None", str]],
             if r == len(keys):
                 level = finest
             elif r == 0:
-                level = _total_row(finest, specs)
+                level = (empty_total if empty_total is not None
+                         else _grand_total(finest, specs, driver_threshold))
             else:
                 level = grouped_agg(finest, list(kept), re_specs,
                                     num_buckets=num_buckets,

@@ -29,12 +29,18 @@ _BUCKET = "__gb"
 def bucketed_bucket_map(ds, keys: list[str], bucket_fn, num_buckets: int = 64,
                         empty_schema: pa.Schema | None = None,
                         driver_threshold: int | None = None,
-                        size_hint: int | None = None):
+                        size_hint: int | None = None,
+                        body_format: str = "pandas"):
     """Apply ``bucket_fn(bucket_df) -> pyarrow.Table`` once per key-hash
     bucket; all rows of a key land in the same bucket.
 
     ``bucket_fn`` must return an Arrow table with a fixed schema (may be
     empty); ``empty_schema`` covers the zero-row input case.
+
+    ``body_format="pyarrow"`` hands ``bucket_fn`` a ``pyarrow.Table``
+    instead of a pandas DataFrame — use it when the body must see the
+    exact Arrow types (a pandas conversion turns int64-with-null
+    columns into float64, losing the type for the output schema).
 
     ``driver_threshold``: size-adaptive final merge — when the input is
     PROVABLY small, the merge runs on the driver in one pass instead of
@@ -61,6 +67,19 @@ def bucketed_bucket_map(ds, keys: list[str], bucket_fn, num_buckets: int = 64,
         else:
             small = True
         if small:
+            if body_format == "pyarrow":
+                import ray
+
+                tables = ray.get(ds.to_arrow_refs())
+                tables = [t for t in tables if t.num_rows]
+                if not tables:
+                    if empty_schema is not None:
+                        return rd.from_arrow(empty_schema.empty_table())
+                    raise RuntimeError(
+                        "bucketed map: empty input needs empty_schema"
+                    )
+                whole = pa.concat_tables(tables, promote_options="default")
+                return rd.from_arrow(bucket_fn(whole))
             pdf = ds.to_pandas()
             if pdf.empty:
                 if empty_schema is not None:
@@ -76,6 +95,15 @@ def bucketed_bucket_map(ds, keys: list[str], bucket_fn, num_buckets: int = 64,
         )
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    if body_format == "pyarrow":
+        def abody(group: pa.Table) -> pa.Table:
+            keep = [c for c in group.column_names if c != _BUCKET]
+            return bucket_fn(group.select(keep))
+
+        return bucketed.groupby(_BUCKET).map_groups(
+            abody, batch_format="pyarrow"
+        )
 
     def body(group: pd.DataFrame) -> pa.Table:
         return bucket_fn(group.drop(columns=[_BUCKET]))

@@ -8,12 +8,14 @@ vectorized ``hash_rows`` (stable across processes within one polars
 version — all cluster tasks share the environment) with a pandas
 ``hash_pandas_object`` fallback.
 
-The polars-vs-pandas choice is made ONCE per process (probed on first
-use and cached): the two hash functions produce DIFFERENT values, so a
-per-batch fallback could silently route equal keys to different buckets
-if polars failed on only some batches / workers / one side of a join —
-matches would be dropped with no error.  Inside the chosen
-implementation, real hashing errors propagate.
+The polars-vs-pandas choice must be IDENTICAL in every process: the two
+hash functions produce DIFFERENT values, so a fallback taken on only
+some workers would silently route equal keys to different buckets and
+drop join/group matches with no error.  The implementation is therefore
+selected by the ``KG_RAY_HASH_IMPL`` env var (``polars`` default,
+``pandas`` opt-out) — set BEFORE ``ray.init`` so every worker inherits
+it — and a per-process polars failure RAISES instead of silently
+falling back (a loud task error beats silently dropped matches).
 
 NOT stable across library upgrades — bucket ids are transient shuffle
 state, never persisted.
@@ -28,27 +30,43 @@ _IMPL: tuple | None = None  # ("polars", module) | ("pandas", module)
 
 
 def _hasher() -> tuple:
-    """Probe polars once per process; cache the decision."""
+    """Resolve the configured hash family; cache per process.
+
+    The choice comes from ``KG_RAY_HASH_IMPL`` (inherited by every Ray
+    worker when set before ``ray.init``), NOT from a local probe — a
+    probe that failed on a subset of workers (transient OOM, partial
+    install) would silently split equal keys across buckets.  A broken
+    polars install therefore raises here, loudly."""
     global _IMPL
     if _IMPL is None:
-        try:
-            import os
+        import os
 
+        choice = os.environ.get("KG_RAY_HASH_IMPL", "polars")
+        if choice == "pandas":
+            import pandas as pd
+
+            _IMPL = ("pandas", pd)
+        else:
             # every Ray worker process would otherwise start a full-width
             # polars thread pool (32 workers x 32 threads oversubscribes
             # the node and cost ~40% of 32-CPU throughput); hashing one
             # batch is single-thread work
             os.environ.setdefault("POLARS_MAX_THREADS", "1")
-            import polars as pl
+            try:
+                import polars as pl
 
-            # probe an actual hash so a broken install fails the probe,
-            # not a mid-shuffle batch
-            pl.DataFrame({"x": ["probe"]}).hash_rows(seed=0)
+                # probe an actual hash so a broken install fails HERE,
+                # not mid-shuffle
+                pl.DataFrame({"x": ["probe"]}).hash_rows(seed=0)
+            except Exception as exc:
+                raise RuntimeError(
+                    "polars row hashing is unavailable in this process; "
+                    "set KG_RAY_HASH_IMPL=pandas before ray.init so ALL "
+                    "processes use the same hash family (a silent local "
+                    "fallback would route equal keys to different "
+                    "shuffle buckets)"
+                ) from exc
             _IMPL = ("polars", pl)
-        except Exception:
-            import pandas as pd
-
-            _IMPL = ("pandas", pd)
     return _IMPL
 
 

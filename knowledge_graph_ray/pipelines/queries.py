@@ -788,7 +788,8 @@ def events_distinct_users_hll_bound(sf_dir: str):
     estimate agrees within 5% (~3 sigma at p=12, se ~1.6%).  The oracle
     is the exact count for ALL groups, so the query passes iff the
     sketch is within bound for every group — a driver-level error floor
-    for the HLL path (deterministic: blake2b hashing)."""
+    for the HLL path (deterministic: siphash with a fixed key via
+    ``pd.util.hash_pandas_object`` over dtype-canonicalized values)."""
     from knowledge_graph_ray.functions.joins import hash_join
     from knowledge_graph_ray.stages.sketches import (
         grouped_distinct_count,

@@ -388,6 +388,23 @@ def canonicalize_relationships(mentions, batch_size: int = 32768, num_buckets: i
 # --------------------------------------------------------- incremental (G8)
 
 
+def _repack_sets(values: "pd.Series", sep: str) -> "pd.Series":
+    """Vectorized per-row ``sep``-split -> set -> sorted -> \\x1e-join.
+
+    Explode + drop_duplicates + groupby over the row position — the
+    same pandas shape as the mention combiners, no Python row loop.
+    An empty/None input row packs to "" (the empty set, matching the
+    row-loop form this replaces)."""
+    import numpy as np
+
+    idx = np.arange(len(values))
+    e = pd.DataFrame({
+        "i": idx, "part": values.fillna("").str.split(sep)
+    }).explode("part")
+    e = e.drop_duplicates().sort_values(["i", "part"], kind="stable")
+    return e.groupby("i")["part"].agg("\x1e".join).reindex(idx).fillna("")
+
+
 def entities_to_partials(batch: pa.Table) -> pa.Table:
     """Canonical entity rows -> partial rows, for incremental re-merge.
 
@@ -398,39 +415,47 @@ def entities_to_partials(batch: pa.Table) -> pa.Table:
     the lowest order sentinel "" so a NEW non-empty type wins, matching
     the reference's dict.update(new-over-old) semantics.
     """
-    rows = []
-    for r in batch.to_pylist():
-        rows.append(
-            {
-                "name": r["name"],
-                "descs": "".join(sorted(set(r["description"].split("\n")))) if r["description"] else "",
-                "ent_chunks": "".join(sorted(set(r["source_id"].split(", ")))) if r["source_id"] else "",
-                "type_order": "",
-                "type_val": r["type"] or "",
-                "min_ent_order": "",
-                "min_touch_order": _HI,
-                "min_touch_chunk": "",
-                "n_mentions": r.get("n_mentions", 0) or 0,
-            }
-        )
-    return pa.Table.from_pylist(rows, schema=ENTITY_PARTIAL_SCHEMA)
+    names = [c for c in ("name", "type", "description", "source_id",
+                         "n_mentions") if c in batch.column_names]
+    df = batch.select(names).to_pandas()
+    if len(df) == 0:
+        return ENTITY_PARTIAL_SCHEMA.empty_table()
+    nm = (df["n_mentions"].fillna(0) if "n_mentions" in df.columns
+          else pd.Series(0, index=df.index))
+    out = pd.DataFrame({
+        "name": df["name"],
+        "descs": _repack_sets(df["description"], "\n").to_numpy(),
+        "ent_chunks": _repack_sets(df["source_id"], ", ").to_numpy(),
+        "type_order": "",
+        "type_val": df["type"].fillna(""),
+        "min_ent_order": "",
+        "min_touch_order": _HI,
+        "min_touch_chunk": "",
+        "n_mentions": nm.astype("int64"),
+    })
+    return pa.Table.from_pandas(out, schema=ENTITY_PARTIAL_SCHEMA,
+                                preserve_index=False)
 
 
 def relationships_to_partials(batch: pa.Table) -> pa.Table:
     """Canonical relationship rows -> partial rows (weights re-sum)."""
-    rows = []
-    for r in batch.to_pylist():
-        rows.append(
-            {
-                "src": r["src"],
-                "dst": r["dst"],
-                "weight": r["weight"],
-                "descs": "".join(sorted(set(r["description"].split("\n")))) if r["description"] else "",
-                "chunks": "".join(sorted(set(r["source_id"].split(", ")))) if r["source_id"] else "",
-                "n_mentions": r.get("n_mentions", 0) or 0,
-            }
-        )
-    return pa.Table.from_pylist(rows, schema=EDGE_PARTIAL_SCHEMA)
+    names = [c for c in ("src", "dst", "weight", "description",
+                         "source_id", "n_mentions") if c in batch.column_names]
+    df = batch.select(names).to_pandas()
+    if len(df) == 0:
+        return EDGE_PARTIAL_SCHEMA.empty_table()
+    nm = (df["n_mentions"].fillna(0) if "n_mentions" in df.columns
+          else pd.Series(0, index=df.index))
+    out = pd.DataFrame({
+        "src": df["src"],
+        "dst": df["dst"],
+        "weight": df["weight"].astype("float64"),
+        "descs": _repack_sets(df["description"], "\n").to_numpy(),
+        "chunks": _repack_sets(df["source_id"], ", ").to_numpy(),
+        "n_mentions": nm.astype("int64"),
+    })
+    return pa.Table.from_pandas(out, schema=EDGE_PARTIAL_SCHEMA,
+                                preserve_index=False)
 
 
 def incremental_canonicalize_entities(prev_entities, new_mentions,

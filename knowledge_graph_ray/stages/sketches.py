@@ -203,13 +203,20 @@ class HyperLogLog:
 
     def _hashes(self, values) -> "np.ndarray":
         # vectorized + process-stable: hash_pandas_object is siphash
-        # with a FIXED default key (unlike Python's salted str hash);
-        # values hash by their string form so dtype variations across
-        # batches cannot split a value into two registers
+        # with a FIXED default key (unlike Python's salted str hash).
+        # Values are normalized to ONE canonical dtype first so the
+        # same logical value cannot land in two registers when it
+        # arrives as int64 in one batch and float64 in another —
+        # str() would render those "1" vs "1.0" (ADVICE r3).  Numerics
+        # canonicalize to float64 (+0.0 folds -0.0; exact for ints up
+        # to 2^53 — HLL's use here counts ids/user keys, well inside);
+        # everything else hashes its string form.
         s = values if isinstance(values, pd.Series) else pd.Series(list(values))
-        return pd.util.hash_pandas_object(
-            s.astype(str), index=False
-        ).to_numpy()
+        if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_bool_dtype(s):
+            s = s.astype("float64") + 0.0
+        else:
+            s = s.astype(str)
+        return pd.util.hash_pandas_object(s, index=False).to_numpy()
 
     def add_many(self, values) -> None:
         if not len(values):

@@ -591,3 +591,122 @@ def test_cube_agg_all_subsets():
     got_src = src_lvl.set_index("source").total_chars
     assert (exp.sort_index() == got_src.sort_index()).all()
     assert got[got.grouping_id == 3].n_docs.iloc[0] == len(pdf)
+
+
+def test_rollup_agg_lazy_input_consistent_key_types():
+    # ADVICE r4: a lazy (no plan-metadata) input must not emit
+    # string-typed NULL key columns on coarser levels while the finest
+    # level keeps int64 — the union would carry conflicting schemas
+    import ray
+
+    from knowledge_graph_ray.functions.agg import rollup_agg
+
+    base = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 2], type=pa.int64()),
+        "v": pa.array([1, 2, 3, 4], type=pa.int64()),
+    }))
+    lazy = base.map_batches(lambda b: b, batch_format="pyarrow")
+    got = rollup_agg(lazy, ["k"], [("s", "v", "sum")])
+    # promote_options="none" raises if any block disagrees on k's type
+    tbl = pa.concat_tables(
+        [t for t in ray.get(got.to_arrow_refs()) if t.num_rows],
+        promote_options="none",
+    )
+    assert tbl.schema.field("k").type == pa.int64()
+    pdf = tbl.to_pandas()
+    assert pdf[pdf.grouping_id == 1].s.iloc[0] == 10
+
+
+def test_grouped_agg_mixed_null_buckets_keep_int_sum_type():
+    # ADVICE r4: buckets whose sum inputs are all NULL must not flip
+    # their int64 sum column to float64 (mixed-type blocks)
+    import ray
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    n_groups = 48
+    g = [f"g{i:02d}" for i in range(n_groups) for _ in range(2)]
+    v = []
+    for i in range(n_groups):
+        v += [None, None] if i % 2 else [i, i + 1]
+    ds = rd.from_arrow(pa.table({
+        "g": g, "v": pa.array(v, type=pa.int64()),
+    }))
+    got = grouped_agg(ds, ["g"], [("s", "v", "sum")],
+                      driver_threshold=None)  # force the bucketed path
+    tbl = pa.concat_tables(
+        [t for t in ray.get(got.to_arrow_refs()) if t.num_rows],
+        promote_options="none",
+    )
+    assert tbl.schema.field("s").type == pa.int64()
+    pdf = tbl.to_pandas().sort_values("g").reset_index(drop=True)
+    assert pdf.s.isna().sum() == n_groups // 2
+
+
+def test_rollup_all_null_totals_are_null():
+    # ADVICE r4: SUM over all-NULL input is NULL at EVERY level
+    # including the grand total (DuckDB parity), never 0
+    from knowledge_graph_ray.functions.agg import rollup_agg
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], type=pa.int64()),
+        "v": pa.array([None, None], type=pa.int64()),
+    }))
+    got = rollup_agg(ds, ["k"], [("s", "v", "sum")]).to_pandas()
+    assert len(got) == 2
+    assert got.s.isna().all()
+
+
+def test_rollup_empty_input_sql_parity():
+    # DuckDB: GROUP BY ROLLUP over EMPTY input still emits the ()
+    # grouping set -> exactly one row (NULL key, NULL sum, count 0)
+    from knowledge_graph_ray.functions.agg import rollup_agg
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([], type=pa.int64()),
+        "v": pa.array([], type=pa.int64()),
+    }))
+    got = rollup_agg(
+        ds, ["k"], [("s", "v", "sum"), ("n", None, "count")]
+    ).to_pandas()
+    assert len(got) == 1
+    assert got.grouping_id.iloc[0] == 1
+    assert pd.isna(got.k.iloc[0]) and pd.isna(got.s.iloc[0])
+    assert got.n.iloc[0] == 0
+
+
+def test_rollup_large_finest_no_driver_pull():
+    # VERDICT r3 #1: a high-cardinality key set (1M finest-level groups)
+    # must complete with the grand total computed distributed — the
+    # combiner reduces each block to one row; no driver materialization
+    # of the 1M-row aggregate
+    from knowledge_graph_ray.functions.agg import rollup_agg
+
+    n = 1_000_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column("id"),
+            "v": pa.array(np.ones(len(b), dtype=np.int64)),
+        })
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow")
+    got = rollup_agg(ds, ["k"], [("s", "v", "sum"), ("n", None, "count")],
+                     driver_threshold=100_000)
+    total = got.filter(expr="grouping_id == 1").to_pandas()
+    assert total.s.iloc[0] == n and total.n.iloc[0] == n
+
+
+def test_hll_dtype_canonicalization():
+    # ADVICE r4: the same logical numeric value arriving as int64 in
+    # one batch and float64 in another must land in the SAME register
+    from knowledge_graph_ray.stages.sketches import HyperLogLog
+
+    a = HyperLogLog(12)
+    a.add_many(pd.Series([1, 2, 3], dtype="int64"))
+    b = HyperLogLog(12)
+    b.add_many(pd.Series([1.0, 2.0, 3.0], dtype="float64"))
+    assert (a.registers == b.registers).all()
+    c = HyperLogLog(12)
+    c.add_many(pd.Series([0.0, -0.0]))
+    assert round(c.estimate()) == 1
