@@ -122,7 +122,9 @@ GROUP BY upper(w)
 """
 
 
-def _presence_pairs(sf_dir: str):
+def _presence_pairs(sf_dir: str, vocab: "list[str] | None" = None):
+    words = vocab if vocab is not None else GAZETTEER
+
     def pairs(batch: pa.Table) -> pa.Table:
         # vectorized presence extraction (polars); pair generation runs
         # over the tiny per-doc distinct lists (<= |gazetteer| each)
@@ -136,7 +138,7 @@ def _presence_pairs(sf_dir: str):
             .with_columns(pl.col("text").fill_null("").str.split(" ").alias("w"))
             .drop("text")
             .explode("w")
-            .filter(pl.col("w").is_in(GAZETTEER))
+            .filter(pl.col("w").is_in(words))
             .with_columns(pl.col("w").str.to_uppercase())
             .unique()
             .group_by("doc_id")
@@ -2494,3 +2496,176 @@ FROM documents GROUP BY CUBE (lang, source)
 
 QUERIES["documents_cube"] = documents_cube
 ORACLE_SQL["documents_cube"] = DOCUMENTS_CUBE_SQL
+
+
+def _gazetteer_graph(sf_dir: str, use_lcc: bool = False):
+    """Shared gate-query scaffold: doc-level co-occurrence edges over
+    the FLAGSHIP gazetteer (the kg_edge_merge shape, SQL-expressible;
+    12 words so ``max_louvain_nodes=8`` forces the bisection path and a
+    >= 2-level hierarchy), every present word as an entity, connected
+    components + Louvain communities over them.  ``use_lcc=False`` so
+    EVERY present entity clusters — that makes the clustered roster
+    exactly the SQL-computable set of present words."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.community import detect_communities
+    from knowledge_graph_ray.stages.components import connected_components
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    ).materialize()
+
+    def names(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch.select(["text"]))
+            .with_columns(pl.col("text").fill_null("").str.split(" ").alias("w"))
+            .drop("text")
+            .explode("w")
+            .filter(pl.col("w").is_in(FLAGSHIP_GAZETTEER))
+            .select(pl.col("w").str.to_uppercase().alias("name"))
+            .unique()
+        )
+        return out.to_arrow().cast(pa.schema([("name", pa.string())]))
+
+    from knowledge_graph_ray.functions.agg import distinct_rows
+
+    ents = distinct_rows(
+        _docs(sf_dir).select_columns(["text"]).map_batches(
+            names, batch_format="pyarrow"
+        ),
+        ["name"],
+        empty_schema=pa.schema([("name", pa.string())]),
+    ).materialize()
+    comps = connected_components(ents, edges, num_partitions=8)
+    comms = detect_communities(comps, edges, max_cluster_size=3,
+                               use_lcc=use_lcc, num_partitions=8,
+                               max_louvain_nodes=8).materialize()
+    return ents, edges, comps, comms
+
+
+def kg_community_partition(sf_dir: str):
+    """SQL-invariant gate for the community family (VERDICT r3 #4,
+    the dedup_sketch_recall pattern): level-0 communities must
+    PARTITION the clustered node set.  Louvain itself is not SQL, but
+    the partition property is — with ``use_lcc=False`` every present
+    gazetteer entity is clustered, so each must appear in EXACTLY ONE
+    level-0 community.  Emits (name, n_level0); the oracle emits
+    (name, 1) per present word, so any duplicate or missing membership
+    hash-mismatches."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    _ents, _edges, _comps, comms = _gazetteer_graph(sf_dir)
+    level0 = comms.filter(expr="level == 0")
+    return grouped_agg(level0, ["name"], [("n_level0", None, "count")])
+
+
+KG_COMMUNITY_PARTITION_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT upper(w) AS name, CAST(1 AS BIGINT) AS n_level0
+FROM toks WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}
+GROUP BY upper(w)
+"""
+
+
+def kg_hierarchy_invariants(sf_dir: str):
+    """SQL-invariant gate for the G5 hierarchy (VERDICT r3 #4): every
+    hierarchy row's ``sub_community_size`` must equal the sub
+    community's actual member count, every sub community must have
+    exactly one parent, and the hierarchy must be non-empty
+    (max_cluster_size=3 / max_louvain_nodes=8 forces >= 2 levels).
+    Emits one row (ok, n_entities) where ok=1 iff all invariants hold
+    and n_entities is the clustered distinct-name count — which the
+    oracle computes as the number of present gazetteer words."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.stages.community import community_hierarchy
+
+    _ents, _edges, _comps, comms = _gazetteer_graph(sf_dir)
+    hier = community_hierarchy(comms, 8).materialize()
+
+    sizes = project(
+        grouped_agg(comms, ["community"], [("n_members", None, "count")]),
+        {"community": "sub_community", "n_members": "n_members"},
+    )
+    joined = hash_join(hier, sizes, on=["sub_community"], how="inner",
+                       num_partitions=8)
+
+    def size_mismatch(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column("sub_community_size"),
+                                     b.column("n_members")))
+
+    size_viol = joined.map_batches(size_mismatch,
+                                   batch_format="pyarrow").count()
+    parents = grouped_agg(hier, ["sub_community"],
+                          [("n_parents", None, "count")])
+    parent_viol = parents.filter(expr="n_parents != 1").count()
+    n_rows = hier.count()
+    n_names = distinct_rows(
+        comms.filter(expr="level == 0"), ["name"],
+        empty_schema=pa.schema([("name", pa.string())]),
+    ).count()
+    ok = 1 if (n_rows > 0 and size_viol == 0 and parent_viol == 0) else 0
+    return pa.table({
+        "ok": pa.array([ok], type=pa.int64()),
+        "n_entities": pa.array([n_names], type=pa.int64()),
+    })
+
+
+KG_HIERARCHY_INVARIANTS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT CAST(1 AS BIGINT) AS ok, count(DISTINCT upper(w)) AS n_entities
+FROM toks WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}
+"""
+
+
+def kg_graph_embedding_norms(sf_dir: str):
+    """SQL-invariant gate for A7 (VERDICT r3 #4): every graph embedding
+    must be unit-norm (float32 tolerance 1e-5 — isolated nodes included,
+    they embed as their seeded projection row, never zero) and the
+    embedded roster must be exactly the clustered entity set.  Emits one
+    row (ok, n_entities); the oracle computes n_entities as the number
+    of present gazetteer words."""
+    import numpy as np
+
+    from knowledge_graph_ray.stages.graph_embed import embed_graph
+
+    _ents, edges, comps, _comms = _gazetteer_graph(sf_dir)
+    emb = embed_graph(comps, edges, dimensions=16, num_partitions=8
+                      ).materialize()
+
+    def norm_viol(b: pa.Table) -> pa.Table:
+        vecs = np.asarray(b.column("graph_embedding").combine_chunks()
+                          .flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.float64).reshape(len(b), -1)
+        bad = np.abs(np.linalg.norm(vecs, axis=1) - 1.0) > 1e-5
+        return b.filter(pa.array(bad))
+
+    viol = emb.map_batches(norm_viol, batch_format="pyarrow").count()
+    n_emb = emb.count()
+    n_ents = _ents.count()
+    ok = 1 if (viol == 0 and n_emb == n_ents and n_emb > 0) else 0
+    return pa.table({
+        "ok": pa.array([ok], type=pa.int64()),
+        "n_entities": pa.array([n_emb], type=pa.int64()),
+    })
+
+
+KG_GRAPH_EMBEDDING_NORMS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+SELECT CAST(1 AS BIGINT) AS ok, count(DISTINCT upper(w)) AS n_entities
+FROM toks WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}
+"""
+
+QUERIES["kg_community_partition"] = kg_community_partition
+ORACLE_SQL["kg_community_partition"] = KG_COMMUNITY_PARTITION_SQL
+QUERIES["kg_hierarchy_invariants"] = kg_hierarchy_invariants
+ORACLE_SQL["kg_hierarchy_invariants"] = KG_HIERARCHY_INVARIANTS_SQL
+QUERIES["kg_graph_embedding_norms"] = kg_graph_embedding_norms
+ORACLE_SQL["kg_graph_embedding_norms"] = KG_GRAPH_EMBEDDING_NORMS_SQL

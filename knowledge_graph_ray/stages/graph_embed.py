@@ -107,7 +107,7 @@ def _embed_component(
     vals = np.concatenate([w, w])
     deg = np.zeros(n, dtype=np.float64)
     np.add.at(deg, rows, vals)
-    deg[deg == 0.0] = 1.0  # isolated node: P row = 0, embedding = 0
+    deg[deg == 0.0] = 1.0  # isolated node: P row = 0 (handled below)
     pvals = vals / deg[rows]  # D^-1 W, row-stochastic
 
     acc = np.zeros_like(x0)
@@ -120,7 +120,17 @@ def _embed_component(
         xt = nxt
     acc /= max(1, window_size)
     norms = np.linalg.norm(acc, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
+    zero = norms[:, 0] == 0.0
+    if zero.any():
+        # isolated node: its walk never leaves the node, so the
+        # word2vec analog would emit the node's (seeded) initial
+        # vector — use its deterministic projection row, unit-
+        # normalized, so EVERY output row is unit-norm and downstream
+        # cosine math stays finite (no zero embeddings)
+        x0n = np.linalg.norm(x0[zero], axis=1, keepdims=True)
+        x0n[x0n == 0.0] = 1.0
+        acc[zero] = x0[zero] / x0n
+        norms[zero] = 1.0
     out = (acc / norms).astype(np.float32)
     # return in the caller's (unsorted) name order
     perm = np.fromiter((index[nm] for nm in names), dtype=np.int64, count=len(names))

@@ -377,13 +377,21 @@ def _report_schema():
 def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: int,
                   composer: "ReportComposer | None" = None,
                   num_buckets: int = 64, driver_threshold: int | None = None):
-    """Reports for one level's context rows (sub summaries broadcast in
-    the closure — community-count-sized, SURVEY J5).
+    """Reports for one level's context rows (nodes + same-community
+    edges; SURVEY J5).
+
+    Sub-community summaries arrive one of two ways, by regime:
+    broadcast (small community tables) passes the driver-built
+    ``sub_summaries_by_parent`` dict in the closure; the distributed
+    regime unions ``kind == "sub"`` rows into ``ctx_level`` (community
+    = parent, name = sub community, description = its summary) so the
+    summaries shuffle WITH their parent's context rows and no
+    community-count-sized state ever lives on the driver.
 
     Routed through ``bucketed_bucket_map``: one Ray task per key-hash
     bucket instead of one ``map_groups`` call per community, and the
-    per-community sorts/filters run ONCE per bucket (two vectorized
-    sorts + one groupby) instead of once per tiny group — measured
+    per-community sorts/filters run ONCE per bucket (vectorized sorts
+    + one groupby) instead of once per tiny group — measured
     ~4ms/community of pandas overhead removed."""
     import pyarrow as pa
 
@@ -403,6 +411,19 @@ def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: in
             ["level", "community", "rank", "src", "dst"],
             ascending=[True, True, False, True, True], kind="stable",
         )
+        sub_groups: dict = {}
+        subs_all = g[g["kind"] == "sub"]
+        if len(subs_all):
+            # same (sub_id, summary) ascending order the broadcast
+            # regime's subs.sort() produces
+            subs_all = subs_all.sort_values(
+                ["level", "community", "name", "description"], kind="stable"
+            )
+            sub_groups = {
+                key: list(zip(sub["name"], sub["description"]))
+                for key, sub in subs_all.groupby(["level", "community"],
+                                                 sort=False)
+            }
         node_groups = dict(iter(nodes_all.groupby(["level", "community"], sort=False)))
         edge_groups = dict(iter(edges_all.groupby(["level", "community"], sort=False)))
         keys = list(node_groups) + [k for k in edge_groups if k not in node_groups]
@@ -418,7 +439,8 @@ def _report_level(ctx_level, sub_summaries_by_parent: dict, max_input_tokens: in
             rows.append(
                 composer.compose(
                     community, level, nodes, edges, max_input_tokens,
-                    sub_summaries_by_parent.get(community),
+                    sub_summaries_by_parent.get(community)
+                    or sub_groups.get(key),
                 )
             )
         return pa.Table.from_pylist(rows, schema=schema)
@@ -446,11 +468,12 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
     """
     # size-adaptive driver state (same pattern as _context_rows): a
     # communities table under the broadcast threshold is pulled ONCE and
-    # the level list + parent/child pairs come from pandas (no extra
-    # shuffle rounds); above the threshold the entity x level table never
-    # reaches the driver — levels via a tiny aggregate, pairs via a
-    # distributed hash_join whose deduped (sub, parent) output is
-    # community-pair scale
+    # the level list + parent/child pairs + sub summaries come from
+    # pandas/driver dicts (no extra shuffle rounds); above the threshold
+    # NOTHING community-count-sized touches the driver — levels via a
+    # tiny aggregate, pairs via a distributed hash_join, and each
+    # level's summaries stay a (materialized) Dataset joined into the
+    # parent level's context as kind='sub' rows
     comm_pdf = None
     try:
         comm_pdf = communities.to_pandas(limit=broadcast_max)
@@ -474,11 +497,21 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
         ctx = ctx.materialize()
 
     def _pairs_for(level: int, prev_level: int) -> pd.DataFrame:
-        if comm_pdf is not None:
-            deeper = comm_pdf[comm_pdf.level == prev_level][["community", "name"]]
-            here = comm_pdf[comm_pdf.level == level][["community", "name"]]
-            joined = deeper.merge(here, on="name", suffixes=("_sub", "_parent"))
-            return joined.drop_duplicates(["community_sub", "community_parent"])
+        deeper = comm_pdf[comm_pdf.level == prev_level][["community", "name"]]
+        here = comm_pdf[comm_pdf.level == level][["community", "name"]]
+        joined = deeper.merge(here, on="name", suffixes=("_sub", "_parent"))
+        return joined.drop_duplicates(["community_sub", "community_parent"])
+
+    def _sub_ctx_rows(level: int, prev_level: int, prev_reports):
+        """Distributed regime: deeper-level summaries stay a Dataset —
+        dedup (sub, parent) membership pairs, hash_join the summaries
+        in, and emit them as kind='sub' context rows keyed by the
+        PARENT community, so they ride the level's bucket shuffle
+        instead of a driver dict (VERDICT r3 #3)."""
+        import pyarrow as pa
+
+        from knowledge_graph_ray.functions.agg import distinct_rows
+
         deeper = project(
             communities.filter(expr=f"level == {int(prev_level)}"),
             {"community": "community_sub", "name": "name"},
@@ -487,38 +520,73 @@ def generate_reports(communities, entities, relationships, num_partitions: int =
             communities.filter(expr=f"level == {int(level)}"),
             {"community": "community_parent", "name": "name"},
         )
-        return (
+        pairs = distinct_rows(
             hash_join(deeper, here, on=["name"], how="inner",
-                      num_partitions=num_partitions)
-            .groupby(["community_sub", "community_parent"])
-            .count()
-            .to_pandas()
+                      num_partitions=num_partitions),
+            ["community_sub", "community_parent"],
+            empty_schema=pa.schema([("community_sub", pa.string()),
+                                    ("community_parent", pa.string())]),
         )
+        summaries = project(
+            prev_reports.select_columns(["community", "summary"]),
+            {"community": "community_sub", "summary": "summary"},
+        )
+        joined = hash_join(pairs, summaries, on=["community_sub"],
+                           how="inner", num_partitions=num_partitions)
+
+        def to_ctx(b: pa.Table, lvl=int(level)) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "level": pa.array([lvl] * len(b), type=pa.int64()),
+                    "community": b.column("community_parent").cast(pa.string()),
+                    "kind": pa.array(["sub"] * len(b)),
+                    "name": b.column("community_sub").cast(pa.string()),
+                    "type": pa.nulls(len(b), pa.string()),
+                    "description": b.column("summary").cast(pa.large_string()),
+                    "degree": pa.nulls(len(b), pa.float64()),
+                    "src": pa.nulls(len(b), pa.string()),
+                    "dst": pa.nulls(len(b), pa.string()),
+                    "rank": pa.nulls(len(b), pa.float64()),
+                }
+            )
+
+        return joined.map_batches(to_ctx, batch_format="pyarrow")
 
     per_level = []
     prev_summaries: dict[str, str] = {}
+    prev_reports = None
     prev_level: int | None = None
     for level in levels:
         sub_by_parent: dict[str, list[tuple[str, str]]] = {}
-        if prev_level is not None and prev_summaries:
-            for row in _pairs_for(level, prev_level).itertuples():
-                summary = prev_summaries.get(row.community_sub)
-                if summary is not None:
-                    sub_by_parent.setdefault(row.community_parent, []).append(
-                        (row.community_sub, summary)
-                    )
-            for subs in sub_by_parent.values():
-                subs.sort()  # deterministic under any shuffle order
+        ctx_level = ctx.filter(expr=f"level == {int(level)}")
+        if prev_level is not None:
+            if comm_pdf is not None:
+                # broadcast regime: community-count-sized driver dicts
+                # (bounded by broadcast_max)
+                for row in _pairs_for(level, prev_level).itertuples():
+                    summary = prev_summaries.get(row.community_sub)
+                    if summary is not None:
+                        sub_by_parent.setdefault(row.community_parent, []).append(
+                            (row.community_sub, summary)
+                        )
+                for subs in sub_by_parent.values():
+                    subs.sort()  # deterministic under any shuffle order
+            else:
+                ctx_level = ctx_level.union(
+                    _sub_ctx_rows(level, prev_level, prev_reports)
+                )
         level_reports = _report_level(
-            ctx.filter(expr=f"level == {int(level)}"), sub_by_parent,
+            ctx_level, sub_by_parent,
             max_input_tokens, composer, num_buckets=num_partitions,
             driver_threshold=driver_threshold,
         ).materialize()
         per_level.append(level_reports)
-        prev_summaries = {
-            r["community"]: r["summary"]
-            for r in level_reports.select_columns(["community", "summary"]).to_pandas().to_dict("records")
-        }
+        if comm_pdf is not None:
+            prev_summaries = {
+                r["community"]: r["summary"]
+                for r in level_reports.select_columns(["community", "summary"]).to_pandas().to_dict("records")
+            }
+        prev_reports = level_reports
         prev_level = level
 
     out = per_level[0]

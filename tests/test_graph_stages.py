@@ -442,7 +442,9 @@ def test_embed_graph_deterministic_and_structured():
     # connected nodes of the same component are closer than nodes of
     # different components (cosine; vectors are L2-normalized)
     assert mats["A"] @ mats["B"] > mats["A"] @ mats["X"]
-    assert np.allclose(mats["LONER"], 0.0)  # isolated node
+    # isolated node: unit-norm seeded vector (never zero — downstream
+    # cosine math must stay finite)
+    assert abs(np.linalg.norm(mats["LONER"]) - 1.0) < 1e-5
     # a different seed moves the embedding
     c = embed_graph(comps, edges, dimensions=16, seed=7).to_pandas()
     c = c.sort_values("name").reset_index(drop=True)
