@@ -292,3 +292,99 @@ def window_enumerate(ds, key: str, order_cols: list[str],
         num_buckets=num_buckets, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def running_sum_salted(ds, key: str, order_cols: list[str], value_col: str,
+                       out_col: str = "running", n_salts: int = 8,
+                       num_buckets: int = 64,
+                       boundaries: "list | None" = None):
+    """Two-phase SKEW FALLBACK for ``running_sum`` — the escape hatch the
+    one-shuffle window family documents for a partition key too hot to
+    fit one task.
+
+    Phase 1: rows are RANGE-salted on ``order_cols[0]`` (monotone cut
+    points, so salt order agrees with the total order; rows tied on the
+    first order column always share a salt) and each (key, salt) slice
+    computes its local ordered cumsum.  Phase 2: the per-(key, salt)
+    value totals — a keys x salts table, tiny because this fallback is
+    applied to the skewed keys — prefix-sum into exclusive offsets,
+    broadcast via ``ray.put``, and a vectorized map_batches adds each
+    row's offset.  Output is row-identical to ``running_sum``.
+
+    ``order_cols[0]`` must be numeric.  ``boundaries`` (ascending
+    interior cut points, ``n_salts - 1`` of them) may be supplied by the
+    caller (e.g. known time ranges); the default splits
+    [min, max] evenly — good enough to break a hot key into bounded
+    slices, which is the fallback's only job (perfectly balanced slices
+    are not required for correctness).
+    """
+    import numpy as np
+    import ray
+
+    import pyarrow.compute as pc
+
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+    ds = ds.select_columns(cols)
+    _SALT = "__salt"
+
+    if boundaries is None:
+        def minmax(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.table({"mn": pa.array([], pa.float64()),
+                                 "mx": pa.array([], pa.float64())})
+            v = b.column(order_cols[0])
+            return pa.table({
+                "mn": pa.array([pc.min(v).as_py()], pa.float64()),
+                "mx": pa.array([pc.max(v).as_py()], pa.float64()),
+            })
+
+        mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+        if mm.empty:
+            return running_sum(ds, key, order_cols, value_col,
+                               out_col=out_col, num_buckets=num_buckets)
+        lo, hi = float(mm.mn.min()), float(mm.mx.max())
+        boundaries = list(np.linspace(lo, hi, n_salts + 1)[1:-1])
+    bounds = np.asarray(sorted(boundaries), dtype=np.float64)
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        v = np.asarray(b.column(order_cols[0]).to_numpy(
+            zero_copy_only=False), dtype=np.float64)
+        salt = np.searchsorted(bounds, v, side="right").astype(np.int32)
+        return b.append_column(_SALT, pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([key, _SALT] + order_cols, kind="stable")
+        out = g[cols + [_SALT]].copy()
+        out[out_col] = (
+            g.groupby([key, _SALT], sort=False, dropna=False)[value_col]
+            .cumsum()
+            .astype("int64")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    local = bucketed_bucket_map(
+        salted, [key, _SALT], bucket_body, num_buckets=num_buckets,
+    ).materialize()
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    totals = grouped_agg(
+        salted, [key, _SALT], [("t", value_col, "sum")]
+    ).to_pandas()
+    totals = totals.sort_values([key, _SALT], kind="stable")
+    totals["offset"] = (
+        totals.groupby(key, sort=False, dropna=False)["t"]
+        .cumsum().sub(totals["t"]).fillna(0).astype("int64")
+    )
+    offsets_ref = ray.put(totals[[key, _SALT, "offset"]])
+
+    def add_offset(b: pa.Table) -> pa.Table:
+        off = ray.get(offsets_ref)
+        df = b.to_pandas().merge(off, on=[key, _SALT], how="left")
+        df[out_col] = (df[out_col] + df["offset"].fillna(0)).astype("int64")
+        return pa.Table.from_pandas(df[cols + [out_col]],
+                                    preserve_index=False)
+
+    return local.map_batches(add_offset, batch_format="pyarrow")

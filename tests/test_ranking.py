@@ -13,6 +13,7 @@ import ray.data as rd
 from knowledge_graph_ray.stages.ranking import (
     ordered_gaps,
     running_sum,
+    running_sum_salted,
     window_rank,
 )
 
@@ -247,3 +248,39 @@ def test_window_enumerate_matches_pandas():
     # lead of v in order: 7, 5, null; b single row null
     assert got.lead_value.iloc[0] == 7 and got.lead_value.iloc[1] == 5
     assert pd.isna(got.lead_value.iloc[2]) and pd.isna(got.lead_value.iloc[3])
+
+
+def test_running_sum_salted_equals_unsalted_on_hot_key():
+    """Skew fallback: one key holds 90% of rows; the range-salted
+    two-phase path must be row-identical to the one-shuffle path."""
+    rng = np.random.default_rng(7)
+    n_hot, n_cold = 9000, 1000
+    df = pd.DataFrame({
+        "rid": np.arange(n_hot + n_cold, dtype="int64"),
+        "k": np.concatenate([
+            np.repeat("hot", n_hot),
+            rng.choice(["a", "b", "c"], n_cold),
+        ]),
+        # duplicate order values on purpose: ties must share a salt
+        "o": np.concatenate([
+            rng.integers(0, 500, n_hot),
+            rng.integers(0, 500, n_cold),
+        ]).astype("int64"),
+        "v": rng.integers(-50, 50, n_hot + n_cold).astype("int64"),
+    })
+    # rid is the unique tiebreak so the prefix sums are unambiguous
+    ds = rd.from_pandas(df).repartition(16)
+    kw = dict(key="k", order_cols=["o", "rid"], value_col="v",
+              out_col="run")
+    base = (running_sum(ds, **kw).to_pandas()
+            .sort_values("rid").reset_index(drop=True))
+    salted = (running_sum_salted(ds, n_salts=8, **kw).to_pandas()
+              .sort_values("rid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        salted[base.columns.tolist()], base, check_dtype=False)
+    # explicit caller-supplied boundaries exercise the other branch
+    salted2 = (running_sum_salted(ds, boundaries=[100.0, 250.0, 400.0],
+                                  **kw).to_pandas()
+               .sort_values("rid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        salted2[base.columns.tolist()], base, check_dtype=False)
