@@ -24,15 +24,22 @@ class LLMGraphExtractor:
     def __init__(self, *args, **kwargs):
         raise NotImplementedError(
             "graph_intelligence requires an LLM endpoint (the reference uses "
-            "ChatOpenAI gpt-4o-mini); subclass PatternExtractor and override "
-            "_extract_raw(text) -> wire-format records to plug one in"
+            "ChatOpenAI gpt-4o-mini); use the 'openai_compat' strategy with "
+            "KG_RAY_LLM_BASE_URL set, or subclass PatternExtractor and "
+            "override _extract_raw(text) -> wire-format records"
         )
 
+
+from knowledge_graph_ray.stages.llm import (  # noqa: E402
+    OpenAICompatGraphExtractor,
+    OpenAICompatReportComposer,
+)
 
 EXTRACTORS = {
     "pattern": PatternExtractor,  # gazetteer + relation verbs (nltk-strategy shape)
     "cooccurrence": CooccurrenceExtractor,  # verb-free co-occurrence cliques
-    "graph_intelligence": LLMGraphExtractor,  # LLM seam (unavailable here)
+    "graph_intelligence": LLMGraphExtractor,  # LLM seam (needs an endpoint)
+    "openai_compat": OpenAICompatGraphExtractor,  # live seam (stages/llm.py)
 }
 
 SUMMARIZERS = {
@@ -51,6 +58,7 @@ def _report_composers():
         # LLM strategies subclass RawJsonReportComposer (tolerant JSON
         # recovery via functions/jsonx.try_parse_json_object, M9)
         "raw_json": RawJsonReportComposer,
+        "openai_compat": OpenAICompatReportComposer,  # live seam (stages/llm.py)
     }
 
 
