@@ -430,3 +430,118 @@ def cube_agg(ds, keys: list[str], specs: list[tuple[str, "str | None", str]],
             tagged = tag(level, dropped, gid)
             out = tagged if out is None else out.union(tagged)
     return out
+
+
+def grouping_sets_agg(ds, keys: list[str],
+                      sets: list[tuple[str, ...] | list[str]],
+                      specs: list[tuple[str, "str | None", str]],
+                      num_buckets: int = 16,
+                      driver_threshold: "int | None" = 500_000):
+    """GROUP BY GROUPING SETS(sets) — the general form ROLLUP and CUBE
+    specialize; one input scan.
+
+    ``keys`` fixes the canonical key-column order (and the
+    ``grouping_id`` bit positions); each entry of ``sets`` is the subset
+    of ``keys`` one grouping set keeps (``()`` = grand total).  The
+    finest level (GROUP BY all keys) scans the input once; every
+    requested set re-aggregates that group-cardinality output, exactly
+    the rollup/cube machinery.  Requested sets may repeat (SQL allows
+    it) and arrive in any key order; output rows carry the same
+    ``grouping_id`` bitmask as SQL ``GROUPING(keys...)``.
+    """
+    for _, _, kind in specs:
+        assert kind in ("sum", "count", "min", "max"), (
+            f"grouping_sets_agg: {kind} does not re-aggregate"
+        )
+    norm_sets = []
+    for s in sets:
+        s = tuple(s)
+        assert set(s) <= set(keys), f"grouping set {s} not within {keys}"
+        # canonical key order within the set
+        norm_sets.append(tuple(k for k in keys if k in s))
+
+    finest, fin_schema, empty_total = _finest_level(
+        ds, keys, specs, num_buckets, driver_threshold
+    )
+    key_types = {k: fin_schema.field(k).type for k in keys}
+    tag = _level_tagger(keys, specs, key_types)
+    re_specs = _re_specs(specs)
+
+    out = None
+    for kept in norm_sets:
+        dropped = tuple(k for k in keys if k not in kept)
+        gid = sum(1 << (len(keys) - 1 - keys.index(k)) for k in dropped)
+        if len(kept) == len(keys):
+            level = finest
+        elif not kept:
+            level = (empty_total if empty_total is not None
+                     else _grand_total(finest, specs, driver_threshold))
+        else:
+            level = grouped_agg(finest, list(kept), re_specs,
+                                num_buckets=num_buckets,
+                                driver_threshold=driver_threshold)
+        tagged = tag(level, dropped, gid)
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def pivot_agg(ds, keys: list[str], pivot_col: str, pivot_values: list,
+              value_col: "str | None", kinds: list[str] = ("count",),
+              num_buckets: int = 16,
+              driver_threshold: "int | None" = 500_000):
+    """PIVOT: one output row per key group, one column per
+    (pivot value x kind) — ``<kind>_<value>`` — the SQL
+    ``agg(CASE WHEN pivot_col = v THEN value END)`` fan-out.
+
+    Scale shape: the pivot happens INSIDE the per-batch combiner (each
+    input row contributes to exactly one masked column), so the shuffle
+    moves groups x batches partial rows of |pivot_values| x |kinds|
+    columns — never a row explosion, never a second scan per pivot
+    value.  ``pivot_values`` is explicit (SQL PIVOT's IN list): at 100TB
+    an unbounded value set would make output width data-dependent;
+    discover values with a distinct pass upstream if needed.  Rows whose
+    pivot value is outside the list are ignored (SQL semantics).
+    ``sum`` columns are NULL (not 0) for a group with no matching rows,
+    ``count`` columns 0 — SQL's FILTER semantics.
+    """
+    import pyarrow.compute as pc
+
+    for kind in kinds:
+        assert kind in ("sum", "count", "min", "max"), kind
+    str_values = [str(v) for v in pivot_values]
+
+    in_cols = list(dict.fromkeys(
+        keys + [pivot_col] + ([value_col] if value_col else [])
+    ))
+
+    def explode_mask(b: pa.Table) -> pa.Table:
+        cols = {k: b.column(k) for k in keys}
+        pv = b.column(pivot_col)
+        for v, sv in zip(pivot_values, str_values):
+            mask = pc.equal(pv, v)
+            for kind in kinds:
+                name = f"{kind}_{sv}"
+                if kind == "count":
+                    cols[name] = pc.if_else(
+                        pc.fill_null(mask, False),
+                        pa.scalar(1, pa.int64()), pa.scalar(0, pa.int64()),
+                    )
+                else:
+                    src = b.column(value_col)
+                    cols[name] = pc.if_else(
+                        pc.fill_null(mask, False), src,
+                        pa.nulls(len(b), src.type),
+                    )
+        return pa.table(cols)
+
+    masked = ds.select_columns(in_cols).map_batches(
+        explode_mask, batch_format="pyarrow"
+    )
+    specs = []
+    for v in str_values:
+        for kind in kinds:
+            name = f"{kind}_{v}"
+            # count partials are already 0/1 ints -> re-aggregate by sum
+            specs.append((name, name, "sum" if kind == "count" else kind))
+    return grouped_agg(masked, keys, specs, num_buckets=num_buckets,
+                       driver_threshold=driver_threshold)

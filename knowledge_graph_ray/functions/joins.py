@@ -156,3 +156,82 @@ def hash_join(
     return left_tagged.union(right_tagged).groupby(_BUCKET).map_groups(
         merge_bucket, batch_format="pandas"
     )
+
+
+def bloom_semi_join(left, right, on: list[str] | tuple[str, ...],
+                    how: str = "left_semi", num_bits: int = 1 << 23,
+                    num_hashes: int = 4, num_partitions: int = 32):
+    """Semi/anti join with a broadcast Bloom prefilter — the 100-TB
+    shape for "big fact table vs small key set".
+
+    Build: the RIGHT (small) side's keys are hashed into a packed
+    bitmap per block (vectorized, functions/hashing double hashing);
+    the per-block bitmaps are OR-merged on the driver (bounded:
+    blocks x num_bits/8 bytes — 1 MiB each at the default) and
+    broadcast ONCE via ``ray.put``.
+
+    Probe: a stateless ``map_batches`` over LEFT tests all
+    ``num_hashes`` bits.  Rows failing any bit are DEFINITELY not in
+    right: for ``left_semi`` they are dropped before the shuffle, for
+    ``left_anti`` they are emitted directly with zero shuffle.  Only
+    the Bloom-positive residue (true matches + false-positive rate
+    ~(1-e^(-kn/m))^k) pays the exact ``hash_join``, which removes
+    false positives — output is exactly ``hash_join(left, right, on,
+    how)``, the Bloom layer only prunes shuffle volume.
+    """
+    assert how in ("left_semi", "left_anti"), how
+    import ray
+
+    from knowledge_graph_ray.functions.hashing import hash_rows_u64
+
+    on = list(on)
+    nbytes = num_bits // 8
+
+    def build_bitmap(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bitmap = np.zeros(nbytes, dtype=np.uint8)
+        if len(b):
+            h1 = hash_rows_u64(b, on, seed=11)
+            h2 = hash_rows_u64(b, on, seed=23) | 1  # odd -> full cycle
+            for i in range(num_hashes):
+                pos = (h1 + i * h2) % num_bits
+                np.bitwise_or.at(bitmap, pos >> 3,
+                                 np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bitmap": pa.array([bitmap.tobytes()],
+                                            type=pa.large_binary())})
+
+    import numpy as np
+
+    parts = right.map_batches(build_bitmap,
+                              batch_format="pyarrow").to_pandas()
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    if "bitmap" in parts.columns:  # empty right -> no partial bitmaps
+        for buf in parts["bitmap"]:
+            merged |= np.frombuffer(buf, dtype=np.uint8)
+    bitmap_ref = ray.put(merged)
+
+    def bloom_mask(b: pa.Table) -> "np.ndarray":
+        bm = ray.get(bitmap_ref)
+        h1 = hash_rows_u64(b, on, seed=11)
+        h2 = hash_rows_u64(b, on, seed=23) | 1
+        ok = np.ones(len(b), dtype=bool)
+        for i in range(num_hashes):
+            pos = (h1 + i * h2) % num_bits
+            bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            ok &= bits.astype(bool)
+        return ok
+
+    def keep_positive(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(bloom_mask(b))) if len(b) else b
+
+    def keep_negative(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(~bloom_mask(b))) if len(b) else b
+
+    positives = left.map_batches(keep_positive, batch_format="pyarrow")
+    exact = hash_join(positives, right, on, how=how,
+                      num_partitions=num_partitions)
+    if how == "left_semi":
+        return exact
+    definite = left.map_batches(keep_negative, batch_format="pyarrow")
+    return definite.union(exact)

@@ -2669,3 +2669,274 @@ QUERIES["kg_hierarchy_invariants"] = kg_hierarchy_invariants
 ORACLE_SQL["kg_hierarchy_invariants"] = KG_HIERARCHY_INVARIANTS_SQL
 QUERIES["kg_graph_embedding_norms"] = kg_graph_embedding_norms
 ORACLE_SQL["kg_graph_embedding_norms"] = KG_GRAPH_EMBEDDING_NORMS_SQL
+
+
+# ---------------------------------------------------------------------------
+# round-4 window-frame / pivot / grouping-sets / fuzzy / bloom operators
+
+
+def events_moving_avg(sf_dir: str):
+    """Moving-window SUM/AVG (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    per user — stages/ranking.window_moving_agg: prefix-sum differences,
+    O(rows) regardless of frame width, one shuffle."""
+    from knowledge_graph_ray.stages.ranking import window_moving_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    return window_moving_agg(prepped, key="user_id",
+                             order_cols=["ts_s", "event_id"],
+                             value_col="cents", frame_rows=7,
+                             sum_col="mov_sum_cents",
+                             avg_col="mov_avg_cents",
+                             driver_threshold=500_000,
+                             size_hint=events.count())
+
+
+EVENTS_MOVING_AVG_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts_s, event_id, cents,
+       CAST(sum(cents) OVER w AS BIGINT) AS mov_sum_cents,
+       CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w
+         AS mov_avg_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_first_last_value(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the whole partition
+    (stages/ranking.window_first_last) — null-respecting boundary-index
+    pass, one shuffle."""
+    from knowledge_graph_ray.stages.ranking import window_first_last
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    return window_first_last(prepped, key="user_id",
+                             order_cols=["ts_s", "event_id"],
+                             value_col="cents",
+                             first_col="first_cents",
+                             last_col="last_cents",
+                             driver_threshold=500_000,
+                             size_hint=events.count())
+
+
+EVENTS_FIRST_LAST_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts_s, event_id, cents,
+       CAST(first_value(cents) OVER w AS BIGINT) AS first_cents,
+       CAST(last_value(cents) OVER w AS BIGINT) AS last_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def documents_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((lang), (source)) — the general grouping
+    form rollup/cube specialize (functions/agg.grouping_sets_agg); one
+    input scan, each requested set re-aggregates the finest level."""
+    from knowledge_graph_ray.functions.agg import grouping_sets_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+    return grouping_sets_agg(
+        docs, ["lang", "source"], [("lang",), ("source",)],
+        [("total_chars", "n_chars", "sum"), ("n_docs", None, "count")],
+    )
+
+
+DOCUMENTS_GROUPING_SETS_SQL = """
+SELECT lang, source,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       count(*) AS n_docs,
+       CAST(grouping(lang, source) AS BIGINT) AS grouping_id
+FROM documents GROUP BY GROUPING SETS ((lang), (source))
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_type(sf_dir: str):
+    """PIVOT events on event_type: per user one (count, cents-sum)
+    column pair per type (functions/agg.pivot_agg) — masked columns
+    inside the per-batch combiner, so the shuffle moves groups x batches
+    partials, never an exploded row per (row, type)."""
+    from knowledge_graph_ray.functions.agg import pivot_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    return pivot_agg(prepped, ["user_id"], "event_type", _EVENT_TYPES,
+                     "cents", kinds=["count", "sum"])
+
+
+EVENTS_PIVOT_TYPE_SQL = """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id,
+""" + ",\n".join(
+    f"       count(*) FILTER (WHERE event_type = '{t}') AS count_{t},\n"
+    f"       CAST(sum(cents) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+    f" AS sum_{t}"
+    for t in _EVENT_TYPES
+) + """
+FROM e GROUP BY user_id
+"""
+
+
+def part_fuzzy_name_pairs(sf_dir: str):
+    """Blocked fuzzy self-join: part-name pairs within a brand whose
+    character-set Jaccard >= 0.92 (stages/fuzzy.char_jaccard_pairs) —
+    one blocking shuffle, vectorized byte-presence matmul per block,
+    bit-identical to DuckDB jaccard()."""
+    from knowledge_graph_ray.stages.fuzzy import char_jaccard_pairs
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name", "p_brand"])
+    return char_jaccard_pairs(part, id_col="p_partkey", text_col="p_name",
+                              block_cols=["p_brand"], threshold=0.92,
+                              size_hint=part.count())
+
+
+PART_FUZZY_NAME_PAIRS_SQL = """
+SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+       jaccard(a.p_name, b.p_name) AS sim
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE jaccard(a.p_name, b.p_name) >= 0.92
+"""
+
+
+def bloom_semijoin_orders(sf_dir: str):
+    """Orders of BUILDING-segment customers via a broadcast Bloom
+    prefilter + exact residual semi-join
+    (functions/joins.bloom_semi_join): definite non-members are dropped
+    before any shuffle; only the Bloom-positive residue pays the exact
+    hash join."""
+    from knowledge_graph_ray.functions.joins import bloom_semi_join, project
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    custs = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_mktsegment"])
+    building = custs.filter(expr="c_mktsegment == 'BUILDING'")
+    keys = project(building, {"c_custkey": "o_custkey"})
+    return bloom_semi_join(orders, keys, on=["o_custkey"], how="left_semi")
+
+
+BLOOM_SEMIJOIN_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING')
+"""
+
+
+def events_mode_value(sf_dir: str):
+    """MODE (most frequent cents value) per event type, smallest-value
+    tiebreak — composed: grouped_agg count by (type, cents), then the
+    k/group/batch-bounded grouped_topk takes the top row per type."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    counts = grouped_agg(prepped, ["event_type", "cents"],
+                         [("cnt", None, "count")])
+    top = grouped_topk(counts, ["event_type"], "cnt", k=1,
+                       descending=True, tie_cols=["cents"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "mode_cents": batch.column("cents"),
+            "cnt": batch.column("cnt"),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_MODE_VALUE_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+c AS (SELECT event_type, cents, count(*) AS cnt FROM e GROUP BY 1, 2)
+SELECT event_type, cents AS mode_cents, cnt FROM c
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY cnt DESC, cents) = 1
+"""
+
+
+QUERIES["events_moving_avg"] = events_moving_avg
+ORACLE_SQL["events_moving_avg"] = EVENTS_MOVING_AVG_SQL
+QUERIES["events_first_last_value"] = events_first_last_value
+ORACLE_SQL["events_first_last_value"] = EVENTS_FIRST_LAST_SQL
+QUERIES["documents_grouping_sets"] = documents_grouping_sets
+ORACLE_SQL["documents_grouping_sets"] = DOCUMENTS_GROUPING_SETS_SQL
+QUERIES["events_pivot_type"] = events_pivot_type
+ORACLE_SQL["events_pivot_type"] = EVENTS_PIVOT_TYPE_SQL
+QUERIES["part_fuzzy_name_pairs"] = part_fuzzy_name_pairs
+ORACLE_SQL["part_fuzzy_name_pairs"] = PART_FUZZY_NAME_PAIRS_SQL
+QUERIES["bloom_semijoin_orders"] = bloom_semijoin_orders
+ORACLE_SQL["bloom_semijoin_orders"] = BLOOM_SEMIJOIN_ORDERS_SQL
+QUERIES["events_mode_value"] = events_mode_value
+ORACLE_SQL["events_mode_value"] = EVENTS_MODE_VALUE_SQL

@@ -1,0 +1,107 @@
+"""Blocked fuzzy string-similarity self-join (character-set Jaccard).
+
+The classic fuzzy-dedup primitive the reference lacks: find pairs of
+near-identical names/titles inside blocking groups.  The similarity is
+CHARACTER-SET Jaccard (|chars(a) ∩ chars(b)| / |chars(a) ∪ chars(b)|,
+case-sensitive, duplicates ignored) — exactly DuckDB's ``jaccard()``,
+which makes the operator SQL-oracle-able, and a useful cheap pre-metric
+before an expensive edit-distance verify.
+
+Scale shape: ONE shuffle on the blocking key
+(functions/grouping.bucketed_bucket_map); inside each bucket every
+block builds a (rows x 256) byte-presence bit matrix VECTORIZED (no
+per-string Python loop: one np.add.at over the concatenated bytes) and
+gets pairwise intersections from a single int matmul — O(n·256 + n²)
+per block with SIMD, never a per-pair Python DP.  Blocks are the unit
+of quadratic cost, so the blocking key choice bounds memory: a block of
+``max_block_rows`` is the documented partitioning assumption and the
+operator RAISES above it rather than silently truncating (pick a finer
+blocking key instead — the dedup family's truncation-column treatment
+does not fit here because the SQL oracle cannot reproduce a cap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+
+def _presence_matrix(names: "pd.Series") -> np.ndarray:
+    """(n, 256) uint8 byte-presence matrix, vectorized across strings."""
+    encoded = names.fillna("").astype(str).str.encode("utf-8")
+    lengths = encoded.str.len().to_numpy()
+    n = len(encoded)
+    m = np.zeros((n, 256), dtype=np.uint8)
+    if lengths.sum() == 0:
+        return m
+    flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    rows = np.repeat(np.arange(n), lengths)
+    m[rows, flat] = 1
+    return m
+
+
+def char_jaccard_pairs(ds, id_col: str, text_col: str,
+                       block_cols: list[str], threshold: float,
+                       max_block_rows: int = 50_000,
+                       num_buckets: int = 32,
+                       driver_threshold: "int | None" = None,
+                       size_hint: "int | None" = None):
+    """All pairs (id_a < id_b) within each block whose character-set
+    Jaccard >= threshold.  Output: block_cols + id_a, id_b, sim.
+
+    ``sim`` is an int/int IEEE division (intersection / union of byte
+    sets), bit-identical to DuckDB ``jaccard()`` on both engines.
+    """
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        frames: list[pd.DataFrame] = []
+        for key_vals, blk in g.groupby(block_cols, sort=False, dropna=False):
+            n = len(blk)
+            if n > max_block_rows:
+                raise ValueError(
+                    f"char_jaccard_pairs: block {key_vals!r} has {n} rows "
+                    f"(> max_block_rows={max_block_rows}); use a finer "
+                    "blocking key"
+                )
+            if n < 2:
+                continue
+            blk = blk.sort_values(id_col, kind="stable")
+            m = _presence_matrix(blk[text_col])
+            sizes = m.sum(axis=1).astype(np.int32)
+            inter = (m.astype(np.float32) @ m.astype(np.float32).T).astype(
+                np.int32
+            )
+            union = sizes[:, None] + sizes[None, :] - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sim = inter.astype(np.float64) / union
+            ia, ib = np.triu_indices(n, k=1)
+            hit = sim[ia, ib] >= threshold
+            ia, ib = ia[hit], ib[hit]
+            if not len(ia):
+                continue
+            # block-key columns ride along via a positional take so their
+            # dtypes survive (no Python-list round trip)
+            frame = blk.iloc[ia][block_cols].reset_index(drop=True)
+            ids = blk[id_col].to_numpy()
+            frame["id_a"] = ids[ia]
+            frame["id_b"] = ids[ib]
+            frame["sim"] = sim[ia, ib]
+            frames.append(frame)
+        if not frames:
+            empty = g.head(0)[block_cols].copy()
+            empty["id_a"] = g[id_col].head(0)
+            empty["id_b"] = g[id_col].head(0)
+            empty["sim"] = pd.Series([], dtype="float64")
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    needed = list(dict.fromkeys(block_cols + [id_col, text_col]))
+    return bucketed_bucket_map(
+        ds.select_columns(needed), block_cols, bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

@@ -388,3 +388,88 @@ def running_sum_salted(ds, key: str, order_cols: list[str], value_col: str,
                                     preserve_index=False)
 
     return local.map_batches(add_offset, batch_format="pyarrow")
+
+
+def window_moving_agg(ds, key: str, order_cols: list[str], value_col: str,
+                      frame_rows: int, sum_col: str = "mov_sum",
+                      avg_col: str = "mov_avg", num_buckets: int = 64,
+                      driver_threshold: int | None = None,
+                      size_hint: int | None = None):
+    """SUM and AVG OVER (PARTITION BY key ORDER BY order_cols ROWS
+    BETWEEN frame_rows-1 PRECEDING AND CURRENT ROW) — the moving-window
+    aggregate (``frame_rows`` = total rows in the frame incl. current).
+
+    Computed as prefix-sum differences, not a per-row rescan: one sort
+    per bucket, one grouped cumsum, one grouped shift —
+    ``mov_sum[i] = cum[i] - cum[i-frame_rows]`` — so cost is O(rows),
+    independent of the frame width (a naive rolling rescan is
+    O(rows x frame)).  ``value_col`` must be non-null integer (scale
+    floats to cents upstream) so the prefix sums are exact; the average
+    is that exact int sum IEEE-divided by the frame's row count — the
+    same two operands SQL divides, hence bit-stable vs the oracle.
+    """
+    assert frame_rows >= 1
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_values([key] + order_cols, kind="stable")
+        gb = g.groupby(key, sort=False, dropna=False)
+        out = g[cols].copy()
+        cum = gb[value_col].cumsum().astype("int64")
+        # shift the cumsum WITHIN each key by frame_rows positions
+        shifted = (
+            cum.groupby(g[key], sort=False, dropna=False)
+            .shift(frame_rows).fillna(0).astype("int64")
+        )
+        rn = (gb.cumcount() + 1).to_numpy()
+        out[sum_col] = (cum - shifted).astype("int64")
+        n_frame = np.minimum(rn, frame_rows)
+        out[avg_col] = out[sum_col].to_numpy(dtype="float64") / n_frame
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )
+
+
+def window_first_last(ds, key: str, order_cols: list[str], value_col: str,
+                      first_col: str = "first_value",
+                      last_col: str = "last_value",
+                      num_buckets: int = 64,
+                      driver_threshold: int | None = None,
+                      size_hint: int | None = None):
+    """FIRST_VALUE and LAST_VALUE OVER (PARTITION BY key ORDER BY
+    order_cols ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING) — every row carries its partition's first and last
+    ``value_col`` in order.  One shuffle, one sort, one vectorized
+    boundary-index pass.  NULL-respecting like SQL: the first/last ROW's
+    value is taken even when it is null (pandas ``transform("first")``
+    would skip nulls — wrong semantics).
+    """
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_values([key] + order_cols, kind="stable")
+        out = g[cols].copy()
+        codes, _ = pd.factorize(g[key], use_na_sentinel=False)
+        n = len(g)
+        change = np.r_[True, codes[1:] != codes[:-1]] if n else np.array([], bool)
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], n] - 1 if n else starts
+        gidx = np.cumsum(change) - 1
+        vals = g[value_col].to_numpy()
+        out[first_col] = vals[starts[gidx]] if n else vals
+        out[last_col] = vals[ends[gidx]] if n else vals
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

@@ -710,3 +710,93 @@ def test_hll_dtype_canonicalization():
     c = HyperLogLog(12)
     c.add_many(pd.Series([0.0, -0.0]))
     assert round(c.estimate()) == 1
+
+
+def test_grouping_sets_matches_duckdb():
+    import duckdb
+
+    from knowledge_graph_ray.functions.agg import grouping_sets_agg
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", None], 300),
+        "b": rng.integers(0, 4, 300).astype("int64"),
+        "v": rng.integers(-5, 50, 300).astype("int64"),
+    })
+    # full set, partial, empty (grand total) and a DUPLICATE set
+    got = (
+        grouping_sets_agg(rd.from_pandas(df).repartition(4), ["a", "b"],
+                          [("a", "b"), ("b",), (), ("b",)],
+                          [("sv", "v", "sum"), ("n", None, "count")])
+        .to_pandas()
+        .sort_values(["grouping_id", "a", "b"], na_position="first")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql("""
+        SELECT a, b, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n,
+               CAST(grouping(a, b) AS BIGINT) AS grouping_id
+        FROM df GROUP BY GROUPING SETS ((a, b), (b), (), (b))
+    """).df().sort_values(["grouping_id", "a", "b"],
+                          na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_dtype=False)
+
+
+def test_pivot_agg_null_sum_and_unlisted_values():
+    from knowledge_graph_ray.functions.agg import pivot_agg
+
+    df = pd.DataFrame({
+        "k": ["g1", "g1", "g2", "g2"],
+        "p": ["red", "red", "blue", "GREEN"],  # GREEN not in the IN list
+        "v": [10, 5, 7, 99],
+    })
+    got = (
+        pivot_agg(rd.from_pandas(df), ["k"], "p", ["red", "blue"], "v",
+                  kinds=["count", "sum"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # g1: 2 red (sum 15), no blue -> count 0, sum NULL (SQL FILTER)
+    g1 = got[got.k == "g1"].iloc[0]
+    assert g1.count_red == 2 and g1.sum_red == 15
+    assert g1.count_blue == 0 and pd.isna(g1.sum_blue)
+    # g2: GREEN row ignored entirely
+    g2 = got[got.k == "g2"].iloc[0]
+    assert g2.count_blue == 1 and g2.sum_blue == 7
+    assert g2.count_red == 0 and pd.isna(g2.sum_red)
+
+
+def test_bloom_semi_join_equals_hash_join():
+    from knowledge_graph_ray.functions.joins import bloom_semi_join, hash_join
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({
+        "key": rng.integers(0, 1000, 5000).astype("int64"),
+        "payload": rng.integers(0, 10, 5000).astype("int64"),
+    })
+    right = pd.DataFrame({"key": rng.choice(1000, 80, replace=False)
+                          .astype("int64")})
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(2)
+
+    def norm(df):
+        return (df.sort_values(["key", "payload"])
+                .reset_index(drop=True))
+
+    for how in ("left_semi", "left_anti"):
+        got = norm(bloom_semi_join(lds, rds, on=["key"], how=how,
+                                   num_bits=1 << 12).to_pandas())
+        exp = norm(hash_join(lds, rds, on=["key"], how=how).to_pandas())
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bloom_semi_join_empty_right():
+    from knowledge_graph_ray.functions.joins import bloom_semi_join
+
+    left = pd.DataFrame({"key": [1, 2, 3]})
+    right = pd.DataFrame({"key": pd.Series([], dtype="int64")})
+    semi = bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on=["key"], how="left_semi").to_pandas()
+    assert len(semi) == 0
+    anti = bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on=["key"], how="left_anti").to_pandas()
+    assert sorted(anti.key) == [1, 2, 3]

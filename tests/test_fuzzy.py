@@ -1,0 +1,84 @@
+"""char_jaccard_pairs (stages/fuzzy.py) vs per-pair set brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from knowledge_graph_ray.stages.fuzzy import char_jaccard_pairs
+
+
+def _jaccard(a: str, b: str) -> float:
+    sa, sb = set(a.encode()), set(b.encode())
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_char_jaccard_pairs_matches_bruteforce():
+    rng = np.random.default_rng(9)
+    words = ["widget", "gadget", "bolt", "nut", "cog", "spring"]
+    colors = ["red", "blue", "gold", "mint"]
+    n = 120
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "blk": rng.choice(["b1", "b2", "b3"], n),
+        "name": [f"{rng.choice(colors)} {rng.choice(words)}"
+                 for _ in range(n)],
+    })
+    thr = 0.8
+    got = (
+        char_jaccard_pairs(rd.from_pandas(df).repartition(6), id_col="id",
+                           text_col="name", block_cols=["blk"],
+                           threshold=thr)
+        .to_pandas().sort_values(["blk", "id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for blk, g in df.groupby("blk"):
+        g = g.sort_values("id")
+        recs = list(g.itertuples())
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                s = _jaccard(recs[i].name, recs[j].name)
+                if s >= thr:
+                    rows.append((blk, recs[i].id, recs[j].id, s))
+    exp = pd.DataFrame(rows, columns=["blk", "id_a", "id_b", "sim"]) \
+        .sort_values(["blk", "id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(exp) > 0  # the test actually exercised matches
+
+
+def test_char_jaccard_block_overflow_raises():
+    df = pd.DataFrame({
+        "id": np.arange(10, dtype="int64"),
+        "blk": ["hot"] * 10,
+        "name": ["abc"] * 10,
+    })
+    ds = char_jaccard_pairs(rd.from_pandas(df), id_col="id",
+                            text_col="name", block_cols=["blk"],
+                            threshold=0.5, max_block_rows=5)
+    with pytest.raises(Exception, match="max_block_rows"):
+        ds.materialize()
+
+
+def test_char_jaccard_handles_empty_and_singleton_blocks():
+    df = pd.DataFrame({
+        "id": [1, 2, 3],
+        "blk": ["lonely", "pairish", "pairish"],
+        "name": ["abc", "hello", "hello"],
+    })
+    got = char_jaccard_pairs(rd.from_pandas(df), id_col="id",
+                             text_col="name", block_cols=["blk"],
+                             threshold=0.99).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0].id_a == 2 and got.iloc[0].id_b == 3
+    assert got.iloc[0].sim == 1.0
+    # null / empty text never crashes (empty byte set -> sim 0 vs anything)
+    df2 = pd.DataFrame({
+        "id": [1, 2], "blk": ["x", "x"],
+        "name": pd.Series([None, "abc"], dtype="object"),
+    })
+    got2 = char_jaccard_pairs(rd.from_pandas(df2), id_col="id",
+                              text_col="name", block_cols=["blk"],
+                              threshold=0.1).to_pandas()
+    assert len(got2) == 0

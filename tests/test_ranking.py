@@ -284,3 +284,50 @@ def test_running_sum_salted_equals_unsalted_on_hot_key():
                .sort_values("rid").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         salted2[base.columns.tolist()], base, check_dtype=False)
+
+
+def test_window_moving_agg_matches_pandas():
+    from knowledge_graph_ray.stages.ranking import window_moving_agg
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "rid": np.arange(500, dtype="int64"),
+        "k": rng.choice(["a", "b", "c", "solo"], 500,
+                        p=[0.45, 0.45, 0.098, 0.002]),
+        "v": rng.integers(-100, 100, 500).astype("int64"),
+    })
+    got = (
+        window_moving_agg(rd.from_pandas(df).repartition(8), key="k",
+                          order_cols=["rid"], value_col="v", frame_rows=5,
+                          sum_col="ms", avg_col="ma")
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "rid"], kind="stable")
+    g = exp.groupby("k")["v"]
+    exp["ms"] = g.rolling(5, min_periods=1).sum().reset_index(
+        level=0, drop=True).astype("int64")
+    exp["ma"] = exp["ms"] / g.rolling(5, min_periods=1).count().reset_index(
+        level=0, drop=True)
+    exp = exp.sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_dtype=False)
+
+
+def test_window_first_last_respects_nulls():
+    from knowledge_graph_ray.stages.ranking import window_first_last
+
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b"],
+        "o": [1, 2, 3, 1],
+        "v": pa.array([None, 5, None, 9], type=pa.int64()),
+    }))
+    got = (
+        window_first_last(ds, key="k", order_cols=["o"], value_col="v",
+                          first_col="f", last_col="l")
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    # SQL FIRST_VALUE/LAST_VALUE take the boundary ROW's value even if
+    # null — a's first (o=1) and last (o=3) are both null
+    assert got[got.k == "a"].f.isna().all()
+    assert got[got.k == "a"].l.isna().all()
+    assert (got[got.k == "b"].f == 9).all() and (got[got.k == "b"].l == 9).all()
