@@ -545,3 +545,89 @@ def pivot_agg(ds, keys: list[str], pivot_col: str, pivot_values: list,
             specs.append((name, name, "sum" if kind == "count" else kind))
     return grouped_agg(masked, keys, specs, num_buckets=num_buckets,
                        driver_threshold=driver_threshold)
+
+
+def grouped_string_agg(ds, keys: list[str], value_col: str,
+                       order_cols: list[str], sep: str = ",",
+                       out_col: str = "agg", num_buckets: int = 16,
+                       driver_threshold: "int | None" = None,
+                       size_hint: "int | None" = None):
+    """SQL ``string_agg(value, sep ORDER BY order_cols)`` per group.
+
+    One shuffle on ``keys``; per bucket one sort, then the per-group
+    concatenation is a SINGLE vectorized Arrow kernel — the sorted
+    values become one ListArray via group-boundary offsets and
+    ``pyarrow.compute.binary_join`` emits every group's joined string at
+    once (no per-group Python ``str.join`` loop).  NULL values are
+    skipped like SQL string_agg; a group of all-NULL values yields NULL.
+    Output: keys + ``out_col``, one row per group.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cols = list(dict.fromkeys(keys + order_cols + [value_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(keys + order_cols, kind="stable")
+        codes, _ = pd.factorize(
+            pd.MultiIndex.from_frame(g[keys]) if len(keys) > 1 else g[keys[0]],
+            use_na_sentinel=False,
+        )
+        n = len(g)
+        change = (np.r_[True, codes[1:] != codes[:-1]]
+                  if n else np.array([], bool))
+        starts = np.flatnonzero(change)
+        head = g.iloc[starts][keys].reset_index(drop=True)
+        vals = pa.array(g[value_col].astype("string"), type=pa.string())
+        # SQL string_agg skips NULLs: compact them out, remapping offsets
+        keep = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        gidx = np.cumsum(change) - 1 if n else np.array([], dtype=np.int64)
+        kept_gidx = gidx[keep]
+        counts = np.bincount(kept_gidx, minlength=len(starts))
+        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), vals.filter(pa.array(keep))
+        )
+        joined = pc.binary_join(lists, sep)
+        # all-NULL group -> NULL (binary_join gives '' for empty lists)
+        joined = pc.if_else(pa.array(counts > 0), joined,
+                            pa.nulls(len(counts), pa.string()))
+        out = pa.Table.from_pandas(head, preserve_index=False)
+        return out.append_column(out_col, joined)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), keys, bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )
+
+
+def histogram_agg(ds, group_cols: list[str], value_col: str,
+                  bin_width: float, num_buckets: int = 16,
+                  driver_threshold: "int | None" = 500_000):
+    """Equi-width histogram per group: one count row per
+    (group, floor(value / bin_width)) non-empty bin.
+
+    Pure composition: the bin id is a stateless vectorized column, the
+    counting is the per-batch ``grouped_agg`` combiner — the shuffle
+    moves (groups x bins) x batches partial rows.  NULL values are
+    excluded (SQL count over a NULL bin key would group them; callers
+    wanting a NULL bin can fill upstream).  Output: group_cols +
+    ``bin`` (int64 floor index) + ``n``.
+    """
+    import pyarrow.compute as pc
+
+    cols = list(dict.fromkeys(group_cols + [value_col]))
+
+    def add_bin(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).cast(pa.float64())
+        binned = pc.floor(pc.divide(v, bin_width)).cast(pa.int64())
+        b = b.append_column("bin", binned)
+        return b.filter(pc.is_valid(binned)).select(group_cols + ["bin"])
+
+    binned = ds.select_columns(cols).map_batches(
+        add_bin, batch_format="pyarrow"
+    )
+    return grouped_agg(binned, group_cols + ["bin"],
+                       [("n", None, "count")], num_buckets=num_buckets,
+                       driver_threshold=driver_threshold)

@@ -235,3 +235,29 @@ def bloom_semi_join(left, right, on: list[str] | tuple[str, ...],
         return exact
     definite = left.map_batches(keep_negative, batch_format="pyarrow")
     return definite.union(exact)
+
+
+def intersect_distinct(left, right, columns: list[str],
+                       num_partitions: int = 32):
+    """SQL ``INTERSECT`` (distinct rows present in BOTH inputs) over
+    ``columns`` — distinct-combiner each side, then one semi hash join.
+    Both inputs must expose ``columns`` (rename upstream with
+    ``project``)."""
+    from knowledge_graph_ray.functions.agg import distinct_rows
+
+    l_d = distinct_rows(left.select_columns(columns), columns)
+    r_d = distinct_rows(right.select_columns(columns), columns)
+    return hash_join(l_d, r_d, on=columns, how="left_semi",
+                     num_partitions=num_partitions)
+
+
+def except_distinct(left, right, columns: list[str],
+                    num_partitions: int = 32):
+    """SQL ``EXCEPT`` (distinct left rows absent from right) over
+    ``columns`` — distinct left side, anti hash join against right
+    (right needs no distinct pass: anti only tests membership)."""
+    from knowledge_graph_ray.functions.agg import distinct_rows
+
+    l_d = distinct_rows(left.select_columns(columns), columns)
+    return hash_join(l_d, right.select_columns(columns), on=columns,
+                     how="left_anti", num_partitions=num_partitions)

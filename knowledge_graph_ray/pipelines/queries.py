@@ -2940,3 +2940,126 @@ QUERIES["bloom_semijoin_orders"] = bloom_semijoin_orders
 ORACLE_SQL["bloom_semijoin_orders"] = BLOOM_SEMIJOIN_ORDERS_SQL
 QUERIES["events_mode_value"] = events_mode_value
 ORACLE_SQL["events_mode_value"] = EVENTS_MODE_VALUE_SQL
+
+
+def events_type_sequence(sf_dir: str):
+    """Per-user ordered event-type sequence — SQL string_agg(... ORDER
+    BY ts) via functions/agg.grouped_string_agg: one shuffle, per-bucket
+    sort, and ONE vectorized Arrow binary_join over group-boundary list
+    offsets (no per-group Python join loop)."""
+    from knowledge_graph_ray.functions.agg import grouped_string_agg
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "event_type": batch.column("event_type"),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    return grouped_string_agg(prepped, ["user_id"], "event_type",
+                              ["ts_s", "event_id"], sep=",",
+                              out_col="type_seq",
+                              size_hint=events.count())
+
+
+EVENTS_TYPE_SEQUENCE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_type
+  FROM events
+)
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts_s, event_id) AS type_seq
+FROM e GROUP BY user_id
+"""
+
+
+def except_event_users(sf_dir: str):
+    """SQL EXCEPT: distinct event user ids that are NOT
+    BUILDING-segment customer keys — functions/joins.except_distinct
+    (distinct combiner + one anti hash join).  The right side is
+    segment-restricted so the result is non-empty at every sf (every
+    event user is a customer key in the test data; an all-empty result
+    would only exercise the empty-schema path)."""
+    from knowledge_graph_ray.functions.joins import except_distinct, project
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+    custs = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_mktsegment"])
+    building = custs.filter(expr="c_mktsegment == 'BUILDING'")
+    return except_distinct(events,
+                           project(building, {"c_custkey": "user_id"}),
+                           ["user_id"])
+
+
+EXCEPT_EVENT_USERS_SQL = """
+SELECT user_id FROM events
+EXCEPT
+SELECT c_custkey AS user_id FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+def intersect_event_users(sf_dir: str):
+    """SQL INTERSECT: distinct event user ids that ARE customer keys —
+    functions/joins.intersect_distinct (distinct combiners + one semi
+    hash join)."""
+    from knowledge_graph_ray.functions.joins import (
+        intersect_distinct,
+        project,
+    )
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+    custs = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey"])
+    return intersect_distinct(events,
+                              project(custs, {"c_custkey": "user_id"}),
+                              ["user_id"])
+
+
+INTERSECT_EVENT_USERS_SQL = """
+SELECT user_id FROM events
+INTERSECT
+SELECT c_custkey AS user_id FROM customer
+"""
+
+
+def events_value_histogram(sf_dir: str):
+    """Equi-width histogram of event value per type
+    (functions/agg.histogram_agg): stateless vectorized bin column +
+    the grouped_agg count combiner — (groups x bins) x batches partial
+    rows on the wire."""
+    from knowledge_graph_ray.functions.agg import histogram_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+    return histogram_agg(events, ["event_type"], "value", bin_width=25.0)
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = """
+SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+       count(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type, bin
+"""
+
+
+QUERIES["events_type_sequence"] = events_type_sequence
+ORACLE_SQL["events_type_sequence"] = EVENTS_TYPE_SEQUENCE_SQL
+QUERIES["except_event_users"] = except_event_users
+ORACLE_SQL["except_event_users"] = EXCEPT_EVENT_USERS_SQL
+QUERIES["intersect_event_users"] = intersect_event_users
+ORACLE_SQL["intersect_event_users"] = INTERSECT_EVENT_USERS_SQL
+QUERIES["events_value_histogram"] = events_value_histogram
+ORACLE_SQL["events_value_histogram"] = EVENTS_VALUE_HISTOGRAM_SQL

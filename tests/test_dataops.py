@@ -800,3 +800,77 @@ def test_bloom_semi_join_empty_right():
     anti = bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
                            on=["key"], how="left_anti").to_pandas()
     assert sorted(anti.key) == [1, 2, 3]
+
+
+def test_grouped_string_agg_matches_pandas():
+    from knowledge_graph_ray.functions.agg import grouped_string_agg
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 200),
+        "o": rng.permutation(200).astype("int64"),
+        "v": pd.Series(rng.choice(["x", "yy", None, "zzz"], 200)),
+    })
+    got = (
+        grouped_string_agg(rd.from_pandas(df).repartition(4), ["k"], "v",
+                           ["o"], sep="|", out_col="s")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = (
+        df.sort_values(["k", "o"])
+        .groupby("k")["v"]
+        .agg(lambda s: "|".join(s.dropna()) if s.notna().any() else None)
+        .rename("s").reset_index()
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grouped_string_agg_all_null_group_and_empty():
+    from knowledge_graph_ray.functions.agg import grouped_string_agg
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "o": [1, 2, 1],
+        "v": pd.Series([None, None, "only"], dtype="object"),
+    })
+    got = (
+        grouped_string_agg(rd.from_pandas(df), ["k"], "v", ["o"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert pd.isna(got[got.k == "a"].iloc[0]["agg"])
+    assert got[got.k == "b"].iloc[0]["agg"] == "only"
+
+
+def test_intersect_except_distinct():
+    from knowledge_graph_ray.functions.joins import (
+        except_distinct,
+        intersect_distinct,
+    )
+
+    left = pd.DataFrame({"x": [1, 1, 2, 3, 3, 4]})
+    right = pd.DataFrame({"x": [2, 2, 4, 5]})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    inter = sorted(intersect_distinct(lds, rds, ["x"]).to_pandas().x)
+    assert inter == [2, 4]
+    exc = sorted(except_distinct(lds, rds, ["x"]).to_pandas().x)
+    assert exc == [1, 3]
+
+
+def test_histogram_agg_matches_numpy():
+    from knowledge_graph_ray.functions.agg import histogram_agg
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "g": rng.choice(["p", "q"], 500),
+        "v": np.where(rng.random(500) < 0.05, np.nan,
+                      rng.normal(0, 50, 500)),
+    })
+    got = (
+        histogram_agg(rd.from_pandas(df).repartition(4), ["g"], "v", 10.0)
+        .to_pandas().sort_values(["g", "bin"]).reset_index(drop=True)
+    )
+    clean = df.dropna(subset=["v"]).copy()
+    clean["bin"] = np.floor(clean.v / 10.0).astype("int64")
+    exp = (clean.groupby(["g", "bin"]).size().rename("n").reset_index()
+           .sort_values(["g", "bin"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
