@@ -29,7 +29,7 @@ SYNTH_DOCS = int(os.environ.get("GRAFT_SYNTH_DOCS", "20000"))
 # delivery varies 0.48-1.04 between windows), so the JSON embeds a
 # raw-CPU control; normalized_efficiency = pipeline / host is the
 # robust metric.
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "1600000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "3200000"))
 
 BENCH_QUERIES = [
     "kg_entity_merge",
@@ -74,6 +74,16 @@ BENCH_QUERIES = [
     "events_enumerate",
     "documents_rollup",
     "documents_cube",
+    "events_moving_avg",
+    "events_first_last_value",
+    "documents_grouping_sets",
+    "events_pivot_type",
+    "part_fuzzy_name_pairs",
+    "bloom_semijoin_orders",
+    "events_mode_value",
+    "events_type_sequence",
+    "events_value_histogram",
+    "except_event_users",
 ]
 
 
