@@ -160,36 +160,69 @@ def hash_join(
 
 def bloom_semi_join(left, right, on: list[str] | tuple[str, ...],
                     how: str = "left_semi", num_bits: int = 1 << 23,
-                    num_hashes: int = 4, num_partitions: int = 32):
-    """Semi/anti join with a broadcast Bloom prefilter — the 100-TB
-    shape for "big fact table vs small key set".
+                    num_hashes: int = 4, num_partitions: int = 32,
+                    broadcast_keys_max: int = 2_000_000):
+    """Semi/anti join against a smaller right side, size-adaptive — the
+    100-TB shape for "big fact table vs bounded key set".
 
-    Build: the RIGHT (small) side's keys are hashed into a packed
-    bitmap per block (vectorized, functions/hashing double hashing);
-    the per-block bitmaps are OR-merged on the driver (bounded:
-    blocks x num_bits/8 bytes — 1 MiB each at the default) and
-    broadcast ONCE via ``ray.put``.
+    The RIGHT side's key columns are scanned ONCE (projected +
+    materialized; by contract right is the smaller side).  Then:
 
-    Probe: a stateless ``map_batches`` over LEFT tests all
-    ``num_hashes`` bits.  Rows failing any bit are DEFINITELY not in
-    right: for ``left_semi`` they are dropped before the shuffle, for
-    ``left_anti`` they are emitted directly with zero shuffle.  Only
-    the Bloom-positive residue (true matches + false-positive rate
-    ~(1-e^(-kn/m))^k) pays the exact ``hash_join``, which removes
-    false positives — output is exactly ``hash_join(left, right, on,
-    how)``, the Bloom layer only prunes shuffle volume.
+    * right <= ``broadcast_keys_max`` rows: the exact distinct key set
+      is broadcast via ``ray.put`` and ONE stateless ``map_batches``
+      filters left — zero shuffle, no false positives, so no residual
+      join at all (a Bloom bitmap would only add error here).
+    * larger right: a packed Bloom bitmap is built per block
+      (vectorized double hashing), OR-merged on the driver (bounded:
+      blocks x num_bits/8 bytes), and broadcast.  Rows failing any of
+      the ``num_hashes`` bits are DEFINITELY not in right: for
+      ``left_semi`` they are dropped before the shuffle, for
+      ``left_anti`` they are emitted directly with zero shuffle.  Only
+      the Bloom-positive residue (true matches + ~(1-e^(-kn/m))^k false
+      positives) pays the exact ``hash_join``, which removes false
+      positives.
+
+    Output is exactly ``hash_join(left, right.select(on), on, how)`` in
+    both regimes (incl. its null-keys-match-null-keys semantics).
     """
     assert how in ("left_semi", "left_anti"), how
+    import numpy as np
     import ray
 
     from knowledge_graph_ray.functions.hashing import hash_rows_u64
 
     on = list(on)
+    right_keys = right.select_columns(on).materialize()
+
+    n_right = right_keys.count()
+    if n_right == 0:
+        # semi vs nothing = nothing; anti vs nothing = everything
+        if how == "left_anti":
+            return left
+        return left.map_batches(lambda b: b.slice(0, 0),
+                                batch_format="pyarrow")
+
+    if n_right <= broadcast_keys_max:
+        kdf = right_keys.to_pandas().drop_duplicates()
+        key_index = pd.MultiIndex.from_frame(kdf[on])
+        keys_ref = ray.put(key_index)
+
+        def probe(b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return b
+            idx = ray.get(keys_ref)
+            mask = pd.MultiIndex.from_frame(
+                b.select(on).to_pandas()
+            ).isin(idx)
+            if how == "left_anti":
+                mask = ~mask
+            return b.filter(pa.array(mask))
+
+        return left.map_batches(probe, batch_format="pyarrow")
+
     nbytes = num_bits // 8
 
     def build_bitmap(b: pa.Table) -> pa.Table:
-        import numpy as np
-
         bitmap = np.zeros(nbytes, dtype=np.uint8)
         if len(b):
             h1 = hash_rows_u64(b, on, seed=11)
@@ -201,10 +234,8 @@ def bloom_semi_join(left, right, on: list[str] | tuple[str, ...],
         return pa.table({"bitmap": pa.array([bitmap.tobytes()],
                                             type=pa.large_binary())})
 
-    import numpy as np
-
-    parts = right.map_batches(build_bitmap,
-                              batch_format="pyarrow").to_pandas()
+    parts = right_keys.map_batches(build_bitmap,
+                                   batch_format="pyarrow").to_pandas()
     merged = np.zeros(nbytes, dtype=np.uint8)
     if "bitmap" in parts.columns:  # empty right -> no partial bitmaps
         for buf in parts["bitmap"]:
@@ -229,7 +260,7 @@ def bloom_semi_join(left, right, on: list[str] | tuple[str, ...],
         return b.filter(pa.array(~bloom_mask(b))) if len(b) else b
 
     positives = left.map_batches(keep_positive, batch_format="pyarrow")
-    exact = hash_join(positives, right, on, how=how,
+    exact = hash_join(positives, right_keys, on, how=how,
                       num_partitions=num_partitions)
     if how == "left_semi":
         return exact
@@ -240,24 +271,23 @@ def bloom_semi_join(left, right, on: list[str] | tuple[str, ...],
 def intersect_distinct(left, right, columns: list[str],
                        num_partitions: int = 32):
     """SQL ``INTERSECT`` (distinct rows present in BOTH inputs) over
-    ``columns`` — distinct-combiner each side, then one semi hash join.
+    ``columns`` — distinct-combiner left, then one semi membership test.
     Both inputs must expose ``columns`` (rename upstream with
     ``project``)."""
     from knowledge_graph_ray.functions.agg import distinct_rows
 
     l_d = distinct_rows(left.select_columns(columns), columns)
-    r_d = distinct_rows(right.select_columns(columns), columns)
-    return hash_join(l_d, r_d, on=columns, how="left_semi",
-                     num_partitions=num_partitions)
+    return bloom_semi_join(l_d, right, on=columns, how="left_semi",
+                           num_partitions=num_partitions)
 
 
 def except_distinct(left, right, columns: list[str],
                     num_partitions: int = 32):
     """SQL ``EXCEPT`` (distinct left rows absent from right) over
-    ``columns`` — distinct left side, anti hash join against right
-    (right needs no distinct pass: anti only tests membership)."""
+    ``columns`` — distinct left side, size-adaptive anti membership
+    test (right needs no distinct pass: anti only tests membership)."""
     from knowledge_graph_ray.functions.agg import distinct_rows
 
     l_d = distinct_rows(left.select_columns(columns), columns)
-    return hash_join(l_d, right.select_columns(columns), on=columns,
-                     how="left_anti", num_partitions=num_partitions)
+    return bloom_semi_join(l_d, right, on=columns, how="left_anti",
+                           num_partitions=num_partitions)

@@ -783,10 +783,17 @@ def test_bloom_semi_join_equals_hash_join():
                 .reset_index(drop=True))
 
     for how in ("left_semi", "left_anti"):
-        got = norm(bloom_semi_join(lds, rds, on=["key"], how=how,
-                                   num_bits=1 << 12).to_pandas())
         exp = norm(hash_join(lds, rds, on=["key"], how=how).to_pandas())
-        pd.testing.assert_frame_equal(got, exp)
+        # broadcast-exact regime (right under the key budget)
+        got_b = norm(bloom_semi_join(lds, rds, on=["key"], how=how,
+                                     num_bits=1 << 12).to_pandas())
+        pd.testing.assert_frame_equal(got_b, exp)
+        # bitmap + residual-join regime (forced small budget; tiny
+        # num_bits so false positives exist and the exact join matters)
+        got_f = norm(bloom_semi_join(lds, rds, on=["key"], how=how,
+                                     num_bits=1 << 8,
+                                     broadcast_keys_max=0).to_pandas())
+        pd.testing.assert_frame_equal(got_f, exp)
 
 
 def test_bloom_semi_join_empty_right():
