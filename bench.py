@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "events_type_sequence",
     "events_value_histogram",
     "except_event_users",
+    "kg_pagerank",
+    "events_frequent_types",
 ]
 
 

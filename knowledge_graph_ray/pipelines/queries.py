@@ -3063,3 +3063,91 @@ QUERIES["intersect_event_users"] = intersect_event_users
 ORACLE_SQL["intersect_event_users"] = INTERSECT_EVENT_USERS_SQL
 QUERIES["events_value_histogram"] = events_value_histogram
 ORACLE_SQL["events_value_histogram"] = EVENTS_VALUE_HISTOGRAM_SQL
+
+
+def kg_pagerank(sf_dir: str):
+    """Weighted undirected PageRank (3 power iterations, d=0.85) over
+    the flagship-gazetteer co-occurrence graph — stages/pagerank: edges
+    never move; per iteration one broadcast rank lookup + the
+    grouped_agg contribution combiner.  Fixed-point e9 scaling makes
+    the float sums hash-comparable (the text_term_pmi pattern)."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.pagerank import pagerank
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    pr = pagerank(edges, weight="weight", iterations=3, damping=0.85,
+                  undirected=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "name": batch.column("name"),
+            "pr_e9": scaled_int_column(batch.column("pr"), 1e9),
+        })
+
+    return pr.map_batches(finish, batch_format="pyarrow")
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT nd.name, (1.0 - 0.85)/(SELECT n FROM nn) + 0.85 * coalesce(q.c, 0) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS name, sum({prev}.pr * e.w / st.s) AS c
+    FROM edges e
+    JOIN {prev} ON {prev}.name = e.src
+    JOIN strength st ON st.src = e.src
+    GROUP BY e.dst
+  ) q ON q.name = nd.name
+)"""
+
+
+KG_PAGERANK_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+pairs AS (SELECT a.name AS src, b.name AS dst, count(*) AS w
+          FROM present a JOIN present b
+            ON a.doc_id = b.doc_id AND a.name < b.name
+          GROUP BY a.name, b.name),
+edges AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM pairs
+          UNION ALL
+          SELECT dst, src, CAST(w AS DOUBLE) AS w FROM pairs),
+nodes AS (SELECT DISTINCT src AS name FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+strength AS (SELECT src, sum(w) AS s FROM edges GROUP BY src),
+r0 AS (SELECT name, 1.0/(SELECT n FROM nn) AS pr FROM nodes),
+{_pagerank_iter_sql('r0', 'r1')},
+{_pagerank_iter_sql('r1', 'r2')},
+{_pagerank_iter_sql('r2', 'r3')}
+SELECT name, CAST(round(pr * 1e9) AS BIGINT) AS pr_e9 FROM r3
+"""
+
+QUERIES["kg_pagerank"] = kg_pagerank
+ORACLE_SQL["kg_pagerank"] = KG_PAGERANK_SQL
+
+
+def events_frequent_types(sf_dir: str):
+    """Exact heavy hitters (stages/sketches.frequent_items): event
+    types above a 5% row share — per-batch share-threshold candidates
+    (<= 1/share rows per batch on the wire, the Misra-Gries pigeonhole)
+    + broadcast exact recount, so the output is exactly the SQL HAVING
+    clause."""
+    from knowledge_graph_ray.stages.sketches import frequent_items
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type"])
+    return frequent_items(events, ["event_type"], min_share=0.05)
+
+
+EVENTS_FREQUENT_TYPES_SQL = """
+SELECT event_type, count(*) AS n
+FROM events GROUP BY event_type
+HAVING count(*) > 0.05 * (SELECT count(*) FROM events)
+"""
+
+QUERIES["events_frequent_types"] = events_frequent_types
+ORACLE_SQL["events_frequent_types"] = EVENTS_FREQUENT_TYPES_SQL

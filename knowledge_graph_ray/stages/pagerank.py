@@ -1,0 +1,177 @@
+"""Distributed (weighted) PageRank over an edge Dataset.
+
+Fixed-iteration power method, the form a SQL oracle can unroll exactly:
+
+    pr_0(v)   = 1 / N
+    pr_k+1(v) = (1-d)/N + d * sum_{(u,v) in E} pr_k(u) * w(u,v) / S(u)
+
+with S(u) = sum of u's outgoing edge weights.  Dangling mass is NOT
+redistributed (documented; the oracle mirrors this).  ``undirected=True``
+mirrors every edge before iterating.
+
+Scale shape: the EDGES never move.  The rank vector is node-sized; per
+iteration the engine computes (dst, contribution) partials inside
+``map_batches`` over the edges and merges them with the grouped_agg
+combiner — one small shuffle of groups x batches rows per iteration.
+
+* nodes <= ``broadcast_nodes_max``: ranks + out-strengths live in one
+  pandas frame broadcast via ``ray.put`` per iteration (the same
+  size-adaptive broadcast rule the engine's joins use); the per-edge
+  lookup is a vectorized merge.
+* larger graphs: the rank vector stays a Dataset and each iteration is
+  a ``hash_join`` (edges x ranks on src) + grouped_agg by dst +
+  left_outer join back onto the node set — all-shuffle, no driver
+  state.  Both regimes compute identical math (pytest-gated equality).
+
+Reference parity note: the reference embeds graphs via node2vec
+(embedding.py:15-38, dead code there); PageRank is the beyond-reference
+centrality the query layer exposes (kg_degree covers degree centrality).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def pagerank(edges, src: str = "src", dst: str = "dst",
+             weight: "str | None" = None, iterations: int = 3,
+             damping: float = 0.85, undirected: bool = True,
+             node_col: str = "name", out_col: str = "pr",
+             broadcast_nodes_max: int = 5_000_000):
+    """-> Dataset[node_col, out_col] — one row per node."""
+    import ray
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    w_in = [weight] if weight else []
+    edges = edges.select_columns([src, dst] + w_in)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        cols = {
+            "src": b.column(src).cast(pa.string()),
+            "dst": b.column(dst).cast(pa.string()),
+            "w": (b.column(weight).cast(pa.float64()) if weight
+                  else pa.array(np.ones(len(b)), type=pa.float64())),
+        }
+        return pa.table(cols)
+
+    fwd = edges.map_batches(normalize, batch_format="pyarrow")
+    if undirected:
+        def flip(b: pa.Table) -> pa.Table:
+            return pa.table({"src": b.column("dst"), "dst": b.column("src"),
+                             "w": b.column("w")})
+
+        fwd = fwd.union(fwd.map_batches(flip, batch_format="pyarrow"))
+    fwd = fwd.materialize()
+
+    from knowledge_graph_ray.functions.agg import distinct_rows
+
+    node_union = fwd.map_batches(
+        lambda b: pa.concat_tables([
+            pa.table({"name": b.column("src")}),
+            pa.table({"name": b.column("dst")}),
+        ]),
+        batch_format="pyarrow",
+    )
+    nodes = distinct_rows(
+        node_union, ["name"],
+        empty_schema=pa.schema([("name", pa.string())]),
+    ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: b.append_column(out_col,
+                                      pa.array([], type=pa.float64())),
+            batch_format="pyarrow",
+        )
+    strength = grouped_agg(fwd, ["src"], [("s", "w", "sum")]).materialize()
+    base = (1.0 - damping) / n_nodes
+
+    if n_nodes <= broadcast_nodes_max:
+        ndf = nodes.to_pandas()
+        sdf = strength.to_pandas()
+        state = ndf.merge(sdf, left_on="name", right_on="src", how="left")
+        state = state[["name", "s"]]
+        state[out_col] = 1.0 / n_nodes
+        for _ in range(iterations):
+            ref = ray.put(state)
+
+            def contribs(b: pa.Table) -> pa.Table:
+                st = ray.get(ref)
+                df = b.to_pandas().merge(
+                    st, left_on="src", right_on="name", how="left"
+                )
+                return pa.table({
+                    "dst": pa.array(df["dst"], type=pa.string()),
+                    "c": pa.array(df[out_col] * df["w"] / df["s"],
+                                  type=pa.float64()),
+                })
+
+            agg = grouped_agg(
+                fwd.map_batches(contribs, batch_format="pyarrow"),
+                ["dst"], [("c", "c", "sum")],
+            ).to_pandas()  # node-sized, bounded by broadcast_nodes_max
+            state = state.drop(columns=[out_col]).merge(
+                agg, left_on="name", right_on="dst", how="left"
+            )[["name", "s", "c"]]
+            state[out_col] = base + damping * state.pop("c").fillna(0.0)
+        out = state[["name", out_col]]
+        import ray.data as rd
+
+        result = rd.from_pandas(out)
+    else:
+        ranks = nodes.map_batches(
+            lambda b: b.append_column(
+                out_col, pa.array(np.full(len(b), 1.0 / n_nodes))),
+            batch_format="pyarrow",
+        ).materialize()
+        strength_r = project(strength, {"src": "sname", "s": "s"})
+        for _ in range(iterations):
+            ranked = hash_join(
+                fwd, project(ranks, {"name": "src", out_col: "rpr"}),
+                on=["src"], how="inner",
+            )
+            with_s = hash_join(
+                ranked, strength_r.map_batches(
+                    lambda b: pa.table({"src": b.column("sname"),
+                                        "s": b.column("s")}),
+                    batch_format="pyarrow"),
+                on=["src"], how="inner",
+            )
+
+            def contrib(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return pa.table({
+                    "dst": b.column("dst"),
+                    "c": pc.divide(pc.multiply(b.column("rpr"),
+                                               b.column("w")),
+                                   b.column("s")),
+                })
+
+            agg = grouped_agg(
+                with_s.map_batches(contrib, batch_format="pyarrow"),
+                ["dst"], [("c", "c", "sum")],
+            )
+            joined = hash_join(
+                nodes, project(agg, {"dst": "name", "c": "c"}),
+                on=["name"], how="left_outer",
+            )
+
+            def finish(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                c = pc.fill_null(b.column("c"), 0.0)
+                pr = pc.add(pc.multiply(c, damping), base)
+                return pa.table({"name": b.column("name"), out_col: pr})
+
+            ranks = joined.map_batches(
+                finish, batch_format="pyarrow").materialize()
+        result = ranks
+
+    if node_col != "name":
+        result = project(result, {"name": node_col, out_col: out_col})
+    return result

@@ -392,3 +392,86 @@ def group_minmax_normalize(ds, group_col: str, value_col: str,
                                    pa.array(norm, type=pa.float64()))
 
     return ds.map_batches(body, batch_format="pyarrow")
+
+
+def frequent_items(ds, cols: list[str], min_share: float,
+                   candidate_cap: int = 1_000_000,
+                   num_buckets: int = 16):
+    """EXACT heavy hitters: every ``cols`` combination whose row share
+    exceeds ``min_share``, with its exact count — at sketch cost.
+
+    Phase 1 (candidates): each batch emits the value combinations whose
+    share WITHIN THAT BATCH exceeds ``min_share`` — at most
+    floor(1/min_share) rows per batch on the wire.  Global share is a
+    weighted average of batch shares, so an item above the threshold
+    globally must be above it in >= 1 batch: the union is a guaranteed
+    candidate SUPERSET (the pigeonhole that makes Misra-Gries work),
+    with no per-row state.
+
+    Phase 2 (exact verify): the distinct candidate set (driver-bounded;
+    raises above ``candidate_cap`` — a cap hit means min_share is too
+    small to be a heavy-hitter query) broadcasts via ``ray.put``; one
+    stateless filtered-count pass recounts ONLY candidate rows exactly
+    and keeps those above min_share x total.  Output = exactly SQL
+    ``GROUP BY cols HAVING count(*) > min_share * total`` — false
+    positives are recount-filtered, false negatives are impossible.
+    """
+    assert 0 < min_share < 1
+    import ray
+
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+
+    ds = ds.select_columns(cols).materialize()
+    total = ds.count()
+
+    def batch_candidates(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        counts = b.group_by(cols).aggregate([([], "count_all")])
+        import pyarrow.compute as pc
+
+        keep = pc.greater(counts.column("count_all"),
+                          pa.scalar(min_share * len(b)))
+        return counts.filter(keep).select(cols)
+
+    cand = distinct_rows(
+        ds.map_batches(batch_candidates, batch_format="pyarrow"),
+        cols,
+        empty_schema=pa.schema(
+            [(c, pa.string()) for c in cols]  # only used when 0 candidates
+        ),
+    )
+    cdf = cand.to_pandas(limit=candidate_cap + 1)
+    if len(cdf) > candidate_cap:
+        raise ValueError(
+            f"frequent_items: >{candidate_cap} candidates; min_share="
+            f"{min_share} is too small for a heavy-hitter query"
+        )
+    if len(cdf) == 0 or total == 0:
+        out = cdf.head(0).copy()
+        out["n"] = pd.Series([], dtype="int64")
+        import ray.data as rd
+
+        return rd.from_pandas(out)
+    cand_idx = pd.MultiIndex.from_frame(cdf[cols])
+    ref = ray.put(cand_idx)
+
+    def keep_candidates(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        idx = ray.get(ref)
+        mask = pd.MultiIndex.from_frame(b.select(cols).to_pandas()).isin(idx)
+        return b.filter(pa.array(mask))
+
+    counted = grouped_agg(
+        ds.map_batches(keep_candidates, batch_format="pyarrow"),
+        cols, [("n", None, "count")], num_buckets=num_buckets,
+    )
+
+    def above(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b.column("n"),
+                                   pa.scalar(min_share * total)))
+
+    return counted.map_batches(above, batch_format="pyarrow")

@@ -881,3 +881,44 @@ def test_histogram_agg_matches_numpy():
     exp = (clean.groupby(["g", "bin"]).size().rename("n").reset_index()
            .sort_values(["g", "bin"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_frequent_items_exact_on_zipf():
+    from knowledge_graph_ray.stages.sketches import frequent_items
+
+    rng = np.random.default_rng(13)
+    # Zipf-ish: two heavy values, long uniform tail
+    vals = np.concatenate([
+        np.repeat("heavy_a", 3000), np.repeat("heavy_b", 1500),
+        rng.choice([f"tail{i}" for i in range(500)], 5500),
+    ])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    got = (
+        frequent_items(rd.from_pandas(df).repartition(16), ["v"],
+                       min_share=0.10)
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    )
+    vc = df.v.value_counts()
+    exp = (vc[vc > 0.10 * len(df)].rename("n").rename_axis("v")
+           .reset_index().sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got.v) == {"heavy_a", "heavy_b"}
+
+
+def test_frequent_items_multicolumn_and_none_heavy():
+    from knowledge_graph_ray.stages.sketches import frequent_items
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y"] * 25,
+        "b": [1, 2, 1, 2] * 25,
+    })
+    got = (
+        frequent_items(rd.from_pandas(df).repartition(4), ["a", "b"],
+                       min_share=0.2)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # each (a, b) combo has share exactly 0.25 > 0.2
+    assert len(got) == 4 and (got.n == 25).all()
+    none = frequent_items(rd.from_pandas(df), ["a", "b"], min_share=0.5)
+    assert none.count() == 0

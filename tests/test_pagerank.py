@@ -1,0 +1,92 @@
+"""pagerank (stages/pagerank.py) vs a numpy power-method brute force,
+and broadcast-regime vs distributed-regime equality."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from knowledge_graph_ray.stages.pagerank import pagerank
+
+
+def _brute(edges: pd.DataFrame, iterations: int, damping: float,
+           undirected: bool) -> pd.DataFrame:
+    e = edges.copy()
+    if undirected:
+        e = pd.concat([e, e.rename(columns={"src": "dst", "dst": "src"})],
+                      ignore_index=True)
+    nodes = sorted(set(e.src) | set(e.dst))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    s = e.groupby("src").w.sum()
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        nxt = np.full(n, (1 - damping) / n)
+        contrib = pr[[idx[u] for u in e.src]] * e.w.to_numpy() / \
+            s[e.src].to_numpy()
+        np.add.at(nxt, [idx[v] for v in e.dst], damping * contrib)
+        pr = nxt
+    return pd.DataFrame({"name": nodes, "pr": pr})
+
+
+def _random_graph(seed: int, n_nodes: int = 40, n_edges: int = 150):
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame({
+        "src": [f"n{v}" for v in rng.integers(0, n_nodes, n_edges)],
+        "dst": [f"n{v}" for v in rng.integers(0, n_nodes, n_edges)],
+        "w": rng.integers(1, 5, n_edges).astype("float64"),
+    })
+    return df[df.src != df.dst].drop_duplicates(["src", "dst"])
+
+
+def test_pagerank_matches_bruteforce_weighted_undirected():
+    df = _random_graph(1)
+    got = (
+        pagerank(rd.from_pandas(df).repartition(4), weight="w",
+                 iterations=3)
+        .to_pandas().sort_values("name").reset_index(drop=True)
+    )
+    exp = _brute(df, 3, 0.85, undirected=True) \
+        .sort_values("name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_exact=False, rtol=1e-12)
+    # probabilities: non-dangling-redistribution keeps sum <= 1
+    assert got.pr.between(0, 1).all()
+
+
+def test_pagerank_directed_unweighted():
+    df = _random_graph(2)[["src", "dst"]]
+    df["w"] = 1.0
+    got = (
+        pagerank(rd.from_pandas(df[["src", "dst"]]), iterations=2,
+                 undirected=False)
+        .to_pandas().sort_values("name").reset_index(drop=True)
+    )
+    exp = _brute(df, 2, 0.85, undirected=False) \
+        .sort_values("name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_exact=False, rtol=1e-12)
+
+
+def test_pagerank_regime_equivalence():
+    """Broadcast driver state vs all-shuffle Dataset iteration."""
+    df = _random_graph(3)
+    b = (pagerank(rd.from_pandas(df), weight="w", iterations=2)
+         .to_pandas().sort_values("name").reset_index(drop=True))
+    d = (pagerank(rd.from_pandas(df), weight="w", iterations=2,
+                  broadcast_nodes_max=0)
+         .to_pandas().sort_values("name").reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, d, check_exact=False, rtol=1e-12)
+
+
+def test_pagerank_empty_and_star():
+    import pyarrow as pa
+
+    empty = rd.from_arrow(pa.table({
+        "src": pa.array([], type=pa.string()),
+        "dst": pa.array([], type=pa.string()),
+    }))
+    assert pagerank(empty, iterations=1).count() == 0
+    # star: center must outrank leaves
+    star = pd.DataFrame({"src": ["hub"] * 4,
+                         "dst": [f"leaf{i}" for i in range(4)]})
+    got = pagerank(rd.from_pandas(star), iterations=3).to_pandas()
+    hub = got[got.name == "hub"].pr.iloc[0]
+    assert (got[got.name != "hub"].pr < hub).all()
