@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "except_event_users",
     "kg_pagerank",
     "events_frequent_types",
+    "events_cume_dist",
+    "weighted_sample_documents",
 ]
 
 

@@ -3151,3 +3151,76 @@ HAVING count(*) > 0.05 * (SELECT count(*) FROM events)
 
 QUERIES["events_frequent_types"] = events_frequent_types
 ORACLE_SQL["events_frequent_types"] = EVENTS_FREQUENT_TYPES_SQL
+
+
+def events_cume_dist(sf_dir: str):
+    """CUME_DIST() per user over cents (stages/ranking.window_cume_dist)
+    — one shuffle, per-bucket vectorized max-rank; the division is the
+    same two exact int64 operands on both engines."""
+    from knowledge_graph_ray.stages.ranking import window_cume_dist
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    return window_cume_dist(prepped, key="user_id", order_col="cents",
+                            id_cols=["event_id"],
+                            driver_threshold=500_000,
+                            size_hint=events.count())
+
+
+EVENTS_CUME_DIST_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, cents,
+       cume_dist() OVER (PARTITION BY user_id ORDER BY cents) AS cume
+FROM e
+"""
+
+
+def weighted_sample_documents(sf_dir: str):
+    """Deterministic weighted sample (Efraimidis-Spirakis exponential
+    races, stages/sampling.weighted_sample_per_group): 5 docs per lang,
+    inclusion odds proportional to n_chars, selected by hash-derived
+    priorities — row-local, zero-shuffle beyond the top-n combiner, and
+    the oracle replays the identical priority expression."""
+    from knowledge_graph_ray.stages.sampling import weighted_sample_per_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return weighted_sample_per_group(docs, ["lang"], "doc_id", "n_chars",
+                                     n=5, seed=6969,
+                                     size_hint=docs.count())
+
+
+WEIGHTED_SAMPLE_DOCUMENTS_SQL = """
+WITH pri AS (
+  SELECT doc_id, lang, n_chars,
+         -ln(((
+            (((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+             % 4294967296) * 2654435761 + 6969
+          ) % 4294967296 + 0.5) / 4294967296.0)
+         / CAST(n_chars AS DOUBLE) AS p
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, rk FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY p, doc_id)
+              AS BIGINT) AS rk
+  FROM pri
+) WHERE rk <= 5
+"""
+
+QUERIES["events_cume_dist"] = events_cume_dist
+ORACLE_SQL["events_cume_dist"] = EVENTS_CUME_DIST_SQL
+QUERIES["weighted_sample_documents"] = weighted_sample_documents
+ORACLE_SQL["weighted_sample_documents"] = WEIGHTED_SAMPLE_DOCUMENTS_SQL

@@ -473,3 +473,29 @@ def window_first_last(ds, key: str, order_cols: list[str], value_col: str,
         num_buckets=num_buckets, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def window_cume_dist(ds, key: str, order_col: str, id_cols: list[str],
+                     num_buckets: int = 64,
+                     driver_threshold: int | None = None,
+                     size_hint: int | None = None):
+    """CUME_DIST() per partition: (# rows with order value <= current)
+    / partition size — ties share the max rank, so the division is the
+    same two exact int64 operands on both engines (bit-stable like
+    window_rank's PERCENT_RANK).  One shuffle, per-bucket vectorized
+    rank(method='max')."""
+    cols = list(dict.fromkeys(id_cols + [key, order_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        gb = g.groupby(key, sort=False, dropna=False)[order_col]
+        out = g[cols].copy()
+        rk_max = gb.rank(method="max", na_option="bottom").astype("int64")
+        n = gb.transform("size").astype("int64")
+        out["cume"] = rk_max / n
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

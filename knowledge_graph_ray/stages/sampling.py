@@ -149,3 +149,45 @@ def weighted_repeat(ds, weight_col: str, key_col: str, seed: int = 0,
                                  pa.array(copy_idx, type=pa.int64()))
 
     return ds.map_batches(expand, batch_format="pyarrow")
+
+
+def weighted_sample_per_group(ds, group_cols: list[str], key_col: str,
+                              weight_col: str, n: int, seed: int = 0,
+                              num_buckets: int = 64,
+                              driver_threshold: int | None = None,
+                              size_hint: int | None = None):
+    """Deterministic weighted sample WITHOUT replacement of ``n`` rows
+    per group (Efraimidis-Spirakis exponential races): each row gets a
+    priority ``-ln(u) / w`` from its hash-derived uniform
+    ``u = (hash_u32(key, seed) + 0.5) / 2^32`` and the n SMALLEST
+    priorities per group win — inclusion probability proportional to
+    ``weight_col`` at each draw, yet fully recomputable row-locally
+    (zero extra shuffle beyond the top-n combiner) and SQL-mirrorable:
+    ``row_number() OVER (PARTITION BY g ORDER BY -ln(u)/w, key) <= n``.
+
+    Rows with weight <= 0 or NULL never win (priority +inf), matching
+    the SQL form's NULLS LAST.  Ties (measure zero for continuous
+    weights) break by ``key_col``.
+    """
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+
+    pri_col = "__es_priority"
+
+    def add_priority(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        u = (hash_u32(keys, seed).astype(np.float64) + 0.5) / float(_M32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pri = -np.log(u) / w
+        pri = np.where(np.isfinite(pri) & (w > 0), pri, np.inf)
+        return batch.append_column(pri_col, pa.array(pri,
+                                                     type=pa.float64()))
+
+    prioritized = ds.map_batches(add_priority, batch_format="pyarrow")
+    top = grouped_topk(prioritized, group_cols, pri_col, n,
+                       descending=False, tie_cols=[key_col],
+                       num_buckets=num_buckets,
+                       driver_threshold=driver_threshold,
+                       size_hint=size_hint)
+    return top.drop_columns([pri_col])

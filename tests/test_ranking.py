@@ -331,3 +331,28 @@ def test_window_first_last_respects_nulls():
     assert got[got.k == "a"].f.isna().all()
     assert got[got.k == "a"].l.isna().all()
     assert (got[got.k == "b"].f == 9).all() and (got[got.k == "b"].l == 9).all()
+
+
+def test_window_cume_dist_matches_duckdb():
+    import duckdb
+
+    from knowledge_graph_ray.stages.ranking import window_cume_dist
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype="int64"),
+        "k": rng.choice(["a", "b", "solo"], 300, p=[0.5, 0.497, 0.003]),
+        "v": rng.integers(0, 40, 300).astype("int64"),  # many ties
+    })
+    got = (
+        window_cume_dist(rd.from_pandas(df).repartition(4), key="k",
+                         order_col="v", id_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    exp = duckdb.sql("""
+        SELECT id, k, v,
+               cume_dist() OVER (PARTITION BY k ORDER BY v) AS cume
+        FROM df
+    """).df().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
+                                  check_dtype=False)

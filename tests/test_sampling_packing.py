@@ -255,3 +255,46 @@ def test_hash_u32_matches_sql_for_negative_keys():
         "FROM (SELECT unnest([-5, -1, 0, 7, -1099511627776]) AS x)"
     ).fetchnumpy()["hv"].astype(np.uint64)
     assert (ours == sql).all()
+
+
+def test_weighted_sample_per_group_properties():
+    from knowledge_graph_ray.stages.sampling import weighted_sample_per_group
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], n),
+        "id": np.arange(n, dtype="int64"),
+        # 100 heavy rows (weight 50) vs light rows (weight 1)
+        "w": np.where(np.arange(n) % 20 == 0, 50.0, 1.0),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    picks = []
+    for seed in range(8):
+        got = weighted_sample_per_group(ds, ["g"], "id", "w", n=10,
+                                        seed=seed).to_pandas()
+        assert len(got) == 20  # 10 per group
+        assert got.groupby("g").size().eq(10).all()
+        # deterministic: same seed -> same rows
+        again = weighted_sample_per_group(ds, ["g"], "id", "w", n=10,
+                                          seed=seed).to_pandas()
+        assert sorted(got.id) == sorted(again.id)
+        picks.append(got)
+    allp = pd.concat(picks)
+    heavy_rate = (allp.w == 50.0).mean()
+    # heavy rows are 5% of the population but weight 50x: expect them to
+    # dominate the samples (ES inclusion ~ weight); loose bound
+    assert heavy_rate > 0.5, heavy_rate
+
+
+def test_weighted_sample_zero_and_null_weights_lose():
+    from knowledge_graph_ray.stages.sampling import weighted_sample_per_group
+
+    df = pd.DataFrame({
+        "g": ["a"] * 6,
+        "id": [1, 2, 3, 4, 5, 6],
+        "w": pd.Series([0.0, -1.0, None, 2.0, 2.0, 2.0]),
+    })
+    got = weighted_sample_per_group(rd.from_pandas(df), ["g"], "id", "w",
+                                    n=3).to_pandas()
+    assert sorted(got.id) == [4, 5, 6]
