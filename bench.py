@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "events_frequent_types",
     "events_cume_dist",
     "weighted_sample_documents",
+    "kg_triangles",
 ]
 
 

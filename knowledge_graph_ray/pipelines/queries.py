@@ -3224,3 +3224,36 @@ QUERIES["events_cume_dist"] = events_cume_dist
 ORACLE_SQL["events_cume_dist"] = EVENTS_CUME_DIST_SQL
 QUERIES["weighted_sample_documents"] = weighted_sample_documents
 ORACLE_SQL["weighted_sample_documents"] = WEIGHTED_SAMPLE_DOCUMENTS_SQL
+
+
+def kg_triangles(sf_dir: str):
+    """Exact triangle count of the flagship co-occurrence graph
+    (stages/graphops.triangle_count): degree-ordered orientation bounds
+    the wedge explosion to O(sqrt(m)) out-degree, vectorized pair
+    expansion, one semi hash-join to close wedges."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.graphops import triangle_count
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    return triangle_count(edges)
+
+
+KG_TRIANGLES_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+pairs AS (SELECT DISTINCT x.name AS a, y.name AS b
+          FROM present x JOIN present y
+            ON x.doc_id = y.doc_id AND x.name < y.name)
+SELECT count(*) AS triangles
+FROM pairs e1
+JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+QUERIES["kg_triangles"] = kg_triangles
+ORACLE_SQL["kg_triangles"] = KG_TRIANGLES_SQL

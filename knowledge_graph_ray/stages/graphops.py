@@ -1,0 +1,136 @@
+"""Distributed triangle counting (degree-ordered edge orientation).
+
+The classic scale-safe algorithm: orient every undirected edge from its
+lower-(degree, name) endpoint to its higher one — every triangle then
+has exactly ONE wedge vertex whose two out-edges cover it, and the
+maximum out-degree is O(sqrt(m)), which bounds the wedge explosion
+that a naive neighbor self-join suffers on hub nodes.
+
+    triangles = |{(u,v,w) : u->v, u->w, v "before" w, v->w}|
+
+Pipeline shape: one distinct pass over the edges, one node-degree
+aggregate (broadcast — node-count-sized, the same size-adaptive rule as
+the engine's other broadcasts), one shuffle on the wedge vertex for the
+VECTORIZED pair expansion (no per-node Python pair loop), and one
+semi hash-join of wedges against the oriented edges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _pair_expand(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For sorted group codes, all within-group index pairs (i, j) with
+    i < j — fully vectorized (np.repeat + prefix arithmetic)."""
+    n = len(codes)
+    if n == 0:
+        return (np.array([], dtype=np.int64),) * 2
+    change = np.r_[True, codes[1:] != codes[:-1]]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.r_[starts, n])
+    gidx = np.cumsum(change) - 1
+    # j ranges over every index whose group has >= 1 earlier member
+    pos_in_group = np.arange(n) - starts[gidx]
+    reps = pos_in_group  # index j pairs with its pos_in_group predecessors
+    j = np.repeat(np.arange(n), reps)
+    # i enumerates start..j-1 for each j: offsets = position within each
+    # j's run (vectorized exclusive-cumsum subtraction, no Python loop)
+    total = int(reps.sum())
+    excl = np.repeat(np.cumsum(reps) - reps, reps)
+    offsets = np.arange(total) - excl
+    i = starts[gidx][j] + offsets
+    return i.astype(np.int64), j.astype(np.int64)
+
+
+def triangle_count(edges, src: str = "src", dst: str = "dst",
+                   broadcast_nodes_max: int = 5_000_000,
+                   num_buckets: int = 32):
+    """-> Dataset[{"triangles": int64}] — one row, the exact triangle
+    count of the undirected simple graph induced by ``edges``
+    (self-loops and duplicate/reverse edges are normalized away)."""
+    import ray
+
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    def canon(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = b.column(src).cast(pa.string())
+        c = b.column(dst).cast(pa.string())
+        lo = pc.min_element_wise(a, c)
+        hi = pc.max_element_wise(a, c)
+        t = pa.table({"a": lo, "b": hi})
+        return t.filter(pc.not_equal(t.column("a"), t.column("b")))
+
+    und = distinct_rows(
+        edges.select_columns([src, dst]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["a", "b"],
+        empty_schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+    ).materialize()
+
+    ends = und.map_batches(
+        lambda b: pa.concat_tables([pa.table({"v": b.column("a")}),
+                                    pa.table({"v": b.column("b")})]),
+        batch_format="pyarrow",
+    )
+    deg = grouped_agg(ends, ["v"], [("d", None, "count")])
+    ddf = deg.to_pandas(limit=broadcast_nodes_max + 1)
+    if len(ddf) > broadcast_nodes_max:
+        raise ValueError(
+            "triangle_count: node set exceeds broadcast_nodes_max; "
+            "shard the degree table (hash_join orientation) first"
+        )
+    import ray.data as rd
+
+    if len(ddf) == 0:
+        return rd.from_arrow(pa.table({"triangles":
+                                       pa.array([0], pa.int64())}))
+    deg_ref = ray.put(dict(zip(ddf.v, ddf.d)))
+
+    def orient(b: pa.Table) -> pa.Table:
+        dm = ray.get(deg_ref)
+        df = b.to_pandas()
+        da = df.a.map(dm).to_numpy()
+        db = df.b.map(dm).to_numpy()
+        # lower (degree, name) endpoint becomes the wedge source
+        a_first = (da < db) | ((da == db) & (df.a < df.b).to_numpy())
+        out = pd.DataFrame({
+            "u": np.where(a_first, df.a, df.b),
+            "w_deg": np.where(a_first, db, da),
+            "v": np.where(a_first, df.b, df.a),
+        })
+        return pa.Table.from_pandas(out[["u", "v", "w_deg"]],
+                                    preserve_index=False)
+
+    oriented = und.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedge_body(g: pd.DataFrame) -> pa.Table:
+        # orientation order among out-neighbors = (degree, name): the
+        # wedge pair (x, y) must itself be an oriented edge candidate
+        g = g.sort_values(["u", "w_deg", "v"], kind="stable")
+        codes, _ = pd.factorize(g.u, use_na_sentinel=False)
+        i, j = _pair_expand(codes.astype(np.int64))
+        vs = g.v.to_numpy()
+        return pa.table({
+            "x": pa.array(vs[i], type=pa.string()),
+            "y": pa.array(vs[j], type=pa.string()),
+        })
+
+    wedges = bucketed_bucket_map(
+        oriented, ["u"], wedge_body, num_buckets=num_buckets,
+        empty_schema=pa.schema([("x", pa.string()), ("y", pa.string())]),
+    )
+    closing = hash_join(
+        wedges,
+        project(oriented, {"u": "x", "v": "y"}),
+        on=["x", "y"], how="left_semi",
+    )
+    n_tri = closing.count()
+    return rd.from_arrow(pa.table({"triangles":
+                                   pa.array([n_tri], pa.int64())}))

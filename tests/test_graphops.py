@@ -1,0 +1,56 @@
+"""triangle_count (stages/graphops.py) vs networkx brute force."""
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from knowledge_graph_ray.stages.graphops import _pair_expand, triangle_count
+
+
+def test_pair_expand_vectorized():
+    codes = np.array([0, 0, 0, 1, 2, 2], dtype=np.int64)
+    i, j = _pair_expand(codes)
+    pairs = sorted(zip(i.tolist(), j.tolist()))
+    assert pairs == [(0, 1), (0, 2), (1, 2), (4, 5)]
+    i0, j0 = _pair_expand(np.array([], dtype=np.int64))
+    assert len(i0) == 0 and len(j0) == 0
+
+
+def _count(df: pd.DataFrame) -> int:
+    g = nx.Graph()
+    g.add_edges_from(zip(df.src, df.dst))
+    g.remove_edges_from(nx.selfloop_edges(g))
+    return sum(nx.triangles(g).values()) // 3
+
+
+def test_triangle_count_random_graphs():
+    rng = np.random.default_rng(7)
+    for n_nodes, n_edges in ((20, 60), (60, 300)):
+        df = pd.DataFrame({
+            "src": [f"n{v}" for v in rng.integers(0, n_nodes, n_edges)],
+            "dst": [f"n{v}" for v in rng.integers(0, n_nodes, n_edges)],
+        })
+        got = triangle_count(rd.from_pandas(df).repartition(4)) \
+            .to_pandas().triangles.iloc[0]
+        assert got == _count(df)
+
+
+def test_triangle_count_normalization_and_edges():
+    # duplicates, reversed duplicates and self-loops collapse
+    df = pd.DataFrame({
+        "src": ["a", "b", "c", "a", "a", "a"],
+        "dst": ["b", "c", "a", "b", "c", "a"],
+    })
+    got = triangle_count(rd.from_pandas(df)).to_pandas().triangles.iloc[0]
+    assert got == 1
+    # triangle-free graph and empty graph
+    path = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+    assert triangle_count(rd.from_pandas(path)) \
+        .to_pandas().triangles.iloc[0] == 0
+    empty = rd.from_arrow(pa.table({
+        "src": pa.array([], type=pa.string()),
+        "dst": pa.array([], type=pa.string()),
+    }))
+    assert triangle_count(empty).to_pandas().triangles.iloc[0] == 0
