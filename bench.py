@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "events_cume_dist",
     "weighted_sample_documents",
     "kg_triangles",
+    "events_hour_value_corr",
 ]
 
 

@@ -631,3 +631,65 @@ def histogram_agg(ds, group_cols: list[str], value_col: str,
     return grouped_agg(binned, group_cols + ["bin"],
                        [("n", None, "count")], num_buckets=num_buckets,
                        driver_threshold=driver_threshold)
+
+
+def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
+                 out_col: str = "r", num_buckets: int = 16,
+                 driver_threshold: "int | None" = 500_000):
+    """Pearson correlation per group from EXACT integer sums.
+
+    ``x_col``/``y_col`` must be integer (scale floats upstream): the
+    six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) then
+    accumulate exactly in int64 through the ordinary grouped_agg
+    combiner — no order-dependent float accumulation — and the final
+
+        r = (n·Σxy − Σx·Σy) / (sqrt(n·Σx² − Σx²̂) · sqrt(n·Σy² − Σy²̂))
+
+    is one fixed float64 expression over those exact operands, so it is
+    bit-reproducible against a SQL oracle writing the same tree
+    (sqrt is IEEE correctly-rounded on both engines).  Groups with zero
+    variance in either column yield NULL (SQL corr semantics).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cols = list(dict.fromkeys(keys + [x_col, y_col]))
+
+    def expand(b: pa.Table) -> pa.Table:
+        x = b.column(x_col).cast(pa.int64())
+        y = b.column(y_col).cast(pa.int64())
+        out = {k: b.column(k) for k in keys}
+        out["x"] = x
+        out["y"] = y
+        out["xy"] = pc.multiply(x, y)
+        out["xx"] = pc.multiply(x, x)
+        out["yy"] = pc.multiply(y, y)
+        return pa.table(out)
+
+    sums = grouped_agg(
+        ds.select_columns(cols).map_batches(expand, batch_format="pyarrow"),
+        keys,
+        [("n", None, "count"), ("sx", "x", "sum"), ("sy", "y", "sum"),
+         ("sxy", "xy", "sum"), ("sxx", "xx", "sum"), ("syy", "yy", "sum")],
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        syy = b.column("syy").to_numpy(zero_copy_only=False).astype(np.float64)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = (n * sxy - sx * sy) / (np.sqrt(vx) * np.sqrt(vy))
+        valid = (vx > 0) & (vy > 0)
+        out = pa.table({k: b.column(k) for k in keys})
+        col = pa.Array.from_pandas(
+            pd.Series(r).where(pd.Series(valid)), type=pa.float64()
+        )
+        return out.append_column(out_col, col)
+
+    return sums.map_batches(finish, batch_format="pyarrow")

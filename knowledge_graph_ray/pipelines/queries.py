@@ -3257,3 +3257,69 @@ JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
 
 QUERIES["kg_triangles"] = kg_triangles
 ORACLE_SQL["kg_triangles"] = KG_TRIANGLES_SQL
+
+
+def events_hour_value_corr(sf_dir: str):
+    """Pearson correlation per event type between hour-of-day and cents
+    (functions/agg.grouped_corr): six exact int64 sufficient statistics
+    through the combiner, one fixed float64 closing expression — e9
+    fixed point for the hash compare."""
+    from knowledge_graph_ray.functions.agg import grouped_corr
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        hour = pc.subtract(
+            pc.divide(ts_s, 3600),
+            pc.multiply(pc.divide(pc.divide(ts_s, 3600), 24),
+                        pa.scalar(24, pa.int64())),
+        )
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "hour": hour.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    r = grouped_corr(prepped, ["event_type"], "hour", "cents")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "r_e9": scaled_int_column(batch.column("r"), 1e9),
+        })
+
+    return r.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOUR_VALUE_CORR_SQL = """
+WITH e AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(hour) AS DOUBLE) AS sx,
+         CAST(sum(cents) AS DOUBLE) AS sy,
+         CAST(sum(hour * cents) AS DOUBLE) AS sxy,
+         CAST(sum(hour * hour) AS DOUBLE) AS sxx,
+         CAST(sum(cents * cents) AS DOUBLE) AS syy
+  FROM e GROUP BY event_type
+)
+SELECT event_type,
+       CAST(round(
+         (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1e9
+       ) AS BIGINT) AS r_e9
+FROM s
+"""
+
+QUERIES["events_hour_value_corr"] = events_hour_value_corr
+ORACLE_SQL["events_hour_value_corr"] = EVENTS_HOUR_VALUE_CORR_SQL

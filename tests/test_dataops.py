@@ -922,3 +922,29 @@ def test_frequent_items_multicolumn_and_none_heavy():
     assert len(got) == 4 and (got.n == 25).all()
     none = frequent_items(rd.from_pandas(df), ["a", "b"], min_share=0.5)
     assert none.count() == 0
+
+
+def test_grouped_corr_matches_numpy_and_zero_variance():
+    from knowledge_graph_ray.functions.agg import grouped_corr
+
+    rng = np.random.default_rng(41)
+    n = 400
+    x = rng.integers(0, 24, n)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "x": x,
+        # correlated-with-noise integer y
+        "y": (x * 7 + rng.integers(-40, 40, n)).astype("int64"),
+    })
+    const = pd.DataFrame({"g": ["c"] * 5, "x": [3] * 5,
+                          "y": [1, 2, 3, 4, 5]})
+    ds = rd.from_pandas(pd.concat([df, const], ignore_index=True)) \
+        .repartition(4)
+    got = (grouped_corr(ds, ["g"], "x", "y").to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    for grp in ("a", "b"):
+        sub = df[df.g == grp]
+        exp = np.corrcoef(sub.x, sub.y)[0, 1]
+        assert abs(got[got.g == grp].r.iloc[0] - exp) < 1e-12
+    # zero x-variance group -> NULL (SQL corr semantics)
+    assert pd.isna(got[got.g == "c"].r.iloc[0])
