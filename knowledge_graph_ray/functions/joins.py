@@ -234,8 +234,20 @@ def bloom_semi_join(left, right, on: list[str] | tuple[str, ...],
         return pa.table({"bitmap": pa.array([bitmap.tobytes()],
                                             type=pa.large_binary())})
 
-    parts = right_keys.map_batches(build_bitmap,
-                                   batch_format="pyarrow").to_pandas()
+    def or_bitmaps(b: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for buf in b.column("bitmap").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        return pa.table({"bitmap": pa.array([acc.tobytes()],
+                                            type=pa.large_binary())})
+
+    # tree-OR: one distributed combine level folds 64 per-block bitmaps
+    # per task, so the driver pull is blocks/64 x num_bits/8 bytes (the
+    # unguarded blocks x 1MiB pull was the 100TB weak spot)
+    parts = (right_keys.map_batches(build_bitmap, batch_format="pyarrow")
+             .map_batches(or_bitmaps, batch_size=64,
+                          batch_format="pyarrow")
+             .to_pandas())
     merged = np.zeros(nbytes, dtype=np.uint8)
     if "bitmap" in parts.columns:  # empty right -> no partial bitmaps
         for buf in parts["bitmap"]:

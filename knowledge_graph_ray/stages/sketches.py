@@ -421,6 +421,10 @@ def frequent_items(ds, cols: list[str], min_share: float,
 
     from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
 
+    # projected to the key columns only (a sliver of the table), then
+    # materialized ONCE so the candidate pass, the count, and the exact
+    # recount share one execution of any upstream compute — the pin is
+    # |cols|-width, object-store-spillable, not the full table
     ds = ds.select_columns(cols).materialize()
     total = ds.count()
 
