@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "weighted_sample_documents",
     "kg_triangles",
     "events_hour_value_corr",
+    "events_unpivot_counts",
 ]
 
 

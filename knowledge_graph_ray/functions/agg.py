@@ -693,3 +693,42 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
         return out.append_column(out_col, col)
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            name_col: str = "name", value_col: str = "value"):
+    """UNPIVOT / melt: one output row per (input row x value column) —
+    the inverse of ``pivot_agg``.  Stateless vectorized map_batches:
+    each batch emits |value_cols| stacked copies of its id columns via
+    Arrow takes (no Python row loop); value columns are cast to a
+    common type (unified via Arrow type promotion).  Rows whose value
+    is NULL are dropped, matching SQL UNPIVOT's default
+    (INCLUDE NULLS is a filterless variant away).
+    """
+    import pyarrow.compute as pc
+
+    def body(b: pa.Table) -> pa.Table:
+        types = [b.schema.field(c).type for c in value_cols]
+        if all(t == types[0] for t in types):
+            target = types[0]
+        elif all(pa.types.is_integer(t) for t in types):
+            target = pa.int64()
+        elif all(pa.types.is_integer(t) or pa.types.is_floating(t)
+                 for t in types):
+            target = pa.float64()
+        else:
+            target = pa.string()
+        pieces = []
+        for c in value_cols:
+            t = pa.table({
+                **{k: b.column(k) for k in id_cols},
+                name_col: pa.array([c] * len(b), type=pa.string()),
+                value_col: b.column(c).cast(target),
+            })
+            pieces.append(t)
+        out = pa.concat_tables(pieces)
+        return out.filter(pc.is_valid(out.column(value_col)))
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        body, batch_format="pyarrow"
+    )

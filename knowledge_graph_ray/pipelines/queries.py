@@ -3323,3 +3323,41 @@ FROM s
 
 QUERIES["events_hour_value_corr"] = events_hour_value_corr
 ORACLE_SQL["events_hour_value_corr"] = EVENTS_HOUR_VALUE_CORR_SQL
+
+
+def events_unpivot_counts(sf_dir: str):
+    """UNPIVOT roundtrip: melt the per-user pivot counts back to long
+    (user_id, event_type, n) rows (functions/agg.unpivot) — zero-count
+    cells filtered so the result equals the plain GROUP BY."""
+    from knowledge_graph_ray.functions.agg import pivot_agg, unpivot
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+    wide = pivot_agg(events, ["user_id"], "event_type", _EVENT_TYPES,
+                     None, kinds=["count"])
+    long = unpivot(wide, ["user_id"],
+                   [f"count_{t}" for t in _EVENT_TYPES],
+                   name_col="pivot_col", value_col="n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        etype = pc.utf8_replace_slice(batch.column("pivot_col"),
+                                      start=0, stop=6, replacement="")
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": etype,
+            "n": batch.column("n"),
+        })
+        return t.filter(pc.greater(t.column("n"), 0))
+
+    return long.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_UNPIVOT_COUNTS_SQL = """
+SELECT user_id, event_type, count(*) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+QUERIES["events_unpivot_counts"] = events_unpivot_counts
+ORACLE_SQL["events_unpivot_counts"] = EVENTS_UNPIVOT_COUNTS_SQL

@@ -948,3 +948,22 @@ def test_grouped_corr_matches_numpy_and_zero_variance():
         assert abs(got[got.g == grp].r.iloc[0] - exp) < 1e-12
     # zero x-variance group -> NULL (SQL corr semantics)
     assert pd.isna(got[got.g == "c"].r.iloc[0])
+
+
+def test_unpivot_melts_and_drops_nulls():
+    from knowledge_graph_ray.functions.agg import unpivot
+
+    df = pd.DataFrame({
+        "id": [1, 2],
+        "a": pd.array([10, None], dtype="Int64"),
+        "b": [1.5, 2.5],
+    })
+    got = (
+        unpivot(rd.from_pandas(df), ["id"], ["a", "b"],
+                name_col="col", value_col="v")
+        .to_pandas().sort_values(["id", "col"]).reset_index(drop=True)
+    )
+    # int + float value columns unify to float64; the null 'a' of id=2
+    # is dropped (SQL UNPIVOT default)
+    assert got[["id", "col", "v"]].values.tolist() == [
+        [1, "a", 10.0], [1, "b", 1.5], [2, "b", 2.5]]
