@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "kg_triangles",
     "events_hour_value_corr",
     "events_unpivot_counts",
+    "events_json_extract",
 ]
 
 

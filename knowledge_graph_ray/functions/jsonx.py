@@ -90,3 +90,42 @@ def try_parse_json_object(text: str) -> tuple[str, dict]:
         if result is not None:
             return cleaned, result
     return cleaned, {}
+
+
+def extract_json_paths(ds, json_col: str, paths: "dict[str, str]",
+                       types: "dict[str, 'pa.DataType'] | None" = None,
+                       keep_cols: "list[str] | None" = None):
+    """Vectorized JSON-path extraction over a string column — the SQL
+    ``json_col ->> '$.path'`` projection for JSON-bearing event/props
+    columns at scale.
+
+    ``paths``: {out_name: json_path} (e.g. {"k_val": "$.k"}); values
+    come back as strings (SQL ``->>`` semantics) unless ``types`` maps
+    the output to an Arrow type to cast to.  Malformed JSON, missing
+    paths and JSON nulls all yield NULL, matching DuckDB.  Stateless
+    ``map_batches``; the parse is polars' vectorized
+    ``str.json_path_match`` — no per-row Python json.loads.
+    """
+    import pyarrow as pa
+
+    keep = keep_cols if keep_cols is not None else []
+    types = types or {}
+
+    def body(b: "pa.Table") -> "pa.Table":
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        s = pl.from_arrow(b.select([json_col]).column(json_col)).rename("j")
+        cols = {k: b.column(k) for k in keep}
+        for out, path in paths.items():
+            arr = s.str.json_path_match(path).to_arrow()
+            if out in types:
+                arr = arr.cast(types[out])
+            cols[out] = arr
+        return pa.table(cols)
+
+    return ds.select_columns(
+        list(dict.fromkeys(keep + [json_col]))
+    ).map_batches(body, batch_format="pyarrow")

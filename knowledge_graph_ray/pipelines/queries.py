@@ -3361,3 +3361,27 @@ FROM events GROUP BY user_id, event_type
 
 QUERIES["events_unpivot_counts"] = events_unpivot_counts
 ORACLE_SQL["events_unpivot_counts"] = EVENTS_UNPIVOT_COUNTS_SQL
+
+
+def events_json_extract(sf_dir: str):
+    """JSON-path projection of the props column
+    (functions/jsonx.extract_json_paths): vectorized polars
+    json_path_match, no per-row json.loads — SQL ->> semantics
+    (malformed / missing / JSON-null all yield NULL)."""
+    from knowledge_graph_ray.functions.jsonx import extract_json_paths
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "props"])
+    return extract_json_paths(events, "props", {"k_val": "$.k"},
+                              types={"k_val": pa.int64()},
+                              keep_cols=["event_id", "user_id"])
+
+
+EVENTS_JSON_EXTRACT_SQL = """
+SELECT event_id, user_id,
+       CAST(props ->> '$.k' AS BIGINT) AS k_val
+FROM events
+"""
+
+QUERIES["events_json_extract"] = events_json_extract
+ORACLE_SQL["events_json_extract"] = EVENTS_JSON_EXTRACT_SQL

@@ -210,3 +210,25 @@ def test_grouped_agg_matches_pandas_all_kinds():
             assert np.allclose(got[c], want[c], rtol=1e-12)
         for c in ("n", "min_i", "max_i", "sum_i"):
             assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_extract_json_paths_edge_cases():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.jsonx import extract_json_paths
+
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3, 4, 5],
+        "j": ['{"k": 87, "s": "x"}', "not json", None,
+              '{"k": null}', '{"other": 1}'],
+    }))
+    got = (
+        extract_json_paths(ds, "j", {"k": "$.k", "s": "$.s"},
+                           types={"k": pa.int64()}, keep_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got.k.tolist()[0] == 87
+    assert got.k.isna().tolist() == [False, True, True, True, True]
+    assert got.s.tolist()[0] == "x"
+    assert got.s.isna().tolist() == [False, True, True, True, True]
