@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "events_hour_value_corr",
     "events_unpivot_counts",
     "events_json_extract",
+    "embeddings_label_centroid",
 ]
 
 

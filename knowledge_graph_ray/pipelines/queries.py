@@ -3385,3 +3385,46 @@ FROM events
 
 QUERIES["events_json_extract"] = events_json_extract
 ORACLE_SQL["events_json_extract"] = EVENTS_JSON_EXTRACT_SQL
+
+
+def embeddings_label_centroid(sf_dir: str):
+    """Per-label embedding centroid (stages/similarity.vector_centroids,
+    a combiner vector aggregate) exploded to (label, idx, avg_e6) long
+    form for the hash compare — e6 fixed point absorbs summation-order
+    float noise."""
+    from knowledge_graph_ray.stages.similarity import vector_centroids
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+    cents = vector_centroids(emb, "label", "embedding")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = batch.to_pandas()
+        mats = np.stack([np.asarray(v, dtype=np.float64)
+                         for v in df.centroid])
+        n, dim = mats.shape
+        flat = mats.ravel()
+        avg_e6 = np.where(flat >= 0, np.floor(flat * 1e6 + 0.5),
+                          np.ceil(flat * 1e6 - 0.5)).astype("int64")
+        return pa.table({
+            "label": pa.Array.from_pandas(
+                df.label.repeat(dim).reset_index(drop=True)),
+            "idx": pa.array(np.tile(np.arange(1, dim + 1), n),
+                            type=pa.int64()),
+            "avg_e6": pa.array(avg_e6, type=pa.int64()),
+        })
+
+    return cents.map_batches(explode, batch_format="pyarrow")
+
+
+EMBEDDINGS_LABEL_CENTROID_SQL = """
+SELECT label, CAST(gs.i AS BIGINT) AS idx,
+       CAST(round(avg(embedding[gs.i]) * 1e6) AS BIGINT) AS avg_e6
+FROM embeddings, generate_series(1, 64) gs(i)
+GROUP BY label, gs.i
+"""
+
+QUERIES["embeddings_label_centroid"] = embeddings_label_centroid
+ORACLE_SQL["embeddings_label_centroid"] = EMBEDDINGS_LABEL_CENTROID_SQL

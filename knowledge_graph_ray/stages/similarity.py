@@ -211,3 +211,69 @@ def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
         return pa.Table.from_pandas(top, preserve_index=False)
 
     return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def vector_centroids(ds, group_col: str = "label",
+                     vec_column: str = "embedding",
+                     out_col: str = "centroid",
+                     num_buckets: int = 16):
+    """Per-group elementwise mean of a ``list<float>`` embedding column
+    — the centroid computation behind IVF codebooks, class prototypes
+    and k-means steps, as a proper combiner aggregate.
+
+    Per batch: stack the vectors once and reduce to (groups-in-batch x
+    dim) partial SUMS + counts with one vectorized pandas groupby — the
+    shuffle then moves groups x batches partial rows of dim floats, not
+    input vectors.  One bucket merge adds the partial matrices and
+    divides.  Output: group_col + ``out_col`` (list<float64>) +
+    ``n_vectors``.
+    """
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    def partial(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({
+                group_col: b.column(group_col),
+                "__sum": pa.array([], type=pa.list_(pa.float64())),
+                "__n": pa.array([], type=pa.int64()),
+            })
+        df = b.select([group_col, vec_column]).to_pandas()
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in df[vec_column]]
+        )
+        sums = pd.DataFrame(mat).groupby(df[group_col], sort=False,
+                                         dropna=False).sum()
+        counts = df.groupby(df[group_col], sort=False,
+                            dropna=False).size().reindex(sums.index)
+        flat = sums.to_numpy().ravel()
+        dim = mat.shape[1]
+        return pa.table({
+            group_col: pa.Array.from_pandas(sums.index.to_series()),
+            "__sum": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, type=pa.float64()), dim).cast(
+                    pa.list_(pa.float64())),
+            "__n": pa.array(counts.to_numpy(), type=pa.int64()),
+        })
+
+    partials = ds.select_columns([group_col, vec_column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g["__sum"]])
+        sums = pd.DataFrame(mat).groupby(g[group_col], sort=False,
+                                         dropna=False).sum()
+        ns = g.groupby(g[group_col], sort=False,
+                       dropna=False)["__n"].sum().reindex(sums.index)
+        cent = sums.to_numpy() / ns.to_numpy()[:, None]
+        dim = mat.shape[1]
+        return pa.table({
+            group_col: pa.Array.from_pandas(sums.index.to_series()),
+            out_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(cent.ravel(), type=pa.float64()), dim).cast(
+                    pa.list_(pa.float64())),
+            "n_vectors": pa.array(ns.to_numpy(), type=pa.int64()),
+        })
+
+    return bucketed_bucket_map(partials, [group_col], merge,
+                               num_buckets=num_buckets)

@@ -967,3 +967,20 @@ def test_unpivot_melts_and_drops_nulls():
     # is dropped (SQL UNPIVOT default)
     assert got[["id", "col", "v"]].values.tolist() == [
         [1, "a", 10.0], [1, "b", 1.5], [2, "b", 2.5]]
+
+
+def test_vector_centroids_matches_numpy():
+    from knowledge_graph_ray.stages.similarity import vector_centroids
+
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    got = (vector_centroids(rd.read_parquet(f"{SF}/embeddings.parquet")
+                            .repartition(8), "label", "embedding")
+           .to_pandas().sort_values("label").reset_index(drop=True))
+    for _, row in got.iterrows():
+        sub = pdf[pdf.label == row.label]
+        exp = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in sub.embedding]).mean(axis=0)
+        assert row.n_vectors == len(sub)
+        np.testing.assert_allclose(np.asarray(row.centroid), exp,
+                                   rtol=1e-12)
+    assert len(got) == pdf.label.nunique()
