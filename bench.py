@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "events_unpivot_counts",
     "events_json_extract",
     "embeddings_label_centroid",
+    "events_latest_per_user",
+    "events_value_share",
 ]
 
 

@@ -3428,3 +3428,84 @@ GROUP BY label, gs.i
 
 QUERIES["embeddings_label_centroid"] = embeddings_label_centroid
 ORACLE_SQL["embeddings_label_centroid"] = EMBEDDINGS_LABEL_CENTROID_SQL
+
+
+def events_latest_per_user(sf_dir: str):
+    """DISTINCT ON / argmax: each user's latest event (grouped_topk
+    k=1 descending by (ts_s, event_id) — the k/group/batch combiner, so
+    hub users ship one row per upstream block, never their history)."""
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    top = grouped_topk(prepped, ["user_id"], "ts_s", k=1,
+                       descending=True, tie_cols=["event_id"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.select(["user_id", "event_id", "ts_s", "cents"])
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_LATEST_PER_USER_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id, ts_s, cents FROM e
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts_s DESC, event_id) = 1
+"""
+
+
+def events_value_share(sf_dir: str):
+    """RATIO_TO_REPORT (stages/ranking.window_share): each event's
+    share of its user's total cents — one shuffle, exact-int operands
+    for the single division."""
+    from knowledge_graph_ray.stages.ranking import window_share
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    return window_share(prepped, key="user_id", order_cols=["event_id"],
+                        value_col="cents", driver_threshold=500_000,
+                        size_hint=events.count())
+
+
+EVENTS_VALUE_SHARE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id, cents,
+       CAST(cents AS DOUBLE)
+         / NULLIF(sum(cents) OVER (PARTITION BY user_id), 0) AS share
+FROM e
+"""
+
+QUERIES["events_latest_per_user"] = events_latest_per_user
+ORACLE_SQL["events_latest_per_user"] = EVENTS_LATEST_PER_USER_SQL
+QUERIES["events_value_share"] = events_value_share
+ORACLE_SQL["events_value_share"] = EVENTS_VALUE_SHARE_SQL

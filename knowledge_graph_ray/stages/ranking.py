@@ -499,3 +499,36 @@ def window_cume_dist(ds, key: str, order_col: str, id_cols: list[str],
         num_buckets=num_buckets, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def window_share(ds, key: str, order_cols: list[str], value_col: str,
+                 out_col: str = "share", num_buckets: int = 64,
+                 driver_threshold: int | None = None,
+                 size_hint: int | None = None):
+    """RATIO_TO_REPORT: each row's value divided by its partition's
+    total — ``v / SUM(v) OVER (PARTITION BY key)``.  ``value_col`` must
+    be integer (scale upstream) so both operands of the single IEEE
+    division are exact on both engines.  One shuffle, one grouped
+    transform.  A zero-total partition yields NULL — the SQL mirror is
+    ``/ NULLIF(sum(...) OVER ..., 0)``.
+    """
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        out = g[cols].copy()
+        tot = g.groupby(key, sort=False, dropna=False)[value_col] \
+            .transform("sum").to_numpy(dtype="float64")
+        v = g[value_col].to_numpy(dtype="float64")
+        with np.errstate(invalid="ignore", divide="ignore"):
+            share = v / tot
+        out[out_col] = np.where(tot != 0, share, np.nan)
+        out[out_col] = pd.Series(out[out_col]).where(pd.Series(tot != 0))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

@@ -356,3 +356,20 @@ def test_window_cume_dist_matches_duckdb():
     """).df().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp,
                                   check_dtype=False)
+
+
+def test_window_share_zero_total_and_values():
+    from knowledge_graph_ray.stages.ranking import window_share
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "z", "z"],
+        "id": [1, 2, 3, 4, 5],
+        "v": [10, 30, 60, 5, -5],  # z sums to zero
+    })
+    got = (
+        window_share(rd.from_pandas(df), key="k", order_cols=["id"],
+                     value_col="v")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got[got.k == "a"].share.tolist() == [0.1, 0.3, 0.6]
+    assert got[got.k == "z"].share.isna().all()
