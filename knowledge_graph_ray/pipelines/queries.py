@@ -3509,3 +3509,46 @@ QUERIES["events_latest_per_user"] = events_latest_per_user
 ORACLE_SQL["events_latest_per_user"] = EVENTS_LATEST_PER_USER_SQL
 QUERIES["events_value_share"] = events_value_share
 ORACLE_SQL["events_value_share"] = EVENTS_VALUE_SHARE_SQL
+
+
+def similarity_ivf_recall(sf_dir: str):
+    """SQL-gated recall floor for the IVF path (the dedup_sketch_recall
+    pattern, VERDICT r3 #4 family): IVF top-10 at nprobe=12/16 must
+    recover >= 80% of the brute-force top-10 — deterministic (seeded
+    codebook, fixed query; measured 9-10/10 at sf0.001/0.01/0.1 on the
+    near-random driver embeddings, where low nprobe recalls ~half).
+    Emits a boolean gate; the
+    oracle asserts the gate, so a silent recall collapse FAILS the
+    driver, not just a pytest."""
+    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+        train_centroids,
+    )
+
+    emb = _emb(sf_dir)
+    exact = project(brute_force_topk(emb, _query_vector(sf_dir), k=10),
+                    ["vec_id"])
+    cents = train_centroids(emb, num_centroids=16, sample=1024, seed=6969)
+    assigned = ivf_assign(emb, cents).materialize()
+    approx = project(
+        ivf_topk(assigned, cents, _query_vector(sf_dir), k=10, nprobe=12),
+        ["vec_id"],
+    )
+    overlap = hash_join(exact, approx, on=["vec_id"], how="left_semi")
+    n = overlap.count()
+    ok = 1 if n >= 8 else 0
+    return pa.table({
+        "ok": pa.array([ok], type=pa.int64()),
+        "recall_floor_met": pa.array([ok], type=pa.int64()),
+    })
+
+
+SIMILARITY_IVF_RECALL_SQL = """
+SELECT CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS recall_floor_met
+"""
+
+QUERIES["similarity_ivf_recall"] = similarity_ivf_recall
+ORACLE_SQL["similarity_ivf_recall"] = SIMILARITY_IVF_RECALL_SQL
