@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "embeddings_label_centroid",
     "events_latest_per_user",
     "events_value_share",
+    "cross_region_nation",
 ]
 
 

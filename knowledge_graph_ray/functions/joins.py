@@ -303,3 +303,69 @@ def except_distinct(left, right, columns: list[str],
     l_d = distinct_rows(left.select_columns(columns), columns)
     return bloom_semi_join(l_d, right, on=columns, how="left_anti",
                            num_partitions=num_partitions)
+
+
+def cross_join(left, right, broadcast_rows_max: int = 100_000):
+    """CROSS JOIN with a broadcast right side: every left batch pairs
+    with the full (small) right table inside one stateless
+    ``map_batches`` — output grows |left| x |right| rows but the right
+    table ships ONCE via ``ray.put``, and the cartesian expansion is
+    two vectorized takes (no Python row loop).  Guarded: raises when
+    right exceeds ``broadcast_rows_max`` (an unbroadcastable cartesian
+    at scale is almost always a query bug; shard the left and loop if
+    you really mean it).  Column names must be disjoint (asserted).
+    """
+    import numpy as np
+    import ray
+
+    right_mat = right.materialize()
+    n_right = right_mat.count()
+    if n_right > broadcast_rows_max:
+        raise ValueError(
+            f"cross_join: right side has {n_right} rows "
+            f"(> broadcast_rows_max={broadcast_rows_max})"
+        )
+    if n_right:
+        rtab = pa.concat_tables(
+            [ray.get(r) for r in right_mat.to_arrow_refs()]
+        )
+    else:
+        rtab = None
+    if rtab is None:
+        # empty right -> empty cross product, schema = left + right
+        from knowledge_graph_ray.functions.dsschema import dataset_schema
+
+        rschema, _ = dataset_schema(right_mat)
+
+        def empty(b: pa.Table) -> pa.Table:
+            out = b.slice(0, 0)
+            for f in rschema:
+                out = out.append_column(f.name, pa.nulls(0, f.type))
+            return out
+
+        return left.map_batches(empty, batch_format="pyarrow")
+    overlap = set(rtab.schema.names)
+
+    ref = ray.put(rtab)
+
+    def body(b: pa.Table) -> pa.Table:
+        assert not (set(b.schema.names) & overlap), (
+            set(b.schema.names) & overlap
+        )
+        if len(b) == 0:
+            rt = ray.get(ref)
+            out = b
+            for f in rt.schema:
+                out = out.append_column(f.name, pa.nulls(0, f.type))
+            return out
+        rt = ray.get(ref)
+        nl, nr = len(b), len(rt)
+        li = np.repeat(np.arange(nl), nr)
+        ri = np.tile(np.arange(nr), nl)
+        out = b.take(pa.array(li))
+        for f in rt.schema:
+            out = out.append_column(f.name, rt.column(f.name).take(
+                pa.array(ri)))
+        return out
+
+    return left.map_batches(body, batch_format="pyarrow")

@@ -3552,3 +3552,24 @@ SELECT CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS recall_floor_met
 
 QUERIES["similarity_ivf_recall"] = similarity_ivf_recall
 ORACLE_SQL["similarity_ivf_recall"] = SIMILARITY_IVF_RECALL_SQL
+
+
+def cross_region_nation(sf_dir: str):
+    """CROSS JOIN (functions/joins.cross_join): every (region, nation)
+    pair — broadcast right side, vectorized cartesian takes per batch."""
+    from knowledge_graph_ray.functions.joins import cross_join
+
+    region = rd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    return cross_join(region, nation)
+
+
+CROSS_REGION_NATION_SQL = """
+SELECT r_regionkey, r_name, n_nationkey, n_name
+FROM region CROSS JOIN nation
+"""
+
+QUERIES["cross_region_nation"] = cross_region_nation
+ORACLE_SQL["cross_region_nation"] = CROSS_REGION_NATION_SQL

@@ -984,3 +984,25 @@ def test_vector_centroids_matches_numpy():
         np.testing.assert_allclose(np.asarray(row.centroid), exp,
                                    rtol=1e-12)
     assert len(got) == pdf.label.nunique()
+
+
+def test_cross_join_pairs_and_guards():
+    from knowledge_graph_ray.functions.joins import cross_join
+
+    left = pd.DataFrame({"a": [1, 2, 3]})
+    right = pd.DataFrame({"b": ["x", "y"]})
+    got = (cross_join(rd.from_pandas(left).repartition(2),
+                      rd.from_pandas(right))
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert len(got) == 6
+    assert got.values.tolist() == [[1, "x"], [1, "y"], [2, "x"],
+                                   [2, "y"], [3, "x"], [3, "y"]]
+    # empty right -> empty product (Ray 2.49 drops schema from empty
+    # datasets through to_pandas, so only the row count is assertable)
+    er = rd.from_arrow(pa.table({"b": pa.array([], type=pa.string())}))
+    out = cross_join(rd.from_pandas(left), er)
+    assert out.count() == 0
+    # oversized right raises
+    big = rd.from_pandas(pd.DataFrame({"b": range(100)}))
+    with pytest.raises(ValueError, match="broadcast_rows_max"):
+        cross_join(rd.from_pandas(left), big, broadcast_rows_max=10)
