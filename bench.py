@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "events_latest_per_user",
     "events_value_share",
     "cross_region_nation",
+    "documents_redact",
 ]
 
 

@@ -3573,3 +3573,30 @@ FROM region CROSS JOIN nation
 
 QUERIES["cross_region_nation"] = cross_region_nation
 ORACLE_SQL["cross_region_nation"] = CROSS_REGION_NATION_SQL
+
+
+def documents_redact(sf_dir: str):
+    """Pattern redaction (stages/textstats.regex_redact): scrub the
+    gazetteer words from every document — vectorized Rust-regex
+    replace_all + match counts, the PII-scrub audit shape."""
+    from knowledge_graph_ray.stages.textstats import regex_redact
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    pat = r"\b(" + "|".join(GAZETTEER) + r")\b"
+    return regex_redact(docs, "text", pat, replacement="[ENTITY]",
+                        keep_cols=["doc_id"])
+
+
+DOCUMENTS_REDACT_SQL = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(spark|customer|table|window|vector)\b',
+                      '[ENTITY]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(
+            text, '\b(spark|customer|table|window|vector)\b'))
+            AS BIGINT) AS n_redacted
+FROM documents
+"""
+
+QUERIES["documents_redact"] = documents_redact
+ORACLE_SQL["documents_redact"] = DOCUMENTS_REDACT_SQL

@@ -106,3 +106,40 @@ def analyze_text(ds, text_column: str = "text", concurrency=(1, 8),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def regex_redact(ds, text_col: str, pattern: str,
+                 replacement: str = "[REDACTED]",
+                 out_col: str = "redacted",
+                 count_col: str = "n_redacted",
+                 keep_cols: "list[str] | None" = None):
+    """Pattern redaction over a text column — the PII-scrub shape of a
+    training-data pipeline (emails/phones/IDs at 100TB; any RE2-class
+    regex).  Stateless ``map_batches``; the scan is polars' vectorized
+    ``str.replace_all`` + ``str.count_matches`` (Rust regex, compiled
+    once per call — no per-row Python re).  Emits the redacted text and
+    the per-row match count (the audit column a scrub job reports).
+    NULL text passes through as NULL with count 0.
+    """
+    import pyarrow as pa
+
+    keep = keep_cols if keep_cols is not None else []
+
+    def body(b: "pa.Table") -> "pa.Table":
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        s = pl.from_arrow(b.select([text_col]).column(text_col)).rename("t")
+        cols = {k: b.column(k) for k in keep}
+        cols[out_col] = s.str.replace_all(pattern, replacement).to_arrow()
+        cols[count_col] = (
+            s.str.count_matches(pattern).fill_null(0)
+            .cast(pl.Int64).to_arrow()
+        )
+        return pa.table(cols)
+
+    return ds.select_columns(
+        list(dict.fromkeys(keep + [text_col]))
+    ).map_batches(body, batch_format="pyarrow")

@@ -1006,3 +1006,21 @@ def test_cross_join_pairs_and_guards():
     big = rd.from_pandas(pd.DataFrame({"b": range(100)}))
     with pytest.raises(ValueError, match="broadcast_rows_max"):
         cross_join(rd.from_pandas(left), big, broadcast_rows_max=10)
+
+
+def test_regex_redact_counts_and_nulls():
+    from knowledge_graph_ray.stages.textstats import regex_redact
+
+    ds = rd.from_arrow(pa.table({
+        "id": [1, 2, 3],
+        "t": pa.array(["call 555-1234 or 555-9999", "clean", None],
+                      type=pa.string()),
+    }))
+    got = (
+        regex_redact(ds, "t", r"\d{3}-\d{4}", replacement="[PHONE]",
+                     keep_cols=["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert got.redacted.tolist()[0] == "call [PHONE] or [PHONE]"
+    assert got.n_redacted.tolist() == [2, 0, 0]
+    assert got.redacted.isna().tolist() == [False, False, True]
