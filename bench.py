@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "events_value_share",
     "cross_region_nation",
     "documents_redact",
+    "events_type_transitions",
 ]
 
 

@@ -3600,3 +3600,66 @@ FROM documents
 
 QUERIES["documents_redact"] = documents_redact
 ORACLE_SQL["documents_redact"] = DOCUMENTS_REDACT_SQL
+
+
+def events_type_transitions(sf_dir: str):
+    """Markov transition counts over per-user event streams: LAG the
+    type within each ordered stream (stages/ranking.window_lag), then
+    count (prev_type, event_type) pairs with the grouped_agg combiner —
+    the bigram feature builder for behavioral models, two existing
+    operators composed."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.ranking import window_lag
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "event_type": batch.column("event_type"),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    lagged = window_lag(prepped, key="user_id",
+                        order_cols=["ts_s", "event_id"],
+                        value_col="event_type", out_col="prev_type",
+                        driver_threshold=500_000,
+                        size_hint=events.count())
+
+    def first_dropped(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_valid(batch.column("prev_type")))
+
+    pairs = lagged.map_batches(first_dropped, batch_format="pyarrow")
+    return grouped_agg(pairs, ["prev_type", "event_type"],
+                       [("n", None, "count")])
+
+
+EVENTS_TYPE_TRANSITIONS_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_type
+  FROM events
+),
+lagged AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_s, event_id) AS prev_type
+  FROM e
+)
+SELECT prev_type, event_type, count(*) AS n
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+QUERIES["events_type_transitions"] = events_type_transitions
+ORACLE_SQL["events_type_transitions"] = EVENTS_TYPE_TRANSITIONS_SQL
