@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "cross_region_nation",
     "documents_redact",
     "events_type_transitions",
+    "stratified_sample_documents",
 ]
 
 

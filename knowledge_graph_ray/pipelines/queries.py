@@ -3663,3 +3663,35 @@ GROUP BY prev_type, event_type
 
 QUERIES["events_type_transitions"] = events_type_transitions
 ORACLE_SQL["events_type_transitions"] = EVENTS_TYPE_TRANSITIONS_SQL
+
+
+def stratified_sample_documents(sf_dir: str):
+    """Exact stratified 70% split per lang
+    (stages/sampling.stratified_take_fraction): each stratum yields
+    exactly floor(0.7 x n_lang) rows in deterministic hash order — a
+    global Bernoulli split only matches in expectation."""
+    from knowledge_graph_ray.stages.sampling import stratified_take_fraction
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "n_chars"])
+    return stratified_take_fraction(docs, ["lang"], "doc_id", 0.7,
+                                    seed=6969, size_hint=docs.count())
+
+
+STRATIFIED_SAMPLE_DOCUMENTS_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         ((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+           % 4294967296) * 2654435761 + 6969) % 4294967296 AS hv
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM h
+) WHERE rk <= floor(0.7 * n)
+"""
+
+QUERIES["stratified_sample_documents"] = stratified_sample_documents
+ORACLE_SQL["stratified_sample_documents"] = STRATIFIED_SAMPLE_DOCUMENTS_SQL

@@ -191,3 +191,46 @@ def weighted_sample_per_group(ds, group_cols: list[str], key_col: str,
                        driver_threshold=driver_threshold,
                        size_hint=size_hint)
     return top.drop_columns([pri_col])
+
+
+def stratified_take_fraction(ds, group_cols: list[str], key_col: str,
+                             fraction: float, seed: int = 0,
+                             num_buckets: int = 64,
+                             driver_threshold: int | None = None,
+                             size_hint: int | None = None):
+    """EXACT stratified split: the first ``floor(fraction * n_g)`` rows
+    of each group in hash order — every stratum contributes exactly its
+    proportional share (a global hash-Bernoulli split only matches in
+    expectation; small strata can be wiped out by variance).
+
+    One shuffle on the group; per bucket a vectorized hash-rank +
+    group-size transform, filter ``rk <= floor(f * n_g)``.  Hash order
+    makes the selection deterministic, row-local to recompute, and
+    SQL-mirrorable: ``row_number() OVER (PARTITION BY g ORDER BY hash,
+    key) <= floor(f * count(*) OVER (PARTITION BY g))``.
+    """
+    assert 0 < fraction < 1
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    rank_col = "__sf_h"
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = hash_u32(keys, seed).astype("int64")
+        return batch.append_column(rank_col, pa.array(h, type=pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(group_cols + [rank_col, key_col], kind="stable")
+        gb = g.groupby(group_cols, sort=False, dropna=False)
+        rk = gb.cumcount().to_numpy() + 1
+        n = gb[key_col].transform("size").to_numpy()
+        keep = rk <= np.floor(fraction * n).astype("int64")
+        out = g.loc[keep].drop(columns=[rank_col])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        hashed, group_cols, bucket_body, num_buckets=num_buckets,
+        driver_threshold=driver_threshold, size_hint=size_hint,
+    )

@@ -298,3 +298,26 @@ def test_weighted_sample_zero_and_null_weights_lose():
     got = weighted_sample_per_group(rd.from_pandas(df), ["g"], "id", "w",
                                     n=3).to_pandas()
     assert sorted(got.id) == [4, 5, 6]
+
+
+def test_stratified_take_fraction_exact_per_group():
+    from knowledge_graph_ray.stages.sampling import stratified_take_fraction
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({
+        "g": rng.choice(["big", "small", "tiny"], 1000,
+                        p=[0.9, 0.09, 0.01]),
+        "id": np.arange(1000, dtype="int64"),
+    })
+    got = stratified_take_fraction(
+        rd.from_pandas(df).repartition(8), ["g"], "id", 0.5, seed=3
+    ).to_pandas()
+    sizes = df.groupby("g").size()
+    got_sizes = got.groupby("g").size().reindex(sizes.index).fillna(0)
+    for g in sizes.index:
+        assert got_sizes[g] == int(np.floor(0.5 * sizes[g])), g
+    # deterministic
+    again = stratified_take_fraction(
+        rd.from_pandas(df).repartition(8), ["g"], "id", 0.5, seed=3
+    ).to_pandas()
+    assert sorted(got.id) == sorted(again.id)
