@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "documents_redact",
     "events_type_transitions",
     "stratified_sample_documents",
+    "documents_kfold",
 ]
 
 

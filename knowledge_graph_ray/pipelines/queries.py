@@ -3695,3 +3695,26 @@ SELECT doc_id, lang, n_chars FROM (
 
 QUERIES["stratified_sample_documents"] = stratified_sample_documents
 ORACLE_SQL["stratified_sample_documents"] = STRATIFIED_SAMPLE_DOCUMENTS_SQL
+
+
+def documents_kfold(sf_dir: str):
+    """Deterministic 5-fold assignment (stages/sampling.kfold_assign):
+    fold = knuth_hash(doc_id) % 5 — zero shuffle, row-local, the
+    cross-validation counterpart of split_documents."""
+    from knowledge_graph_ray.stages.sampling import kfold_assign
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return kfold_assign(docs, "doc_id", k=5, seed=6969)
+
+
+DOCUMENTS_KFOLD_SQL = """
+SELECT doc_id, lang,
+       CAST(((((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+              % 4294967296) * 2654435761 + 6969) % 4294967296 % 5
+            AS BIGINT) AS fold
+FROM documents
+"""
+
+QUERIES["documents_kfold"] = documents_kfold
+ORACLE_SQL["documents_kfold"] = DOCUMENTS_KFOLD_SQL

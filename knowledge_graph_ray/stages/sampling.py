@@ -234,3 +234,20 @@ def stratified_take_fraction(ds, group_cols: list[str], key_col: str,
         hashed, group_cols, bucket_body, num_buckets=num_buckets,
         driver_threshold=driver_threshold, size_hint=size_hint,
     )
+
+
+def kfold_assign(ds, key_col: str, k: int, seed: int = 0,
+                 fold_col: str = "fold"):
+    """Deterministic k-fold assignment: ``fold = hash_u32(key) % k`` —
+    stateless, zero-shuffle, recomputable row-locally (the cross-
+    validation counterpart of ``hash_split``), SQL-mirrorable with the
+    same Knuth-hash expression."""
+    assert k >= 2
+
+    def body(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        fold = (hash_u32(keys, seed) % np.uint64(k)).astype("int64")
+        return batch.append_column(fold_col,
+                                   pa.array(fold, type=pa.int64()))
+
+    return ds.map_batches(body, batch_format="pyarrow")

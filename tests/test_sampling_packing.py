@@ -321,3 +321,19 @@ def test_stratified_take_fraction_exact_per_group():
         rd.from_pandas(df).repartition(8), ["g"], "id", 0.5, seed=3
     ).to_pandas()
     assert sorted(got.id) == sorted(again.id)
+
+
+def test_kfold_assign_balanced_and_deterministic():
+    from knowledge_graph_ray.stages.sampling import kfold_assign
+
+    df = pd.DataFrame({"id": np.arange(5000, dtype="int64")})
+    got = kfold_assign(rd.from_pandas(df).repartition(8), "id",
+                       k=5, seed=1).to_pandas()
+    counts = got.fold.value_counts()
+    assert set(counts.index) == {0, 1, 2, 3, 4}
+    # multiplicative hashing over a dense key range is near-uniform
+    assert counts.min() > 0.8 * counts.max()
+    again = kfold_assign(rd.from_pandas(df), "id", k=5, seed=1).to_pandas()
+    pd.testing.assert_series_equal(
+        got.sort_values("id").fold.reset_index(drop=True),
+        again.sort_values("id").fold.reset_index(drop=True))
