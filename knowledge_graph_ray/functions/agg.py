@@ -565,7 +565,15 @@ def grouped_string_agg(ds, keys: list[str], value_col: str,
     import numpy as np
     import pyarrow.compute as pc
 
+    from knowledge_graph_ray.functions.dsschema import dataset_schema
+
     cols = list(dict.fromkeys(keys + order_cols + [value_col]))
+    # key columns emit against their EXACT input Arrow types: a bucket
+    # whose nullable-int key holds a null would otherwise come out
+    # float64 via pandas inference while other buckets stay int64 —
+    # the mixed-block bug grouped_agg's final merge already guards
+    in_schema, ds = dataset_schema(ds)
+    key_fields = [(k, in_schema.field(k).type) for k in keys]
 
     def bucket_body(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(keys + order_cols, kind="stable")
@@ -592,7 +600,10 @@ def grouped_string_agg(ds, keys: list[str], value_col: str,
         # all-NULL group -> NULL (binary_join gives '' for empty lists)
         joined = pc.if_else(pa.array(counts > 0), joined,
                             pa.nulls(len(counts), pa.string()))
-        out = pa.Table.from_pandas(head, preserve_index=False)
+        out = pa.Table.from_arrays(
+            [pa.Array.from_pandas(head[k], type=t) for k, t in key_fields],
+            schema=pa.schema(key_fields),
+        )
         return out.append_column(out_col, joined)
 
     return bucketed_bucket_map(
@@ -649,6 +660,14 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
     bit-reproducible against a SQL oracle writing the same tree
     (sqrt is IEEE correctly-rounded on both engines).  Groups with zero
     variance in either column yield NULL (SQL corr semantics).
+
+    EXACTNESS BOUND (documented, not silent): int64 accumulation needs
+    ``max|x| * max|y| * rows_per_group < 2^63`` (likewise x², y²) — a
+    SQL BIGINT sum would promote to HUGEINT where this wraps.  Each
+    batch RAISES if a single product can exceed 2^62 (the blatant
+    case); for larger magnitudes pre-scale or bucket the values
+    upstream — the trade for bit-exact floats is a bounded domain,
+    the same contract as running_sum's integer cents.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -658,6 +677,14 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
     def expand(b: pa.Table) -> pa.Table:
         x = b.column(x_col).cast(pa.int64())
         y = b.column(y_col).cast(pa.int64())
+        if len(b):
+            mx = max(abs(pc.min(x).as_py() or 0), abs(pc.max(x).as_py() or 0))
+            my = max(abs(pc.min(y).as_py() or 0), abs(pc.max(y).as_py() or 0))
+            if max(mx * my, mx * mx, my * my) > 2 ** 62:
+                raise ValueError(
+                    "grouped_corr: |x|*|y| products can overflow int64; "
+                    "pre-scale the inputs (see docstring exactness bound)"
+                )
         out = {k: b.column(k) for k in keys}
         out["x"] = x
         out["y"] = y

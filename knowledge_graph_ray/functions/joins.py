@@ -333,8 +333,6 @@ def cross_join(left, right, broadcast_rows_max: int = 100_000):
         rtab = None
     if rtab is None:
         # empty right -> empty cross product, schema = left + right
-        from knowledge_graph_ray.functions.dsschema import dataset_schema
-
         rschema, _ = dataset_schema(right_mat)
 
         def empty(b: pa.Table) -> pa.Table:
@@ -344,14 +342,15 @@ def cross_join(left, right, broadcast_rows_max: int = 100_000):
             return out
 
         return left.map_batches(empty, batch_format="pyarrow")
-    overlap = set(rtab.schema.names)
+    # disjointness checked ONCE on the driver (like hash_join), before
+    # any left work runs — not per batch inside worker tasks
+    left_schema, left = dataset_schema(left)
+    overlap = set(left_schema.names) & set(rtab.schema.names)
+    assert not overlap, f"rename columns before cross_join: {overlap}"
 
     ref = ray.put(rtab)
 
     def body(b: pa.Table) -> pa.Table:
-        assert not (set(b.schema.names) & overlap), (
-            set(b.schema.names) & overlap
-        )
         if len(b) == 0:
             rt = ray.get(ref)
             out = b

@@ -2594,12 +2594,19 @@ def kg_hierarchy_invariants(sf_dir: str):
         grouped_agg(comms, ["community"], [("n_members", None, "count")]),
         {"community": "sub_community", "n_members": "n_members"},
     )
-    joined = hash_join(hier, sizes, on=["sub_community"], how="inner",
+    # left_outer, NOT inner: a hierarchy row referencing a nonexistent
+    # sub community (dangling reference, null n_members) must count as
+    # a violation rather than silently dropping out of the gate
+    joined = hash_join(hier, sizes, on=["sub_community"], how="left_outer",
                        num_partitions=8)
 
     def size_mismatch(b: pa.Table) -> pa.Table:
-        return b.filter(pc.not_equal(b.column("sub_community_size"),
-                                     b.column("n_members")))
+        bad = pc.or_kleene(
+            pc.not_equal(b.column("sub_community_size"),
+                         b.column("n_members")),
+            pc.is_null(b.column("n_members")),
+        )
+        return b.filter(pc.fill_null(bad, True))
 
     size_viol = joined.map_batches(size_mismatch,
                                    batch_format="pyarrow").count()
@@ -3205,11 +3212,13 @@ def weighted_sample_documents(sf_dir: str):
 WEIGHTED_SAMPLE_DOCUMENTS_SQL = """
 WITH pri AS (
   SELECT doc_id, lang, n_chars,
-         -ln(((
-            (((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
-             % 4294967296) * 2654435761 + 6969
-          ) % 4294967296 + 0.5) / 4294967296.0)
-         / CAST(n_chars AS DOUBLE) AS p
+         CASE WHEN n_chars > 0 THEN
+           -ln(((
+              (((CAST(doc_id AS HUGEINT) % 4294967296) + 4294967296)
+               % 4294967296) * 2654435761 + 6969
+            ) % 4294967296 + 0.5) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE)
+         END AS p
   FROM documents
 )
 SELECT doc_id, lang, n_chars, rk FROM (
@@ -3592,8 +3601,8 @@ DOCUMENTS_REDACT_SQL = r"""
 SELECT doc_id,
        regexp_replace(text, '\b(spark|customer|table|window|vector)\b',
                       '[ENTITY]', 'g') AS redacted,
-       CAST(len(regexp_extract_all(
-            text, '\b(spark|customer|table|window|vector)\b'))
+       CAST(coalesce(len(regexp_extract_all(
+            text, '\b(spark|customer|table|window|vector)\b')), 0)
             AS BIGINT) AS n_redacted
 FROM documents
 """

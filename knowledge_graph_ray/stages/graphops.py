@@ -80,8 +80,12 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         batch_format="pyarrow",
     )
     deg = grouped_agg(ends, ["v"], [("d", None, "count")])
-    ddf = deg.to_pandas(limit=broadcast_nodes_max + 1)
-    if len(ddf) > broadcast_nodes_max:
+    try:
+        ddf = deg.to_pandas(limit=broadcast_nodes_max + 1)
+        too_many = len(ddf) > broadcast_nodes_max
+    except ValueError:  # Ray raises its own error above the limit
+        too_many = True
+    if too_many:
         raise ValueError(
             "triangle_count: node set exceeds broadcast_nodes_max; "
             "shard the degree table (hash_join orientation) first"

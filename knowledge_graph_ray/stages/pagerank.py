@@ -128,19 +128,12 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
                 out_col, pa.array(np.full(len(b), 1.0 / n_nodes))),
             batch_format="pyarrow",
         ).materialize()
-        strength_r = project(strength, {"src": "sname", "s": "s"})
         for _ in range(iterations):
             ranked = hash_join(
                 fwd, project(ranks, {"name": "src", out_col: "rpr"}),
                 on=["src"], how="inner",
             )
-            with_s = hash_join(
-                ranked, strength_r.map_batches(
-                    lambda b: pa.table({"src": b.column("sname"),
-                                        "s": b.column("s")}),
-                    batch_format="pyarrow"),
-                on=["src"], how="inner",
-            )
+            with_s = hash_join(ranked, strength, on=["src"], how="inner")
 
             def contrib(b: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc

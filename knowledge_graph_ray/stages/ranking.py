@@ -523,8 +523,7 @@ def window_share(ds, key: str, order_cols: list[str], value_col: str,
         v = g[value_col].to_numpy(dtype="float64")
         with np.errstate(invalid="ignore", divide="ignore"):
             share = v / tot
-        out[out_col] = np.where(tot != 0, share, np.nan)
-        out[out_col] = pd.Series(out[out_col]).where(pd.Series(tot != 0))
+        out[out_col] = pd.Series(share).where(pd.Series(tot != 0)).to_numpy()
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return bucketed_bucket_map(

@@ -165,9 +165,11 @@ def weighted_sample_per_group(ds, group_cols: list[str], key_col: str,
     (zero extra shuffle beyond the top-n combiner) and SQL-mirrorable:
     ``row_number() OVER (PARTITION BY g ORDER BY -ln(u)/w, key) <= n``.
 
-    Rows with weight <= 0 or NULL never win (priority +inf), matching
-    the SQL form's NULLS LAST.  Ties (measure zero for continuous
-    weights) break by ``key_col``.
+    Rows with weight <= 0 or NULL never win (priority +inf here; the
+    SQL mirror CASE-guards the priority to NULL, which sorts last with
+    the same key tiebreak — an unguarded ``-ln(u)/w`` would let a
+    NEGATIVE weight sort first and win).  Ties (measure zero for
+    continuous weights) break by ``key_col``.
     """
     from knowledge_graph_ray.functions.grouping import grouped_topk
 

@@ -445,8 +445,12 @@ def frequent_items(ds, cols: list[str], min_share: float,
             [(c, pa.string()) for c in cols]  # only used when 0 candidates
         ),
     )
-    cdf = cand.to_pandas(limit=candidate_cap + 1)
-    if len(cdf) > candidate_cap:
+    try:
+        cdf = cand.to_pandas(limit=candidate_cap + 1)
+        too_many = len(cdf) > candidate_cap
+    except ValueError:  # Ray raises its own error above the limit
+        too_many = True
+    if too_many:
         raise ValueError(
             f"frequent_items: >{candidate_cap} candidates; min_share="
             f"{min_share} is too small for a heavy-hitter query"

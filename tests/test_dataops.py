@@ -1024,3 +1024,31 @@ def test_regex_redact_counts_and_nulls():
     assert got.redacted.tolist()[0] == "call [PHONE] or [PHONE]"
     assert got.n_redacted.tolist() == [2, 0, 0]
     assert got.redacted.isna().tolist() == [False, False, True]
+
+
+def test_grouped_string_agg_nullable_int_key_keeps_type():
+    from knowledge_graph_ray.functions.agg import grouped_string_agg
+
+    tbl_in = pa.table({
+        "k": pa.array([1, 1, None, 2], type=pa.int64()),
+        "o": pa.array([1, 2, 1, 1], type=pa.int64()),
+        "v": pa.array(["a", "b", "c", "d"], type=pa.string()),
+    })
+    got = (
+        grouped_string_agg(rd.from_arrow(tbl_in), ["k"], "v", ["o"])
+        .to_pandas()
+    )
+    # null key groups like SQL string_agg GROUP BY (one null group)
+    assert len(got) == 3
+    assert got[got.k.isna()]["agg"].iloc[0] == "c"
+    assert got[got.k == 1]["agg"].iloc[0] == "a,b"
+    # every output block carries the input's integer key type (a
+    # null-key bucket must not flip to float64 via pandas inference)
+    tbl = grouped_string_agg(rd.from_arrow(tbl_in), ["k"], "v", ["o"])
+    for ref in tbl.to_arrow_refs():
+        import ray
+
+        blk = ray.get(ref)
+        if len(blk):
+            assert pa.types.is_integer(blk.schema.field("k").type), \
+                blk.schema
