@@ -419,7 +419,7 @@ def frequent_items(ds, cols: list[str], min_share: float,
     assert 0 < min_share < 1
     import ray
 
-    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    from knowledge_graph_ray.functions.agg import grouped_agg
 
     # projected to the key columns only (a sliver of the table), then
     # materialized ONCE so the candidate pass, the count, and the exact
@@ -438,13 +438,16 @@ def frequent_items(ds, cols: list[str], min_share: float,
                           pa.scalar(min_share * len(b)))
         return counts.filter(keep).select(cols)
 
-    cand = distinct_rows(
-        ds.map_batches(batch_candidates, batch_format="pyarrow"),
-        cols,
-        empty_schema=pa.schema(
-            [(c, pa.string()) for c in cols]  # only used when 0 candidates
-        ),
-    )
+    def fold_distinct(b: pa.Table) -> pa.Table:
+        return b.group_by(cols).aggregate([]).select(cols) if len(b) else b
+
+    # tree-fold distinct (64 per-batch candidate sets per task) instead
+    # of a full bucket shuffle: the candidate stream is already tiny
+    # (<= 1/min_share rows per batch), so one combine level bounds the
+    # driver pull without paying a shuffle round
+    cand = ds.map_batches(
+        batch_candidates, batch_format="pyarrow"
+    ).map_batches(fold_distinct, batch_size=64, batch_format="pyarrow")
     try:
         cdf = cand.to_pandas(limit=candidate_cap + 1)
         too_many = len(cdf) > candidate_cap
@@ -455,6 +458,7 @@ def frequent_items(ds, cols: list[str], min_share: float,
             f"frequent_items: >{candidate_cap} candidates; min_share="
             f"{min_share} is too small for a heavy-hitter query"
         )
+    cdf = cdf.drop_duplicates()
     if len(cdf) == 0 or total == 0:
         out = cdf.head(0).copy()
         out["n"] = pd.Series([], dtype="int64")
