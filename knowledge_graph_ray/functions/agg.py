@@ -600,10 +600,21 @@ def grouped_string_agg(ds, keys: list[str], value_col: str,
         # all-NULL group -> NULL (binary_join gives '' for empty lists)
         joined = pc.if_else(pa.array(counts > 0), joined,
                             pa.nulls(len(counts), pa.string()))
-        out = pa.Table.from_arrays(
-            [pa.Array.from_pandas(head[k], type=t) for k, t in key_fields],
-            schema=pa.schema(key_fields),
-        )
+        key_arrays = []
+        for k, t in key_fields:
+            col = head[k]
+            # a null in an int64 key column made pandas hold the whole
+            # bucket's keys as float64; casting back is only exact below
+            # 2^53 — fail LOUDLY instead of silently corrupting keys
+            if (pa.types.is_integer(t) and col.dtype.kind == "f"
+                    and col.abs().max() >= 2.0 ** 53):
+                raise ValueError(
+                    f"grouped_string_agg: integer key {k!r} exceeds "
+                    "float64's exact range in a null-bearing bucket; "
+                    "cast the key to string upstream"
+                )
+            key_arrays.append(pa.Array.from_pandas(col, type=t))
+        out = pa.Table.from_arrays(key_arrays, schema=pa.schema(key_fields))
         return out.append_column(out_col, joined)
 
     return bucketed_bucket_map(

@@ -3684,7 +3684,8 @@ def stratified_sample_documents(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "lang", "n_chars"])
     return stratified_take_fraction(docs, ["lang"], "doc_id", 0.7,
-                                    seed=6969, size_hint=docs.count())
+                                    seed=6969, driver_threshold=500_000,
+                                    size_hint=docs.count())
 
 
 STRATIFIED_SAMPLE_DOCUMENTS_SQL = """
@@ -3699,7 +3700,7 @@ SELECT doc_id, lang, n_chars FROM (
          row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk,
          count(*) OVER (PARTITION BY lang) AS n
   FROM h
-) WHERE rk <= floor(0.7 * n)
+) WHERE rk <= floor(CAST(0.7 AS DOUBLE) * n)
 """
 
 QUERIES["stratified_sample_documents"] = stratified_sample_documents

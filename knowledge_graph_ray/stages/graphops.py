@@ -80,12 +80,8 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
         batch_format="pyarrow",
     )
     deg = grouped_agg(ends, ["v"], [("d", None, "count")])
-    try:
-        ddf = deg.to_pandas(limit=broadcast_nodes_max + 1)
-        too_many = len(ddf) > broadcast_nodes_max
-    except ValueError:  # Ray raises its own error above the limit
-        too_many = True
-    if too_many:
+    ddf = deg.limit(broadcast_nodes_max + 1).to_pandas()
+    if len(ddf) > broadcast_nodes_max:
         raise ValueError(
             "triangle_count: node set exceeds broadcast_nodes_max; "
             "shard the degree table (hash_join orientation) first"

@@ -210,6 +210,10 @@ def stratified_take_fraction(ds, group_cols: list[str], key_col: str,
     makes the selection deterministic, row-local to recompute, and
     SQL-mirrorable: ``row_number() OVER (PARTITION BY g ORDER BY hash,
     key) <= floor(f * count(*) OVER (PARTITION BY g))``.
+
+    FLOAT-FLOOR PARITY: the cutoff is ``np.floor(float64(f) * n)`` —
+    a SQL mirror must CAST the fraction to DOUBLE (DuckDB's exact
+    DECIMAL arithmetic floors 0.7*90 to 63 where float64 gives 62).
     """
     assert 0 < fraction < 1
     from knowledge_graph_ray.functions.grouping import bucketed_bucket_map

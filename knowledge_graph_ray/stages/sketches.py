@@ -441,24 +441,21 @@ def frequent_items(ds, cols: list[str], min_share: float,
     def fold_distinct(b: pa.Table) -> pa.Table:
         return b.group_by(cols).aggregate([]).select(cols) if len(b) else b
 
-    # tree-fold distinct (64 per-batch candidate sets per task) instead
-    # of a full bucket shuffle: the candidate stream is already tiny
-    # (<= 1/min_share rows per batch), so one combine level bounds the
-    # driver pull without paying a shuffle round
+    # tree-fold distinct (each fold task dedupes an 8192-ROW window of
+    # candidate rows — several hundred batches' worth at typical
+    # min_share) instead of a full bucket shuffle: the driver pull is
+    # then ~ (total candidate rows / 8192) x (1/min_share) rows, and
+    # no shuffle round is paid.  limit() bounds the pull itself.
     cand = ds.map_batches(
         batch_candidates, batch_format="pyarrow"
-    ).map_batches(fold_distinct, batch_size=64, batch_format="pyarrow")
-    try:
-        cdf = cand.to_pandas(limit=candidate_cap + 1)
-        too_many = len(cdf) > candidate_cap
-    except ValueError:  # Ray raises its own error above the limit
-        too_many = True
-    if too_many:
+    ).map_batches(fold_distinct, batch_size=8192, batch_format="pyarrow")
+    cdf = cand.limit(candidate_cap + 1).to_pandas().drop_duplicates()
+    if len(cdf) > candidate_cap:
         raise ValueError(
-            f"frequent_items: >{candidate_cap} candidates; min_share="
-            f"{min_share} is too small for a heavy-hitter query"
+            f"frequent_items: >{candidate_cap} distinct candidates (or "
+            f"the bounded pull overflowed); min_share={min_share} is too "
+            "small for a heavy-hitter query"
         )
-    cdf = cdf.drop_duplicates()
     if len(cdf) == 0 or total == 0:
         out = cdf.head(0).copy()
         out["n"] = pd.Series([], dtype="int64")
