@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "events_type_transitions",
     "stratified_sample_documents",
     "documents_kfold",
+    "events_nth_value",
 ]
 
 

@@ -3728,3 +3728,48 @@ FROM documents
 
 QUERIES["documents_kfold"] = documents_kfold
 ORACLE_SQL["documents_kfold"] = DOCUMENTS_KFOLD_SQL
+
+
+def events_nth_value(sf_dir: str):
+    """NTH_VALUE(cents, 3) over each user's full ordered stream
+    (stages/ranking.window_nth_value) — boundary-index pass, NULL for
+    users with fewer than 3 events."""
+    from knowledge_graph_ray.stages.ranking import window_nth_value
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    return window_nth_value(prepped, key="user_id",
+                            order_cols=["ts_s", "event_id"],
+                            value_col="cents", n=3, out_col="third_cents",
+                            driver_threshold=500_000,
+                            size_hint=events.count())
+
+
+EVENTS_NTH_VALUE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts_s, event_id, cents,
+       CAST(nth_value(cents, 3) OVER w AS BIGINT) AS third_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+QUERIES["events_nth_value"] = events_nth_value
+ORACLE_SQL["events_nth_value"] = EVENTS_NTH_VALUE_SQL

@@ -531,3 +531,48 @@ def window_share(ds, key: str, order_cols: list[str], value_col: str,
         num_buckets=num_buckets, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def window_nth_value(ds, key: str, order_cols: list[str], value_col: str,
+                     n: int, out_col: str = "nth_value",
+                     num_buckets: int = 64,
+                     driver_threshold: int | None = None,
+                     size_hint: int | None = None):
+    """NTH_VALUE(value, n) OVER (PARTITION BY key ORDER BY order_cols
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING): every
+    row carries its partition's n-th value in order (NULL when the
+    partition has fewer than n rows).  Same null-respecting
+    boundary-index pass as window_first_last — the n-th ROW's value is
+    taken even when it is null.
+    """
+    assert n >= 1
+    cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_values([key] + order_cols, kind="stable")
+        out = g[cols].copy()
+        codes, _ = pd.factorize(g[key], use_na_sentinel=False)
+        m = len(g)
+        change = np.r_[True, codes[1:] != codes[:-1]] if m else \
+            np.array([], bool)
+        starts = np.flatnonzero(change)
+        sizes = np.diff(np.r_[starts, m])
+        gidx = np.cumsum(change) - 1
+        vals = g[value_col].to_numpy()
+        nth_idx = starts + (n - 1)
+        has_n = sizes >= n
+        # rows in short partitions take a placeholder index then NULL
+        safe_idx = np.where(has_n, nth_idx, starts)
+        nth = vals[safe_idx[gidx]] if m else vals
+        col = pd.Series(nth).where(pd.Series(has_n[gidx])) if m else \
+            pd.Series(nth)
+        out[out_col] = col.to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

@@ -373,3 +373,23 @@ def test_window_share_zero_total_and_values():
     )
     assert got[got.k == "a"].share.tolist() == [0.1, 0.3, 0.6]
     assert got[got.k == "z"].share.isna().all()
+
+
+def test_window_nth_value_short_partitions_and_nulls():
+    from knowledge_graph_ray.stages.ranking import window_nth_value
+
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "o": [1, 2, 3, 1, 2, 1],
+        "v": pa.array([10, None, 30, 7, 8, 5], type=pa.int64()),
+    }))
+    got = (
+        window_nth_value(ds, key="k", order_cols=["o"], value_col="v",
+                         n=2, out_col="second")
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    # a's 2nd row value is NULL and must be carried as NULL (respected)
+    assert got[got.k == "a"].second.isna().all()
+    assert (got[got.k == "b"].second == 8).all()
+    # partition with < n rows -> NULL
+    assert got[got.k == "c"].second.isna().all()
