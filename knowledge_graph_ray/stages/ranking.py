@@ -546,7 +546,15 @@ def window_nth_value(ds, key: str, order_cols: list[str], value_col: str,
     taken even when it is null.
     """
     assert n >= 1
+    from knowledge_graph_ray.functions.dsschema import dataset_schema
+
     cols = list(dict.fromkeys([key] + order_cols + [value_col]))
+    # out_col carries the input value's EXACT Arrow type in every
+    # bucket: a pandas where() would emit int64 blocks from buckets
+    # with no short partition and float64 (NaN-bearing) blocks from
+    # buckets with one — the mixed-block class grouped_agg guards
+    in_schema, ds = dataset_schema(ds)
+    val_type = dict(zip(in_schema.names, in_schema.types))[value_col]
 
     def bucket_body(g: pd.DataFrame) -> pa.Table:
         import numpy as np
@@ -566,10 +574,12 @@ def window_nth_value(ds, key: str, order_cols: list[str], value_col: str,
         # rows in short partitions take a placeholder index then NULL
         safe_idx = np.where(has_n, nth_idx, starts)
         nth = vals[safe_idx[gidx]] if m else vals
-        col = pd.Series(nth).where(pd.Series(has_n[gidx])) if m else \
-            pd.Series(nth)
-        out[out_col] = col.to_numpy()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        mask = has_n[gidx] if m else np.array([], bool)
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        col = pa.Array.from_pandas(
+            pd.Series(nth).where(pd.Series(mask)), type=val_type
+        )
+        return tbl.append_column(out_col, col)
 
     return bucketed_bucket_map(
         ds.select_columns(cols), [key], bucket_body,

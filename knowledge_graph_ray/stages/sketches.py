@@ -449,13 +449,19 @@ def frequent_items(ds, cols: list[str], min_share: float,
     cand = ds.map_batches(
         batch_candidates, batch_format="pyarrow"
     ).map_batches(fold_distinct, batch_size=8192, batch_format="pyarrow")
-    cdf = cand.limit(candidate_cap + 1).to_pandas().drop_duplicates()
-    if len(cdf) > candidate_cap:
+    pulled = cand.limit(candidate_cap + 1).to_pandas()
+    # the PRE-dedup pull hitting the bound means candidate rows were
+    # truncated — proceeding would silently drop heavy hitters (the
+    # guarantee is no false negatives), so fail loudly on the bound
+    # itself, not only on the distinct count
+    if len(pulled) > candidate_cap:
         raise ValueError(
-            f"frequent_items: >{candidate_cap} distinct candidates (or "
-            f"the bounded pull overflowed); min_share={min_share} is too "
-            "small for a heavy-hitter query"
+            f"frequent_items: candidate row pull hit the "
+            f"{candidate_cap}-row bound (duplicate-heavy stream or too "
+            f"many distinct candidates); min_share={min_share} is too "
+            "small for a heavy-hitter query, or raise candidate_cap"
         )
+    cdf = pulled.drop_duplicates()
     if len(cdf) == 0 or total == 0:
         out = cdf.head(0).copy()
         out["n"] = pd.Series([], dtype="int64")

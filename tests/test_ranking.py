@@ -393,3 +393,25 @@ def test_window_nth_value_short_partitions_and_nulls():
     assert (got[got.k == "b"].second == 8).all()
     # partition with < n rows -> NULL
     assert got[got.k == "c"].second.isna().all()
+
+
+def test_window_nth_value_block_dtype_stable_across_buckets():
+    import ray
+
+    from knowledge_graph_ray.stages.ranking import window_nth_value
+
+    # many keys: some with >= 2 rows, some singletons, spread over
+    # buckets — every output block must carry int64 for the value
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": [f"k{v}" for v in rng.integers(0, 40, 300)],
+        "o": np.arange(300, dtype="int64"),
+        "v": rng.integers(0, 100, 300).astype("int64"),
+    })
+    out = window_nth_value(rd.from_pandas(df).repartition(8), key="k",
+                           order_cols=["o"], value_col="v", n=2,
+                           out_col="second")
+    for ref in out.to_arrow_refs():
+        blk = ray.get(ref)
+        if len(blk):
+            assert blk.schema.field("second").type == pa.int64(), blk.schema
