@@ -3773,3 +3773,149 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
 
 QUERIES["events_nth_value"] = events_nth_value
 ORACLE_SQL["events_nth_value"] = EVENTS_NTH_VALUE_SQL
+
+
+# ---------------------------------------------------------- claims family
+
+CLAIM_VERBS = ["join", "merge", "scan", "filter"]
+CLAIM_VERBS_SQL = ", ".join(f"('{v}', {i + 1})" for i, v in enumerate(CLAIM_VERBS))
+
+# shared SQL prefix mirroring PatternClaimExtractor over one-chunk-per-doc
+# word-soup documents: subject/object = first two gazetteer tokens, type =
+# first verb (in priority-list order) appearing strictly between them;
+# order_key mirrors stages/claims.py "{doc_id}:{chunk:08d}:{order:08d}".
+_CLAIMS_CTE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+),
+ent AS (
+  SELECT doc_id, w, i, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM toks WHERE w IN {GAZETTEER_SQL}
+),
+ab AS (
+  SELECT a.doc_id, a.w AS aw, a.i AS ai, b.w AS bw, b.i AS bi
+  FROM ent a JOIN ent b USING (doc_id)
+  WHERE a.rn = 1 AND b.rn = 2
+),
+verbs(v, pri) AS (VALUES {CLAIM_VERBS_SQL}),
+vpick AS (
+  SELECT ab.doc_id, min(vb.pri) AS pri
+  FROM ab
+  JOIN toks t ON t.doc_id = ab.doc_id AND t.i > ab.ai AND t.i < ab.bi
+  JOIN verbs vb ON vb.v = t.w
+  GROUP BY ab.doc_id
+),
+claims AS (
+  SELECT ab.doc_id,
+         upper(ab.aw) AS subject_id, upper(ab.bw) AS object_id,
+         upper(vb.v) AS type, 'TRUE' AS status,
+         'NONE' AS start_date, 'NONE' AS end_date,
+         ab.aw || ' ' || vb.v || ' ' || ab.bw AS description,
+         trim(d.text) AS source_text,
+         CAST(ab.doc_id AS VARCHAR) || ':00000000:00000000' AS order_key
+  FROM ab
+  JOIN vpick USING (doc_id)
+  JOIN verbs vb ON vb.pri = vpick.pri
+  JOIN documents d ON d.doc_id = ab.doc_id
+)
+"""
+
+_CLAIMS_MERGE_SELECT = """
+SELECT subject_id,
+       arg_min(object_id, order_key) AS object_id,
+       arg_min(type, order_key) AS type,
+       arg_min(status, order_key) AS status,
+       arg_min(start_date, order_key) AS start_date,
+       arg_min(end_date, order_key) AS end_date,
+       string_agg(description, ' ' ORDER BY order_key) AS description,
+       string_agg(DISTINCT source_text, ' | ' ORDER BY source_text) AS source_text,
+       string_agg(CAST(doc_id AS VARCHAR), ', ' ORDER BY order_key) AS doc_id,
+       count(*) AS n_claims
+FROM claims
+GROUP BY subject_id
+"""
+
+
+def _claims_dataset(sf_dir: str):
+    """documents -> interleaved -> REAL chunker (one window per doc) ->
+    actor-pool PatternClaimExtractor (A4/M6: 9-field wire protocol through
+    parse_claim_records, reference graph_claims.py:218-259)."""
+    from knowledge_graph_ray.stages.chunk import chunk_documents
+    from knowledge_graph_ray.stages.claims import extract_claims
+
+    docs = _docs(sf_dir).map_batches(docs_table_to_interleaved, batch_format="pyarrow")
+    chunks = chunk_documents(docs, chunk_size=1_000_000, chunk_overlap=0)
+    return extract_claims(
+        chunks,
+        vocabulary=[(w, "CONCEPT") for w in GAZETTEER],
+        rel_verbs=[(v, 1.0) for v in CLAIM_VERBS],
+    )
+
+
+def _finalize_merged_claims(merged):
+    """source_text list<str> -> ' | '-joined string so the driver's
+    column-sorted value hash sees a scalar column on both sides."""
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        src = batch.column("source_text").to_pylist()
+        joined = pa.array(
+            [" | ".join(s or []) for s in src], type=pa.large_string()
+        )
+        idx = batch.schema.get_field_index("source_text")
+        return batch.set_column(idx, "source_text", joined)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def kg_claims_merge(sf_dir: str):
+    """A4/M6/G3 driver gate: claim extraction + groupby(subject) merge
+    (reference verbs/covariates/extract_covariates.py:69-83 — description
+    ' '-joined in order, source_text sorted set union, doc_id ', '-joined,
+    first-non-None scalars)."""
+    from knowledge_graph_ray.stages.claims import merge_claims
+
+    return _finalize_merged_claims(merge_claims(_claims_dataset(sf_dir)))
+
+
+KG_CLAIMS_MERGE_SQL = _CLAIMS_CTE + _CLAIMS_MERGE_SELECT
+
+
+# surface -> canonical map exercised by the resolution (M7) variant
+CLAIM_RESOLUTION = {"TABLE": "RELATION", "WINDOW": "FRAME"}
+_CLAIM_RES_CASE = (
+    "CASE {col} "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in CLAIM_RESOLUTION.items())
+    + " ELSE {col} END"
+)
+
+
+def kg_claims_resolved(sf_dir: str):
+    """M7 driver gate: resolve_claims (normalize + broadcast resolution
+    map over subject/object, reference graph_claims.py:123-137) between
+    extraction and the G3 merge."""
+    from knowledge_graph_ray.stages.claims import merge_claims, resolve_claims
+
+    resolution = rd.from_items(
+        [{"surface": k, "canonical": v} for k, v in CLAIM_RESOLUTION.items()]
+    )
+    resolved = resolve_claims(_claims_dataset(sf_dir), resolution=resolution)
+    return _finalize_merged_claims(merge_claims(resolved))
+
+
+KG_CLAIMS_RESOLVED_SQL = (
+    _CLAIMS_CTE
+    + ", resolved AS (SELECT doc_id, "
+    + _CLAIM_RES_CASE.format(col="subject_id")
+    + " AS subject_id, "
+    + _CLAIM_RES_CASE.format(col="object_id")
+    + " AS object_id, type, status, start_date, end_date, description,"
+      " source_text, order_key FROM claims)"
+    + _CLAIMS_MERGE_SELECT.replace("FROM claims", "FROM resolved")
+)
+
+QUERIES["kg_claims_merge"] = kg_claims_merge
+QUERIES["kg_claims_resolved"] = kg_claims_resolved
+ORACLE_SQL["kg_claims_merge"] = KG_CLAIMS_MERGE_SQL
+ORACLE_SQL["kg_claims_resolved"] = KG_CLAIMS_RESOLVED_SQL
