@@ -13,11 +13,16 @@ block builds a (rows x 256) byte-presence bit matrix VECTORIZED (no
 per-string Python loop: one np.add.at over the concatenated bytes) and
 gets pairwise intersections from a single int matmul — O(n·256 + n²)
 per block with SIMD, never a per-pair Python DP.  Blocks are the unit
-of quadratic cost, so the blocking key choice bounds memory: a block of
-``max_block_rows`` is the documented partitioning assumption and the
-operator RAISES above it rather than silently truncating (pick a finer
-blocking key instead — the dedup family's truncation-column treatment
-does not fit here because the SQL oracle cannot reproduce a cap).
+of quadratic cost; ``max_block_rows`` bounds MEMORY, not coverage: a
+block above it is automatically secondary-blocked — the id-sorted block
+is cut into chunks of <= max_block_rows and every chunk pair (i <= j)
+runs the same matmul, so the emitted pair set is EXACTLY the
+single-matrix result (within-chunk triu + cross-chunk full rectangles
+partition the positional upper triangle) while peak memory stays at one
+max_block_rows² tile.  A hot blocking key therefore degrades to more
+compute instead of aborting a long run; total work is still quadratic
+in the hot-block size — that is inherent to exact all-pairs, pick a
+finer blocking key when the quadratic cost itself is the problem.
 """
 
 from __future__ import annotations
@@ -43,6 +48,16 @@ def _presence_matrix(names: "pd.Series") -> np.ndarray:
     return m
 
 
+def _sim_matrix(m_a: np.ndarray, sizes_a: np.ndarray,
+                m_b: np.ndarray, sizes_b: np.ndarray) -> np.ndarray:
+    inter = (m_a.astype(np.float32) @ m_b.astype(np.float32).T).astype(
+        np.int32
+    )
+    union = sizes_a[:, None] + sizes_b[None, :] - inter
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return inter.astype(np.float64) / union
+
+
 def char_jaccard_pairs(ds, id_col: str, text_col: str,
                        block_cols: list[str], threshold: float,
                        max_block_rows: int = 50_000,
@@ -58,38 +73,45 @@ def char_jaccard_pairs(ds, id_col: str, text_col: str,
 
     def bucket_body(g: pd.DataFrame) -> pa.Table:
         frames: list[pd.DataFrame] = []
-        for key_vals, blk in g.groupby(block_cols, sort=False, dropna=False):
+        for _key_vals, blk in g.groupby(block_cols, sort=False, dropna=False):
             n = len(blk)
-            if n > max_block_rows:
-                raise ValueError(
-                    f"char_jaccard_pairs: block {key_vals!r} has {n} rows "
-                    f"(> max_block_rows={max_block_rows}); use a finer "
-                    "blocking key"
-                )
             if n < 2:
                 continue
             blk = blk.sort_values(id_col, kind="stable")
-            m = _presence_matrix(blk[text_col])
-            sizes = m.sum(axis=1).astype(np.int32)
-            inter = (m.astype(np.float32) @ m.astype(np.float32).T).astype(
-                np.int32
-            )
-            union = sizes[:, None] + sizes[None, :] - inter
-            with np.errstate(invalid="ignore", divide="ignore"):
-                sim = inter.astype(np.float64) / union
-            ia, ib = np.triu_indices(n, k=1)
-            hit = sim[ia, ib] >= threshold
-            ia, ib = ia[hit], ib[hit]
-            if not len(ia):
-                continue
-            # block-key columns ride along via a positional take so their
-            # dtypes survive (no Python-list round trip)
-            frame = blk.iloc[ia][block_cols].reset_index(drop=True)
             ids = blk[id_col].to_numpy()
-            frame["id_a"] = ids[ia]
-            frame["id_b"] = ids[ib]
-            frame["sim"] = sim[ia, ib]
-            frames.append(frame)
+            # secondary blocking: id-sorted chunks of <= max_block_rows;
+            # chunk pairs (i <= j) tile the positional upper triangle
+            # exactly, bounding peak memory at one max_block_rows² tile
+            nchunks = -(-n // max_block_rows)
+            for ci in range(nchunks):
+                a_lo, a_hi = ci * max_block_rows, min((ci + 1) * max_block_rows, n)
+                blk_a = blk.iloc[a_lo:a_hi]
+                m_a = _presence_matrix(blk_a[text_col])
+                sizes_a = m_a.sum(axis=1).astype(np.int32)
+                for cj in range(ci, nchunks):
+                    if cj == ci:
+                        sim = _sim_matrix(m_a, sizes_a, m_a, sizes_a)
+                        ia, ib = np.triu_indices(a_hi - a_lo, k=1)
+                        hit = sim[ia, ib] >= threshold
+                        ia, ib = ia[hit], ib[hit]
+                        b_lo = a_lo
+                    else:
+                        b_lo = cj * max_block_rows
+                        b_hi = min(b_lo + max_block_rows, n)
+                        blk_b = blk.iloc[b_lo:b_hi]
+                        m_b = _presence_matrix(blk_b[text_col])
+                        sizes_b = m_b.sum(axis=1).astype(np.int32)
+                        sim = _sim_matrix(m_a, sizes_a, m_b, sizes_b)
+                        ia, ib = np.nonzero(sim >= threshold)
+                    if not len(ia):
+                        continue
+                    # block-key columns ride along via a positional take so
+                    # their dtypes survive (no Python-list round trip)
+                    frame = blk_a.iloc[ia][block_cols].reset_index(drop=True)
+                    frame["id_a"] = ids[a_lo + ia]
+                    frame["id_b"] = ids[b_lo + ib]
+                    frame["sim"] = sim[ia, ib]
+                    frames.append(frame)
         if not frames:
             empty = g.head(0)[block_cols].copy()
             empty["id_a"] = g[id_col].head(0)

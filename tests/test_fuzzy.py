@@ -3,7 +3,6 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pytest
 import ray.data as rd
 
 from knowledge_graph_ray.stages.fuzzy import char_jaccard_pairs
@@ -48,17 +47,31 @@ def test_char_jaccard_pairs_matches_bruteforce():
     assert len(exp) > 0  # the test actually exercised matches
 
 
-def test_char_jaccard_block_overflow_raises():
+def test_char_jaccard_oversized_block_secondary_blocking_exact():
+    """A block above max_block_rows completes (no raise) and the chunked
+    chunk-pair tiling emits EXACTLY the unchunked pair set."""
+    rng = np.random.default_rng(17)
+    words = ["widget", "gadget", "bolt", "nut", "cog", "spring", "gear"]
+    n = 23  # not a multiple of the cap: exercises the ragged last chunk
     df = pd.DataFrame({
-        "id": np.arange(10, dtype="int64"),
-        "blk": ["hot"] * 10,
-        "name": ["abc"] * 10,
+        "id": np.arange(n, dtype="int64"),
+        "blk": ["hot"] * n,
+        "name": [str(rng.choice(words)) for _ in range(n)],
     })
-    ds = char_jaccard_pairs(rd.from_pandas(df), id_col="id",
-                            text_col="name", block_cols=["blk"],
-                            threshold=0.5, max_block_rows=5)
-    with pytest.raises(Exception, match="max_block_rows"):
-        ds.materialize()
+
+    def run(cap):
+        return (
+            char_jaccard_pairs(rd.from_pandas(df), id_col="id",
+                               text_col="name", block_cols=["blk"],
+                               threshold=0.6, max_block_rows=cap)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+
+    unchunked = run(1_000)
+    for cap in (5, 7, 22):
+        chunked = run(cap)
+        pd.testing.assert_frame_equal(chunked, unchunked, check_dtype=False)
+    assert len(unchunked) > n  # quadratic pair set actually exercised
 
 
 def test_char_jaccard_handles_empty_and_singleton_blocks():
