@@ -1052,3 +1052,39 @@ def test_grouped_string_agg_nullable_int_key_keeps_type():
         if len(blk):
             assert pa.types.is_integer(blk.schema.field("k").type), \
                 blk.schema
+
+
+def test_minhash_batch_signatures_match_single_doc_path():
+    """The vectorized batch signer must be bit-identical to the kept
+    per-doc reference path on every edge shape: null/empty text, docs
+    shorter than the ngram, unicode case folding, heavy repetition
+    (unique-gather branch) and all-distinct shingles (direct branch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from knowledge_graph_ray.stages.dedup import MinHasher
+
+    m = MinHasher(num_perm=96, ngram=3)
+    texts = [
+        None,
+        "",
+        "one",
+        "one two",
+        "one two three",
+        "the quick brown fox jumps over the lazy dog " * 20,
+        "Héllo Wörld ünïcode ÇASE répéat répéat répéat",
+        "日本語 の テキスト を 処理 する",
+        "punct, should; be! stripped? yes—indeed (parens) [brackets]",
+        "tab\tsep\nnewline\r\nmixed   spaces",
+        "123 456 789 numbers_and_underscores mix_99",
+    ]
+    # heavy-sharing tail drives the unique-gather branch ...
+    texts += ["shared tokens alpha beta gamma delta " * 10] * 40
+    batch = m._signatures_batch(pa.array(texts, type=pa.string()))
+    for i, t in enumerate(texts):
+        assert (batch[i] == m.signature(t or "")).all(), (i, t)
+    # ... and an all-distinct corpus drives the direct branch
+    low = [" ".join(f"u{i}_{j}" for j in range(30)) for i in range(64)]
+    bl = m._signatures_batch(pa.array(low))
+    for i in range(64):
+        assert (bl[i] == m.signature(low[i])).all(), i
