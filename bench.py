@@ -347,10 +347,27 @@ def run_scaling_worker() -> dict:
     return out
 
 
+def _persist(result: dict, suffix: str) -> None:
+    """Write the parsed result next to the repo so the artifact survives
+    stdout tail truncation (BENCH_r04.json arrived with parsed:null and a
+    mid-JSON tail; the driver only captures stdout)."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            f"bench_results{suffix}.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+
 if __name__ == "__main__":
     if "--scaling-worker" in sys.argv:
         print(json.dumps(run_scaling_worker()))
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        res = run_scaling()
+        _persist(res, "_scaling")
+        print(json.dumps(res))
     else:
-        print(json.dumps(run_bench()))
+        res = run_bench()
+        _persist(res, "")
+        print(json.dumps(res))

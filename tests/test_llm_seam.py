@@ -165,3 +165,114 @@ def test_live_llm_extraction_end_to_end():
                           "degree": [2]})
     rep = composer.compose("0", 0, nodes, edges, 800, None)
     assert rep["title"] and isinstance(rep["rank"], float)
+
+
+def test_build_graph_with_llm_extractor_mocked_endpoint():
+    """Full build_graph e2e with the OpenAICompatGraphExtractor strategy
+    against a real localhost chat-completions server (canned replies).
+
+    Unlike the monkeypatched-transport tests above, the HTTP round trip
+    here crosses process boundaries into the Ray actor pool, so the whole
+    live seam — client config via extractor kwargs, request signing,
+    gleaning CONTINUE round, YES/NO stop probe, delimited-record parse,
+    merge — runs exactly as it would against a production endpoint."""
+    import http.server
+    import re
+    import threading
+
+    from knowledge_graph_ray.config import (
+        COMPLETION_DELIMITER,
+        RECORD_DELIMITER,
+    )
+    from knowledge_graph_ray.corpus import VOCABULARY, read_corpus
+    from knowledge_graph_ray.functions.records import (
+        format_entity_record,
+        format_relationship_record,
+    )
+    from knowledge_graph_ray.pipelines.build import build_graph
+    from knowledge_graph_ray.config import PipelineConfig
+    from knowledge_graph_ray.stages.llm import OpenAICompatGraphExtractor
+
+    names = [n for n, _ in VOCABULARY]
+    types = dict((n.upper(), t) for n, t in VOCABULARY)
+    name_re = re.compile(
+        r"\b(?:" + "|".join(re.escape(n) for n in sorted(names, key=len,
+                                                         reverse=True)) + r")\b",
+        re.IGNORECASE,
+    )
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            last = body["messages"][-1]["content"]
+            if "Answer YES or NO" in last:
+                content = "NO"
+            elif "Add ONLY the missing records" in last:
+                # gleaning round: one extra relationship every time —
+                # proves glean output is merged with round 0
+                content = (
+                    format_relationship_record(
+                        "GLEANED SOURCE", "GLEANED TARGET",
+                        "added during gleaning", 1.0,
+                    )
+                    + COMPLETION_DELIMITER
+                )
+            else:
+                text = last.split("Text:\n", 1)[-1]
+                found = []
+                seen = set()
+                for m in name_re.finditer(text):
+                    canon = m.group(0).upper()
+                    if canon not in seen:
+                        seen.add(canon)
+                        found.append(m.group(0))
+                records = [
+                    format_entity_record(n, types.get(n.upper(), ""),
+                                         "seen in document")
+                    for n in found
+                ]
+                if len(found) >= 2:
+                    records.append(format_relationship_record(
+                        found[0], found[1], "mentioned together", 2.0))
+                content = RECORD_DELIMITER.join(records) + COMPLETION_DELIMITER
+            payload = json.dumps(
+                {"choices": [{"message": {"content": content}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        docs = read_corpus(120, seed=6969, shard_size=60)
+        tables = build_graph(
+            docs,
+            PipelineConfig(chunk_size=64, chunk_overlap=16),
+            extractor_cls=OpenAICompatGraphExtractor,
+            max_gleanings=1,
+            base_url=f"http://127.0.0.1:{port}/v1",
+            api_key="test-key",
+            model="canned-model",
+        )
+        ents = tables.entities.to_pandas()
+        rels = tables.relationships.to_pandas()
+    finally:
+        server.shutdown()
+        server.server_close()
+    assert len(ents) > 0 and len(rels) > 0
+    ent_names = set(ents["name"])
+    # vocabulary entities extracted through the wire protocol
+    assert any(n.upper() in ent_names for n in names)
+    # the gleaning round's extra relationship survived merge
+    assert "GLEANED SOURCE" in ent_names or (
+        (rels["source"] == "GLEANED SOURCE").any()
+    )
