@@ -56,17 +56,60 @@ def rd_empty_communities():
     return rd.from_arrow(_community_schema().empty_table())
 
 
-# above this node count a single component skips modularity Louvain (one
-# task would hold the whole subgraph) and uses the deterministic ordered
-# bisection only — the hierarchy contract survives, memory stays bounded
-MAX_LOUVAIN_COMPONENT_NODES = 500_000
+# above this node count a subgraph skips modularity Louvain and descends
+# via the deterministic ordered bisection — the hierarchy contract
+# survives, memory AND time stay bounded.  Measured (2026-08-18, this
+# host): networkx louvain is 62 s at 50k nodes / 150k edges and >8 min at
+# 100k — 500k would be tens of minutes in ONE task, so the threshold sits
+# where a single leaf task finishes in ~a minute.  Components above it
+# are pre-split distributed (rank arithmetic, no edges needed) and each
+# bisection leaf is clustered in its OWN parallel task (see
+# detect_communities), so lowering the threshold buys parallelism rather
+# than deepening a sequential recursion.
+MAX_LOUVAIN_COMPONENT_NODES = 50_000
+
+
+def _canonical_graph(names, edge_triples) -> "nx.Graph":
+    """Deterministic graph build: sorted node insertion, edges normalized
+    to (min, max) orientation and inserted in sorted (u, v, w) order.
+
+    networkx louvain tie-breaks follow adjacency-dict INSERTION order, so
+    every path that builds a graph for clustering (driver loop,
+    per-component map_groups, bisection-leaf map_groups, and the
+    recursion's induced subgraphs) must build it identically or the same
+    component clusters differently depending on the execution regime.
+    Sorting by (u, v, w) also makes the duplicate-edge winner (nx keeps
+    the last-added weight) input-order-independent.
+    """
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(sorted(names))
+    g.add_weighted_edges_from(sorted(
+        (u, v, w) if u <= v else (v, u, w) for u, v, w in edge_triples
+    ))
+    return g
+
+
+def _induced_subgraph(g: "nx.Graph", cluster) -> "nx.Graph":
+    """Canonically-ordered induced subgraph (see _canonical_graph)."""
+    return _canonical_graph(
+        cluster,
+        ((u, v, d["weight"]) for u, v, d in g.subgraph(cluster).edges(data=True)),
+    )
 
 
 def _cluster_component(
     graph: nx.Graph, component: str, max_cluster_size: int, seed: int,
     max_louvain_nodes: int = MAX_LOUVAIN_COMPONENT_NODES,
+    start_level: int = 0, start_path: str = "",
 ) -> list[dict]:
-    """Hierarchical louvain: rows (level, community, name)."""
+    """Hierarchical louvain: rows (level, community, name).
+
+    ``start_level``/``start_path`` let a caller resume the recursion
+    below pre-computed bisection levels (the distributed giant-component
+    path) — rows come out identical to a single recursion from the root.
+    """
     import networkx as nx
 
     rows: list[dict] = []
@@ -108,10 +151,118 @@ def _cluster_component(
             for node in cluster:
                 rows.append({"level": level, "community": cid, "name": node})
             if len(cluster) > max_cluster_size:
-                recurse(subgraph.subgraph(cluster).copy(), level + 1, f"{path}/{ci}")
+                recurse(_induced_subgraph(subgraph, cluster),
+                        level + 1, f"{path}/{ci}")
 
-    recurse(graph, 0, "")
+    recurse(graph, start_level, start_path)
     return rows
+
+
+def _leaf_assignments(sub: pd.DataFrame, max_louvain_nodes: int):
+    """Per-component ordered-bisection leaf assignment, edge-free.
+
+    The bisection branch of ``_cluster_component`` splits by SORTED node
+    order only — no edges — so for a component larger than
+    ``max_louvain_nodes`` every level above the Louvain threshold is a
+    pure function of (rank, component size).  Returns an Arrow table
+    (component, name, leaf_path, leaf_level): ``leaf_path`` is the
+    recursion path prefix ("/0/1/..." exactly as recurse() would build
+    it) of the first subgraph at or below the threshold, ``leaf_level``
+    the recursion level that subgraph starts at.  Vectorized: one
+    argsort + O(log(n/threshold)) numpy passes.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    names = sub["name"].to_numpy()
+    n = len(names)
+    order = np.argsort(names, kind="stable")
+    r = np.empty(n, dtype=np.int64)
+    r[order] = np.arange(n, dtype=np.int64)
+    s = np.full(n, n, dtype=np.int64)
+    leaf_level = np.zeros(n, dtype=np.int64)
+    packed = np.zeros(n, dtype=np.int64)
+    active = s > max_louvain_nodes
+    k = 0
+    while active.any():
+        half = (s + 1) // 2
+        hi = (r >= half) & active
+        packed |= hi.astype(np.int64) << k
+        r = np.where(hi, r - half, r)
+        s = np.where(active, np.where(hi, s - half, half), s)
+        leaf_level += active
+        active = s > max_louvain_nodes
+        k += 1
+    # decode (leaf_level, packed-bit) pairs into path strings once per
+    # UNIQUE leaf (<= ~2*n/threshold of them), then gather
+    key = (leaf_level << k) | packed if k else leaf_level
+    uniq, inv = np.unique(key, return_inverse=True)
+    strs = []
+    for u in uniq:
+        lvl = int(u >> k) if k else int(u)
+        bits = int(u & ((1 << k) - 1)) if k else 0
+        strs.append("".join(
+            "/1" if (bits >> i) & 1 else "/0" for i in range(lvl)
+        ))
+    paths = np.array(strs, dtype=object)[inv]
+    return pa.Table.from_pydict(
+        {
+            "component": sub["component"].to_numpy(),
+            "name": names,
+            "leaf_path": paths,
+            "leaf_level": leaf_level,
+        },
+        schema=pa.schema(
+            [("component", pa.string()), ("name", pa.string()),
+             ("leaf_path", pa.string()), ("leaf_level", pa.int64())]
+        ),
+    )
+
+
+def _expand_prefix_rows(batch) -> "pa.Table":
+    """Leaf assignments -> the bisection levels ABOVE each leaf.
+
+    A node whose leaf starts at level L was, at every level k < L, a
+    member of the bisection cluster identified by the first k+1 segments
+    of its leaf path — emit those (level, community, name) rows directly;
+    no graph, no task concentration.  Nodes with leaf_level == 0 (normal
+    components) expand to nothing.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    df = batch.to_pandas() if not isinstance(batch, pd.DataFrame) else batch
+    lvls = df["leaf_level"].to_numpy()
+    reps = lvls.astype(np.int64)
+    idx = np.repeat(np.arange(len(df), dtype=np.int64), reps)
+    if len(idx) == 0:
+        return _community_schema().empty_table()
+    cum = np.concatenate([[0], np.cumsum(reps)])
+    level = np.arange(cum[-1], dtype=np.int64) - cum[idx]
+    comps = df["component"].to_numpy()[idx]
+    paths = df["leaf_path"].to_numpy()[idx]
+    # md5 once per UNIQUE (component, path, level) cluster (<= a few per
+    # threshold-sized leaf), then gather — no per-row Python in the loop
+    codes, uniques = pd.MultiIndex.from_arrays(
+        [comps, paths, level]
+    ).factorize()
+    uniq_cids = np.array(
+        [
+            # first k+1 segments of the leaf path
+            _cid(c, "/".join(p.split("/")[: int(k) + 2]))
+            for c, p, k in uniques
+        ],
+        dtype=object,
+    )
+    cids = uniq_cids[codes]
+    return pa.Table.from_pydict(
+        {
+            "level": pa.array(level, type=pa.int64()),
+            "community": pa.array(cids, type=pa.string()),
+            "name": pa.array(df["name"].to_numpy()[idx], type=pa.string()),
+        },
+        schema=_community_schema(),
+    )
 
 
 def detect_communities(
@@ -194,24 +345,63 @@ def detect_communities(
         import networkx as nx
 
         for component, sub in comp_pdf.groupby("component"):
-            g = nx.Graph()
-            # sorted insertion: louvain tie-breaks depend on node/edge
-            # iteration order, so graph build must not inherit upstream
-            # row order (which differs between shuffle strategies)
-            g.add_nodes_from(sorted(sub["name"]))
+            # canonical build — louvain tie-breaks depend on adjacency
+            # insertion order, see _canonical_graph
             e = edges_by_comp.get(component)
-            if e is not None:
-                e = e.sort_values(["src", "dst"], kind="stable")
-                g.add_weighted_edges_from(zip(e["src"], e["dst"], e["weight"]))
+            triples = (
+                zip(e["src"], e["dst"], e["weight"]) if e is not None else ()
+            )
+            g = _canonical_graph(sub["name"], triples)
             rows.extend(
                 _cluster_component(g, component, max_cluster_size, seed,
                                    max_louvain_nodes)
             )
         return rd.from_arrow(pa.Table.from_pylist(rows, schema=_community_schema()))
 
-    # tag edges with the component of their src (dst is in the same component)
     from knowledge_graph_ray.functions.joins import project
 
+    # clustering_num_cpus/memory: resource annotation for the clustering
+    # tasks — at scale give them headroom (e.g. clustering_memory=32e9)
+    # and the scheduler will place them on nodes with room
+    remote_args = {}
+    if clustering_num_cpus is not None:
+        remote_args["num_cpus"] = clustering_num_cpus
+    if clustering_memory is not None:
+        remote_args["memory"] = clustering_memory
+
+    # components larger than max_louvain_nodes take the pre-split path:
+    # their bisection levels are edge-free rank arithmetic, and each
+    # bisection leaf louvains in its OWN task — no giant-component task
+    if use_lcc:
+        giants = (
+            [largest]
+            if int(top["count()"].iloc[0]) > max_louvain_nodes
+            else []
+        )
+    else:
+        import pyarrow.compute as pc
+
+        def _only_giants(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.greater(b.column("count()"), max_louvain_nodes)
+            )
+
+        # bounded pull: at most total_nodes/max_louvain_nodes rows
+        giants_pdf = (
+            components.groupby("component")
+            .count()
+            .map_batches(_only_giants, batch_format="pyarrow")
+            .to_pandas()
+        )
+        giants = sorted(giants_pdf["component"])
+
+    if giants:
+        return _detect_communities_with_giants(
+            components, relationships, giants, max_cluster_size, seed,
+            num_partitions, max_louvain_nodes, remote_args,
+        )
+
+    # tag edges with the component of their src (dst is in the same component)
     edges = hash_join(
         relationships.select_columns(["src", "dst", "weight"]),
         project(components, {"name": "src", "component": "component"}),
@@ -249,34 +439,164 @@ def detect_communities(
         import networkx as nx
 
         component = group["component"].iloc[0]
-        g = nx.Graph()
-        # sorted insertion — see the driver path: louvain tie-breaks
-        # depend on node/edge iteration order
-        g.add_nodes_from(
-            sorted(n for n in group["name"] if isinstance(n, str))
+        # canonical build — see _canonical_graph
+        edges = group.loc[group["src"].notna(), ["src", "dst", "weight"]]
+        g = _canonical_graph(
+            (n for n in group["name"] if isinstance(n, str)),
+            zip(edges["src"], edges["dst"], edges["weight"]),
         )
-        edges = group.loc[
-            group["src"].notna(), ["src", "dst", "weight"]
-        ].sort_values(["src", "dst"], kind="stable")
-        for src, dst, w in zip(edges["src"], edges["dst"], edges["weight"]):
-            g.add_edge(src, dst, weight=w)
         rows = _cluster_component(
             g, component, max_cluster_size, seed, max_louvain_nodes
         )
         return pa.Table.from_pylist(rows, schema=_community_schema())
 
-    # clustering_num_cpus/memory: resource annotation for the clustering
-    # tasks — the giant component lands on one task, so at scale give it
-    # headroom (e.g. clustering_memory=32e9) and the scheduler will place
-    # it on a node with room
-    remote_args = {}
-    if clustering_num_cpus is not None:
-        remote_args["num_cpus"] = clustering_num_cpus
-    if clustering_memory is not None:
-        remote_args["memory"] = clustering_memory
     return edge_rows.union(node_rows).groupby("component").map_groups(
         cluster_group, batch_format="pandas", **remote_args
     )
+
+
+def _detect_communities_with_giants(
+    components, relationships, giants: list, max_cluster_size: int,
+    seed: int, num_partitions: int, max_louvain_nodes: int,
+    remote_args: dict,
+):
+    """Distributed regime when >max_louvain_nodes components exist.
+
+    Three pieces, all component-parallel AND leaf-parallel:
+    1. one rank-arithmetic task per giant component assigns every node
+       its bisection leaf (``_leaf_assignments``); normal components map
+       to the trivial leaf ("", level 0) without sorting;
+    2. the bisection levels above each leaf stream out of the assignment
+       table (``_expand_prefix_rows``) — no graph is ever built for them;
+    3. every (component, leaf) subgraph louvains in its OWN map_groups
+       task — the giant component becomes ~2n/max_louvain_nodes parallel
+       tasks instead of one monolith.  Edges crossing leaves drop,
+       exactly as ``subgraph(cluster)`` drops them in the single-task
+       recursion, so rows are identical to ``_cluster_component`` run
+       whole (pytest-verified equality).
+
+    Costs one extra hash_join vs the no-giant path (edges need BOTH
+    endpoint leaves, not just the src component); only paid when a giant
+    component exists.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from knowledge_graph_ray.functions.joins import project
+
+    components = components.materialize()
+    giant_arr = pa.array(sorted(giants), type=pa.string())
+
+    def _split(want_giant: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.is_in(b.column("component"), value_set=giant_arr)
+            return b.filter(m if want_giant else pc.invert(m))
+
+        return fn
+
+    comp_g = components.map_batches(_split(True), batch_format="pyarrow")
+    comp_n = components.map_batches(_split(False), batch_format="pyarrow")
+
+    def _trivial_leaf(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "component": b.column("component"),
+                "name": b.column("name"),
+                "leaf_path": pa.array([""] * len(b), type=pa.string()),
+                "leaf_level": pa.array(
+                    np.zeros(len(b), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    leaves = (
+        comp_g.groupby("component")
+        .map_groups(
+            lambda g: _leaf_assignments(g, max_louvain_nodes),
+            batch_format="pandas",
+        )
+        .union(comp_n.map_batches(_trivial_leaf, batch_format="pyarrow"))
+        .materialize()  # feeds 4 consumers (pre-rows, 2 joins, node rows)
+    )
+
+    pre_rows = leaves.map_batches(_expand_prefix_rows, batch_format="pyarrow")
+
+    edges = hash_join(
+        relationships.select_columns(["src", "dst", "weight"]),
+        project(leaves, {"name": "src", "component": "component",
+                         "leaf_path": "lp_src"}),
+        on=["src"],
+        how="inner",
+        num_partitions=num_partitions,
+    )
+    edges = hash_join(
+        edges,
+        project(leaves, {"name": "dst", "leaf_path": "lp_dst"}),
+        on=["dst"],
+        how="inner",
+        num_partitions=num_partitions,
+    ).filter(expr="lp_src == lp_dst")
+
+    edge_rows = edges.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "component": b.column("component"),
+                "leaf_path": b.column("lp_src"),
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "weight": b.column("weight"),
+                "name": pa.nulls(len(b), pa.string()),
+                "leaf_level": pa.nulls(len(b), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    node_rows = leaves.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "component": b.column("component"),
+                "leaf_path": b.column("leaf_path"),
+                "src": pa.nulls(len(b), pa.string()),
+                "dst": pa.nulls(len(b), pa.string()),
+                "weight": pa.nulls(len(b), pa.float64()),
+                "name": b.column("name"),
+                "leaf_level": b.column("leaf_level"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def leaf_cluster_group(group: pd.DataFrame):
+        import networkx as nx
+
+        component = group["component"].iloc[0]
+        leaf_path = group["leaf_path"].iloc[0]
+        node_mask = group["name"].notna()
+        leaf_level = int(group.loc[node_mask, "leaf_level"].iloc[0])
+        edges = group.loc[group["src"].notna(), ["src", "dst", "weight"]]
+        # canonical build — see _canonical_graph
+        g = _canonical_graph(
+            (n for n in group["name"] if isinstance(n, str)),
+            zip(edges["src"], edges["dst"], edges["weight"]),
+        )
+        if leaf_level > 0 and g.number_of_nodes() <= max_cluster_size:
+            # the parent recursion would not descend into a cluster this
+            # small — emit nothing (its rows already exist at pre-levels)
+            return _community_schema().empty_table()
+        rows = _cluster_component(
+            g, component, max_cluster_size, seed, max_louvain_nodes,
+            start_level=leaf_level, start_path=leaf_path,
+        )
+        return pa.Table.from_pylist(rows, schema=_community_schema())
+
+    leaf_rows = (
+        edge_rows.union(node_rows)
+        .groupby(["component", "leaf_path"])
+        .map_groups(leaf_cluster_group, batch_format="pandas", **remote_args)
+    )
+    return leaf_rows.union(pre_rows)
 
 
 def community_hierarchy(communities, num_partitions: int = 32):

@@ -467,3 +467,61 @@ def test_embed_graph_distributed_equals_driver():
     assert drv["component"].tolist() == dist["component"].tolist()
     for va, vb in zip(drv["graph_embedding"], dist["graph_embedding"]):
         assert np.allclose(list(va), list(vb))
+
+
+def test_detect_communities_giant_pre_split_equals_single_task():
+    """A component above max_louvain_nodes must produce IDENTICAL rows
+    through the distributed pre-split path (rank-arithmetic bisection
+    levels + one parallel louvain task per leaf) as through the plain
+    single-task recursion (the driver fast path's _cluster_component).
+
+    Graph: one 300-node component (ring + seeded chords) forced giant
+    with max_louvain_nodes=40, plus two small components to exercise the
+    mixed normal/giant regime and use_lcc=False."""
+    import numpy as np
+    import pyarrow as pa
+
+    from knowledge_graph_ray.stages.community import detect_communities
+
+    rng = np.random.RandomState(7)
+    big = [f"N{i:04d}" for i in range(300)]
+    # canonical edge list: unique per unordered pair (what merge_edges
+    # guarantees) — nx keeps the last-added weight for duplicates, and
+    # "last" is shuffle-order-dependent, so parity needs uniqueness
+    pairs = {(i, (i + 1) % 300) for i in range(300)}
+    pairs = {(min(a, b), max(a, b)) for a, b in pairs}
+    for a, b in rng.randint(0, 300, size=(200, 2)):
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    edges = [(big[a], big[b], 1.0 + ((a * 31 + b) % 3)) for a, b in sorted(pairs)]
+    small1 = [("S1A", "S1B", 1.0), ("S1B", "S1C", 1.0)]
+    small2 = [("S2A", "S2B", 1.0)]
+    all_edges = edges + small1 + small2
+    names = sorted({n for e in all_edges for n in e[:2]})
+    ents = ray.data.from_arrow(pa.Table.from_pydict({"name": names})).repartition(4)
+    rels = ray.data.from_arrow(pa.Table.from_pydict(
+        {
+            "src": [e[0] for e in all_edges],
+            "dst": [e[1] for e in all_edges],
+            "weight": [e[2] for e in all_edges],
+        }
+    )).repartition(4)
+    comps = connected_components(ents, rels, num_partitions=4).materialize()
+
+    kw = dict(max_cluster_size=8, num_partitions=4, use_lcc=False,
+              max_louvain_nodes=40)
+    via_driver = detect_communities(comps, rels, **kw).to_pandas()
+    via_giant = detect_communities(comps, rels, driver_threshold=0,
+                                   **kw).to_pandas()
+    key = ["level", "community", "name"]
+    pd.testing.assert_frame_equal(
+        via_driver.sort_values(key).reset_index(drop=True),
+        via_giant.sort_values(key).reset_index(drop=True),
+    )
+    # sanity: the bisection actually engaged (level-0 split of the giant
+    # is exactly two communities of 150)
+    giant_names = set(big)
+    lvl0 = via_giant[(via_giant.level == 0)
+                     & via_giant.name.isin(giant_names)]
+    assert lvl0.community.nunique() == 2
+    assert sorted(lvl0.community.value_counts()) == [150, 150]
