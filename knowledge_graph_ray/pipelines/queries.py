@@ -3919,3 +3919,41 @@ QUERIES["kg_claims_merge"] = kg_claims_merge
 QUERIES["kg_claims_resolved"] = kg_claims_resolved
 ORACLE_SQL["kg_claims_merge"] = KG_CLAIMS_MERGE_SQL
 ORACLE_SQL["kg_claims_resolved"] = KG_CLAIMS_RESOLVED_SQL
+
+
+def kg_prompt_tune(sf_dir: str):
+    """Rows-only: the prompt-tuning pipeline (reference api.py:25-152 /
+    cli.py:14-43) over the documents table — domain/language/persona/
+    entity-type generation through the deterministic offline model,
+    token-budgeted example packing, one row per generated prompt file.
+    Not SQL-expressible (string templating over sampled chunks)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_ray.pipelines.prompt_tune import (
+        generate_indexing_prompts,
+    )
+
+    docs = _docs(sf_dir).map_batches(docs_table_to_interleaved,
+                                     batch_format="pyarrow")
+    extraction, summarization, community = generate_indexing_prompts(
+        docs, chunk_size=256, chunk_overlap=16, sample_size=8,
+    )
+    return rd.from_arrow(pa.Table.from_pydict(
+        {
+            "prompt": ["community_report", "entity_extraction",
+                       "summarize_descriptions"],
+            "chars": pa.array(
+                [len(community), len(extraction), len(summarization)],
+                type=pa.int64(),
+            ),
+            "has_input_slot": [
+                "{input_text}" in community,
+                "{input_text}" in extraction,
+                "{entity_name}" in summarization,
+            ],
+        }
+    ))
+
+
+QUERIES["kg_prompt_tune"] = kg_prompt_tune
