@@ -436,6 +436,25 @@ def window_moving_agg(ds, key: str, order_cols: list[str], value_col: str,
     )
 
 
+def _partition_bounds(g: pd.DataFrame, key: str):
+    """(starts, sizes, gidx) of the key-partitions of a frame already
+    sorted by key: ``starts[i]``/``sizes[i]`` bound partition i,
+    ``gidx[r]`` maps row r to its partition — the shared scaffolding of
+    the boundary-index window functions (FIRST/LAST/NTH_VALUE)."""
+    import numpy as np
+
+    codes, _ = pd.factorize(g[key], use_na_sentinel=False)
+    n = len(g)
+    if n == 0:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, empty
+    change = np.r_[True, codes[1:] != codes[:-1]]
+    starts = np.flatnonzero(change)
+    sizes = np.diff(np.r_[starts, n])
+    gidx = np.cumsum(change) - 1
+    return starts, sizes, gidx
+
+
 def window_first_last(ds, key: str, order_cols: list[str], value_col: str,
                       first_col: str = "first_value",
                       last_col: str = "last_value",
@@ -453,19 +472,13 @@ def window_first_last(ds, key: str, order_cols: list[str], value_col: str,
     cols = list(dict.fromkeys([key] + order_cols + [value_col]))
 
     def bucket_body(g: pd.DataFrame) -> pa.Table:
-        import numpy as np
-
         g = g.sort_values([key] + order_cols, kind="stable")
         out = g[cols].copy()
-        codes, _ = pd.factorize(g[key], use_na_sentinel=False)
-        n = len(g)
-        change = np.r_[True, codes[1:] != codes[:-1]] if n else np.array([], bool)
-        starts = np.flatnonzero(change)
-        ends = np.r_[starts[1:], n] - 1 if n else starts
-        gidx = np.cumsum(change) - 1
+        starts, sizes, gidx = _partition_bounds(g, key)
         vals = g[value_col].to_numpy()
+        n = len(g)
         out[first_col] = vals[starts[gidx]] if n else vals
-        out[last_col] = vals[ends[gidx]] if n else vals
+        out[last_col] = vals[(starts + sizes - 1)[gidx]] if n else vals
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return bucketed_bucket_map(
@@ -561,13 +574,8 @@ def window_nth_value(ds, key: str, order_cols: list[str], value_col: str,
 
         g = g.sort_values([key] + order_cols, kind="stable")
         out = g[cols].copy()
-        codes, _ = pd.factorize(g[key], use_na_sentinel=False)
+        starts, sizes, gidx = _partition_bounds(g, key)
         m = len(g)
-        change = np.r_[True, codes[1:] != codes[:-1]] if m else \
-            np.array([], bool)
-        starts = np.flatnonzero(change)
-        sizes = np.diff(np.r_[starts, m])
-        gidx = np.cumsum(change) - 1
         vals = g[value_col].to_numpy()
         nth_idx = starts + (n - 1)
         has_n = sizes >= n
