@@ -349,10 +349,12 @@ def create_entity_extraction_prompt(
               else UNTYPED_GRAPH_EXTRACTION_PROMPT)
     if isinstance(entity_types, list):
         entity_types = ", ".join(map(str, entity_types))
-    tokens_left = (
-        max_token_count - token_count(prompt) - token_count(entity_types)
-        if entity_types
-        else 0
+    # the reference's conditional expression zeroes the budget on the
+    # untyped path (entity_extraction_prompt.py:58-63 binds the whole
+    # subtraction to the if-arm) so only min_examples_required examples
+    # ever pack there — corrected here: the budget applies on both paths
+    tokens_left = max_token_count - token_count(prompt) - (
+        token_count(entity_types) if entity_types else 0
     )
     examples_prompt = ""
     for i, output in enumerate(examples):

@@ -115,9 +115,12 @@ def _cluster_component(
     rows: list[dict] = []
 
     def recurse(subgraph: nx.Graph, level: int, path: str) -> None:
-        if subgraph.number_of_nodes() <= 1 or subgraph.number_of_edges() == 0:
-            clusters = [set(subgraph.nodes())] if subgraph.number_of_nodes() else []
-        elif subgraph.number_of_nodes() > max_louvain_nodes:
+        # NOTE: the size guard must come FIRST — an oversized subgraph
+        # with zero internal edges must still bisect, because the
+        # distributed pre-split (_leaf_assignments) is edge-free rank
+        # arithmetic and the two regimes must emit identical rows
+        if (subgraph.number_of_nodes() > max_louvain_nodes
+                and subgraph.number_of_nodes() > 1):
             # giant-component guard: modularity Louvain on a graph this
             # size would dominate one task's memory/time — descend via a
             # deterministic ordered bisection until Louvain is affordable
@@ -131,6 +134,8 @@ def _cluster_component(
             ordered = sorted(subgraph.nodes())
             half = (len(ordered) + 1) // 2
             clusters = [set(ordered[:half]), set(ordered[half:])]
+        elif subgraph.number_of_nodes() <= 1 or subgraph.number_of_edges() == 0:
+            clusters = [set(subgraph.nodes())] if subgraph.number_of_nodes() else []
         else:
             clusters = [
                 set(c)
@@ -289,6 +294,14 @@ def detect_communities(
     sequential work anyway, and the shuffle rounds cost more than the
     computation for small graphs.  Larger graphs take the distributed
     component-parallel path.
+
+    Cost note: on the distributed path with ``use_lcc=False`` a
+    components.groupby().count() probe (one aggregate round, ~0.5-1 s
+    fixed at 32 CPUs) detects >``max_louvain_nodes`` components before
+    clustering; with ``use_lcc=True`` the LCC top-1 pass already knows
+    the size and the probe is free.  The probe is what lets a giant
+    component run as parallel bisection leaves instead of one
+    multi-hour task (BASELINE.md, 1M-node run).
     """
     import pyarrow as pa
 

@@ -165,10 +165,31 @@ class MinHasher:
         self.text_column = text_column
         self.id_column = id_column
 
+    def _shingle_hashes(self, text: str) -> set[int]:
+        """Single-doc shingle set over the SAME tokenizer as the batched
+        path (polars / Rust-regex ``\\w``, which differs from Python re
+        ``\\w`` on No-category chars like '²' and on combining marks —
+        the batch path defines the operator's tokenization, so the
+        oracle must match it, review finding round 5)."""
+        import polars as pl
+
+        toks = (
+            pl.Series([text or ""])
+            .str.to_lowercase()
+            .str.extract_all(r"\w+")[0]
+            .to_list()
+        ) or []
+        if len(toks) < self.ngram:
+            return {zlib.crc32(" ".join(toks).encode())} if toks else set()
+        return {
+            zlib.crc32(" ".join(toks[i : i + self.ngram]).encode())
+            for i in range(len(toks) - self.ngram + 1)
+        }
+
     def signature(self, text: str) -> np.ndarray:
         """Single-doc reference path (kept as the differential-test oracle
         for the batched path below)."""
-        sh = np.fromiter(_shingles(text, self.ngram), dtype=np.int64, count=-1)
+        sh = np.fromiter(self._shingle_hashes(text), dtype=np.int64, count=-1)
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.int64)
         # (a*x + b) mod p, vectorized over shingles x permutations

@@ -1077,6 +1077,11 @@ def test_minhash_batch_signatures_match_single_doc_path():
         "punct, should; be! stripped? yes—indeed (parens) [brackets]",
         "tab\tsep\nnewline\r\nmixed   spaces",
         "123 456 789 numbers_and_underscores mix_99",
+        # Rust-vs-Python \w divergence chars (No category, combining
+        # marks): both paths must tokenize identically (polars)
+        "café latte x² measure the x² value here",
+        "café NFD accent repeats café often enough here",
+        "half ½ vulgar fraction and circled ① numbers mixed in",
     ]
     # heavy-sharing tail drives the unique-gather branch ...
     texts += ["shared tokens alpha beta gamma delta " * 10] * 40

@@ -525,3 +525,38 @@ def test_detect_communities_giant_pre_split_equals_single_task():
                      & via_giant.name.isin(giant_names)]
     assert lvl0.community.nunique() == 2
     assert sorted(lvl0.community.value_counts()) == [150, 150]
+
+
+def test_detect_communities_giant_edgeless_half_parity():
+    """Review finding (round 5): a bisection half ABOVE max_louvain_nodes
+    with zero internal edges must still bisect — the edge-free rank
+    arithmetic of the pre-split path cannot see edges, so the recursion's
+    size guard must take precedence over its zero-edge branch.  Hub and
+    spokes: the sorted high half of the spokes has no internal edges."""
+    import pyarrow as pa
+
+    from knowledge_graph_ray.stages.community import detect_communities
+
+    hub = "a-hub"
+    leaves = [f"n{i:04d}" for i in range(200)]
+    all_edges = [(hub, leaf, 1.0) for leaf in leaves]
+    names = sorted([hub] + leaves)
+    ents = ray.data.from_arrow(pa.Table.from_pydict({"name": names})).repartition(4)
+    rels = ray.data.from_arrow(pa.Table.from_pydict(
+        {
+            "src": [e[0] for e in all_edges],
+            "dst": [e[1] for e in all_edges],
+            "weight": [e[2] for e in all_edges],
+        }
+    )).repartition(4)
+    comps = connected_components(ents, rels, num_partitions=4).materialize()
+    kw = dict(max_cluster_size=10, num_partitions=4, use_lcc=False,
+              max_louvain_nodes=50)
+    via_driver = detect_communities(comps, rels, **kw).to_pandas()
+    via_giant = detect_communities(comps, rels, driver_threshold=0,
+                                   **kw).to_pandas()
+    key = ["level", "community", "name"]
+    pd.testing.assert_frame_equal(
+        via_driver.sort_values(key).reset_index(drop=True),
+        via_giant.sort_values(key).reset_index(drop=True),
+    )

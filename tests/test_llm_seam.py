@@ -176,9 +176,9 @@ def test_build_graph_with_llm_extractor_mocked_endpoint():
     live seam — client config via extractor kwargs, request signing,
     gleaning CONTINUE round, YES/NO stop probe, delimited-record parse,
     merge — runs exactly as it would against a production endpoint."""
-    import http.server
     import re
-    import threading
+
+    from llm_mock import canned_chat_server
 
     from knowledge_graph_ray.config import (
         COMPLETION_DELIMITER,
@@ -201,73 +201,51 @@ def test_build_graph_with_llm_extractor_mocked_endpoint():
         re.IGNORECASE,
     )
 
-    class Handler(http.server.BaseHTTPRequestHandler):
-        def do_POST(self):
-            body = json.loads(
-                self.rfile.read(int(self.headers["Content-Length"]))
-            )
-            last = body["messages"][-1]["content"]
-            if "Answer YES or NO" in last:
-                content = "NO"
-            elif "Add ONLY the missing records" in last:
-                # gleaning round: one extra relationship every time —
-                # proves glean output is merged with round 0
-                content = (
-                    format_relationship_record(
-                        "GLEANED SOURCE", "GLEANED TARGET",
-                        "added during gleaning", 1.0,
-                    )
-                    + COMPLETION_DELIMITER
+    def reply(messages):
+        last = messages[-1]["content"]
+        if "Answer YES or NO" in last:
+            return "NO"
+        if "Add ONLY the missing records" in last:
+            # gleaning round: one extra relationship every time —
+            # proves glean output is merged with round 0
+            return (
+                format_relationship_record(
+                    "GLEANED SOURCE", "GLEANED TARGET",
+                    "added during gleaning", 1.0,
                 )
-            else:
-                text = last.split("Text:\n", 1)[-1]
-                found = []
-                seen = set()
-                for m in name_re.finditer(text):
-                    canon = m.group(0).upper()
-                    if canon not in seen:
-                        seen.add(canon)
-                        found.append(m.group(0))
-                records = [
-                    format_entity_record(n, types.get(n.upper(), ""),
-                                         "seen in document")
-                    for n in found
-                ]
-                if len(found) >= 2:
-                    records.append(format_relationship_record(
-                        found[0], found[1], "mentioned together", 2.0))
-                content = RECORD_DELIMITER.join(records) + COMPLETION_DELIMITER
-            payload = json.dumps(
-                {"choices": [{"message": {"content": content}}]}
-            ).encode()
-            self.send_response(200)
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
+                + COMPLETION_DELIMITER
+            )
+        text = last.split("Text:\n", 1)[-1]
+        found = []
+        seen = set()
+        for m in name_re.finditer(text):
+            canon = m.group(0).upper()
+            if canon not in seen:
+                seen.add(canon)
+                found.append(m.group(0))
+        records = [
+            format_entity_record(n, types.get(n.upper(), ""),
+                                 "seen in document")
+            for n in found
+        ]
+        if len(found) >= 2:
+            records.append(format_relationship_record(
+                found[0], found[1], "mentioned together", 2.0))
+        return RECORD_DELIMITER.join(records) + COMPLETION_DELIMITER
 
-        def log_message(self, *a):
-            pass
-
-    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    port = server.server_address[1]
-    thread = threading.Thread(target=server.serve_forever, daemon=True)
-    thread.start()
-    try:
+    with canned_chat_server(reply) as base_url:
         docs = read_corpus(120, seed=6969, shard_size=60)
         tables = build_graph(
             docs,
             PipelineConfig(chunk_size=64, chunk_overlap=16),
             extractor_cls=OpenAICompatGraphExtractor,
             max_gleanings=1,
-            base_url=f"http://127.0.0.1:{port}/v1",
+            base_url=base_url,
             api_key="test-key",
             model="canned-model",
         )
         ents = tables.entities.to_pandas()
         rels = tables.relationships.to_pandas()
-    finally:
-        server.shutdown()
-        server.server_close()
     assert len(ents) > 0 and len(rels) > 0
     ent_names = set(ents["name"])
     # vocabulary entities extracted through the wire protocol

@@ -85,63 +85,51 @@ def test_extraction_prompt_token_budget_and_min_examples():
         max_token_count=100_000, min_examples_required=2,
     )
     assert "Example 6:" in loose
+    # untyped path: the budget must apply too (the reference's
+    # conditional-expression precedence zeroes it — corrected)
+    untyped_loose = create_entity_extraction_prompt(
+        None, docs, examples, "English",
+        max_token_count=100_000, min_examples_required=2,
+    )
+    assert "Example 6:" in untyped_loose
+    untyped_tight = create_entity_extraction_prompt(
+        None, docs, examples, "English",
+        max_token_count=500, min_examples_required=2,
+    )
+    assert "Example 2:" in untyped_tight
+    assert "Example 4:" not in untyped_tight
 
 
 def test_prompt_tune_against_mocked_endpoint(tmp_path):
     """Live-seam parity: the same pipeline through OpenAIChatClient and a
     canned localhost chat-completions server."""
-    import http.server
-    import threading
+    from llm_mock import canned_chat_server
 
     from knowledge_graph_ray.stages.llm import OpenAIChatClient
 
-    class Handler(http.server.BaseHTTPRequestHandler):
-        def do_POST(self):
-            body = json.loads(
-                self.rfile.read(int(self.headers["Content-Length"]))
-            )
-            last = body["messages"][-1]["content"]
-            if last.startswith("You are an expert data analyst."):
-                content = "renewable energy"
-            elif last.startswith("Name the primary natural language"):
-                content = "English"
-            elif last.startswith("Craft a one-paragraph expert persona"):
-                content = "You are a renewable-energy analyst."
-            elif "importance rating scale" in last:
-                content = "0 trivial ... 10 critical."
-            elif "List the entity types" in last:
-                content = "organization, person, technology"
-            elif "Output one record per line" in last:
-                content = '("entity"|HELIOS|organization|a company)'
-            elif "one-sentence role definition" in last:
-                content = "A grid analyst that maps market structure."
-            else:
-                content = "OK"
-            payload = json.dumps(
-                {"choices": [{"message": {"content": content}}]}
-            ).encode()
-            self.send_response(200)
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
+    def reply(messages):
+        last = messages[-1]["content"]
+        if last.startswith("You are an expert data analyst."):
+            return "renewable energy"
+        if last.startswith("Name the primary natural language"):
+            return "English"
+        if last.startswith("Craft a one-paragraph expert persona"):
+            return "You are a renewable-energy analyst."
+        if "importance rating scale" in last:
+            return "0 trivial ... 10 critical."
+        if "List the entity types" in last:
+            return "organization, person, technology"
+        if "Output one record per line" in last:
+            return '("entity"|HELIOS|organization|a company)'
+        if "one-sentence role definition" in last:
+            return "A grid analyst that maps market structure."
+        return "OK"
 
-        def log_message(self, *a):
-            pass
-
-    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    thread = threading.Thread(target=server.serve_forever, daemon=True)
-    thread.start()
-    try:
-        client = OpenAIChatClient(
-            base_url=f"http://127.0.0.1:{server.server_address[1]}/v1",
-            api_key="k", model="m",
-        )
+    with canned_chat_server(reply) as base_url:
+        client = OpenAIChatClient(base_url=base_url, api_key="k", model="m")
         paths = prompt_tune(_docs(20), output=str(tmp_path / "live"),
                             client=client, chunk_size=64, chunk_overlap=16,
                             sample_size=3)
-    finally:
-        server.shutdown()
-        server.server_close()
     extraction = open(paths[ENTITY_EXTRACTION_FILENAME]).read()
     assert "organization, person, technology" in extraction
     assert "HELIOS" in extraction
