@@ -554,13 +554,17 @@ def grouped_string_agg(ds, keys: list[str], value_col: str,
                        size_hint: "int | None" = None):
     """SQL ``string_agg(value, sep ORDER BY order_cols)`` per group.
 
-    One shuffle on ``keys``; per bucket one sort, then the per-group
-    concatenation is a SINGLE vectorized Arrow kernel — the sorted
-    values become one ListArray via group-boundary offsets and
+    One shuffle on ``keys``; per bucket one Arrow sort, then the
+    per-group concatenation is a SINGLE vectorized Arrow kernel — the
+    sorted values become one ListArray via group-boundary offsets and
     ``pyarrow.compute.binary_join`` emits every group's joined string at
     once (no per-group Python ``str.join`` loop).  NULL values are
     skipped like SQL string_agg; a group of all-NULL values yields NULL.
     Output: keys + ``out_col``, one row per group.
+
+    The bucket body runs on the Arrow table directly (no pandas
+    round-trip), so nullable integer keys keep their exact type and
+    value at any magnitude — there is no float64 2^53 key-range limit.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -568,25 +572,40 @@ def grouped_string_agg(ds, keys: list[str], value_col: str,
     from knowledge_graph_ray.functions.dsschema import dataset_schema
 
     cols = list(dict.fromkeys(keys + order_cols + [value_col]))
-    # key columns emit against their EXACT input Arrow types: a bucket
-    # whose nullable-int key holds a null would otherwise come out
-    # float64 via pandas inference while other buckets stay int64 —
-    # the mixed-block bug grouped_agg's final merge already guards
     in_schema, ds = dataset_schema(ds)
     key_fields = [(k, in_schema.field(k).type) for k in keys]
+    empty_schema = pa.schema(
+        [pa.field(k, t) for k, t in key_fields]
+        + [pa.field(out_col, pa.string())]
+    )
 
-    def bucket_body(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(keys + order_cols, kind="stable")
-        codes, _ = pd.factorize(
-            pd.MultiIndex.from_frame(g[keys]) if len(keys) > 1 else g[keys[0]],
-            use_na_sentinel=False,
+    def bucket_body(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        idx = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in keys + order_cols]
         )
-        n = len(g)
-        change = (np.r_[True, codes[1:] != codes[:-1]]
-                  if n else np.array([], bool))
+        g = g.take(idx)
+        n = g.num_rows
+        # group boundaries: a row starts a group when ANY key column's
+        # dictionary code differs from the previous row (nulls form one
+        # group, like SQL GROUP BY)
+        change = np.zeros(n, dtype=bool)
+        if n:
+            change[0] = True
+            for k in keys:
+                col = g.column(k)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                codes = (pc.dictionary_encode(col).indices
+                         .fill_null(-1)
+                         .to_numpy(zero_copy_only=False).astype(np.int64))
+                change[1:] |= codes[1:] != codes[:-1]
         starts = np.flatnonzero(change)
-        head = g.iloc[starts][keys].reset_index(drop=True)
-        vals = pa.array(g[value_col].astype("string"), type=pa.string())
+        head = g.select(keys).take(pa.array(starts, type=pa.int64()))
+        vals = g.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = pc.cast(vals, pa.string())
         # SQL string_agg skips NULLs: compact them out, remapping offsets
         keep = pc.is_valid(vals).to_numpy(zero_copy_only=False)
         gidx = np.cumsum(change) - 1 if n else np.array([], dtype=np.int64)
@@ -600,27 +619,13 @@ def grouped_string_agg(ds, keys: list[str], value_col: str,
         # all-NULL group -> NULL (binary_join gives '' for empty lists)
         joined = pc.if_else(pa.array(counts > 0), joined,
                             pa.nulls(len(counts), pa.string()))
-        key_arrays = []
-        for k, t in key_fields:
-            col = head[k]
-            # a null in an int64 key column made pandas hold the whole
-            # bucket's keys as float64; casting back is only exact below
-            # 2^53 — fail LOUDLY instead of silently corrupting keys
-            if (pa.types.is_integer(t) and col.dtype.kind == "f"
-                    and col.abs().max() >= 2.0 ** 53):
-                raise ValueError(
-                    f"grouped_string_agg: integer key {k!r} exceeds "
-                    "float64's exact range in a null-bearing bucket; "
-                    "cast the key to string upstream"
-                )
-            key_arrays.append(pa.Array.from_pandas(col, type=t))
-        out = pa.Table.from_arrays(key_arrays, schema=pa.schema(key_fields))
-        return out.append_column(out_col, joined)
+        return head.append_column(out_col, joined)
 
     return bucketed_bucket_map(
         ds.select_columns(cols), keys, bucket_body,
         num_buckets=num_buckets, driver_threshold=driver_threshold,
-        size_hint=size_hint,
+        size_hint=size_hint, empty_schema=empty_schema,
+        body_format="pyarrow",
     )
 
 

@@ -1054,6 +1054,33 @@ def test_grouped_string_agg_nullable_int_key_keeps_type():
                 blk.schema
 
 
+def test_grouped_string_agg_int_key_above_2_53_exact():
+    """A null-bearing bucket whose int64 keys exceed float64's exact
+    range must come out bit-exact — the Arrow bucket body never does a
+    pandas float round-trip (the old path raised here)."""
+    from knowledge_graph_ray.functions.agg import grouped_string_agg
+
+    big = 2 ** 60 + 1  # not representable in float64 (rounds to 2^60)
+    tbl_in = pa.table({
+        "k": pa.array([big, big, 2 ** 60, None], type=pa.int64()),
+        "o": pa.array([2, 1, 1, 1], type=pa.int64()),
+        "v": pa.array(["b", "a", "c", "d"], type=pa.string()),
+    })
+    import ray
+
+    out = grouped_string_agg(rd.from_arrow(tbl_in), ["k"], "v", ["o"])
+    tbl = pa.concat_tables(
+        [t for t in ray.get(out.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
+    # compare in Arrow: a pandas round-trip would float64-coerce the
+    # null-bearing int64 key and collapse 2^60+1 into 2^60
+    assert pa.types.is_integer(tbl.schema.field("k").type)
+    by_key = {k.as_py(): v.as_py()
+              for k, v in zip(tbl.column("k"), tbl.column("agg"))}
+    assert by_key == {big: "a,b", 2 ** 60: "c", None: "d"}
+
+
 def test_minhash_batch_signatures_match_single_doc_path():
     """The vectorized batch signer must be bit-identical to the kept
     per-doc reference path on every edge shape: null/empty text, docs
