@@ -163,7 +163,9 @@ def _cluster_component(
     return rows
 
 
-def _leaf_assignments(sub: pd.DataFrame, max_louvain_nodes: int):
+def _leaf_assignments(
+    sub: pd.DataFrame, max_louvain_nodes: int, max_cluster_size: int
+):
     """Per-component ordered-bisection leaf assignment, edge-free.
 
     The bisection branch of ``_cluster_component`` splits by SORTED node
@@ -175,6 +177,14 @@ def _leaf_assignments(sub: pd.DataFrame, max_louvain_nodes: int):
     it) of the first subgraph at or below the threshold, ``leaf_level``
     the recursion level that subgraph starts at.  Vectorized: one
     argsort + O(log(n/threshold)) numpy passes.
+
+    Descent gates mirror ``_cluster_component`` exactly: the ROOT
+    bisects iff n > max_louvain_nodes (recurse() is always entered for
+    the whole component), but a bisected CHILD is only descended into
+    when it is both > max_cluster_size (the ``recurse`` re-entry guard)
+    and > max_louvain_nodes (the bisection-vs-louvain branch) — without
+    the max_cluster_size term the two regimes diverge whenever
+    max_cluster_size > max_louvain_nodes.
     """
     import numpy as np
     import pyarrow as pa
@@ -196,7 +206,7 @@ def _leaf_assignments(sub: pd.DataFrame, max_louvain_nodes: int):
         r = np.where(hi, r - half, r)
         s = np.where(active, np.where(hi, s - half, half), s)
         leaf_level += active
-        active = s > max_louvain_nodes
+        active = (s > max_louvain_nodes) & (s > max_cluster_size)
         k += 1
     # decode (leaf_level, packed-bit) pairs into path strings once per
     # UNIQUE leaf (<= ~2*n/threshold of them), then gather
@@ -527,7 +537,8 @@ def _detect_communities_with_giants(
     leaves = (
         comp_g.groupby("component")
         .map_groups(
-            lambda g: _leaf_assignments(g, max_louvain_nodes),
+            lambda g: _leaf_assignments(g, max_louvain_nodes,
+                                        max_cluster_size),
             batch_format="pandas",
         )
         .union(comp_n.map_batches(_trivial_leaf, batch_format="pyarrow"))

@@ -138,13 +138,30 @@ def _crc32_of_strings(arr: pa.Array) -> np.ndarray:
     ]
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     lengths = np.diff(offsets)
-    crc = np.full(n, 0xFFFFFFFF, dtype=np.uint32)
-    for k in range(int(lengths.max())):
-        act = np.nonzero(lengths > k)[0]
-        byte = data[offsets[act] + k]
-        c = crc[act]
-        crc[act] = (c >> 8) ^ _CRC32_TABLE[(c ^ byte) & 0xFF]
-    return crc ^ np.uint32(0xFFFFFFFF)
+    # Sort by length so the still-active set at byte-position k is a
+    # contiguous SUFFIX — each iteration then costs O(active), making
+    # the whole loop truly O(total bytes).  (A scan of ALL strings per
+    # iteration would let one pathological multi-KB string make every
+    # short string pay max_len scans — review finding round 5.)
+    order = np.argsort(lengths, kind="stable")
+    lens_s = lengths[order]
+    offs_s = offsets[:-1][order]
+    # rare very-long strings (sorted tail) go through zlib's C kernel
+    # one-by-one — the byte-position loop would pay one Python-level
+    # iteration per byte of the longest string otherwise
+    long_start = int(np.searchsorted(lens_s, 1024, side="left"))
+    crc_s = np.full(long_start, 0xFFFFFFFF, dtype=np.uint32)
+    for k in range(int(lens_s[long_start - 1]) if long_start else 0):
+        start = np.searchsorted(lens_s[:long_start], k, side="right")
+        byte = data[offs_s[start:long_start] + k]
+        c = crc_s[start:]
+        crc_s[start:] = (c >> 8) ^ _CRC32_TABLE[(c ^ byte) & 0xFF]
+    out = np.empty(n, dtype=np.uint32)
+    out[order[:long_start]] = crc_s ^ np.uint32(0xFFFFFFFF)
+    for i in range(long_start, n):
+        o, ln = int(offs_s[i]), int(lens_s[i])
+        out[order[i]] = zlib.crc32(data[o : o + ln].tobytes())
+    return out
 
 
 class MinHasher:

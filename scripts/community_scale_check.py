@@ -70,7 +70,8 @@ def main(n_nodes: int, n_edges: int, ncpu: int) -> None:
     rng = np.random.RandomState(6969)
     ring = np.stack([np.arange(n_nodes), (np.arange(n_nodes) + 1) % n_nodes],
                     axis=1)
-    chords = rng.randint(0, n_nodes, size=(n_edges - n_nodes, 2))
+    chords = rng.randint(0, n_nodes,
+                         size=(max(0, n_edges - n_nodes), 2))
     pairs = np.concatenate([ring, chords])
     lo = pairs.min(axis=1)
     hi = pairs.max(axis=1)

@@ -1,65 +1,16 @@
-"""Re-pin dedup_ngram_jaccard (round-3 bench regression check).
-
-Runs the query in N fresh processes (fresh ray session each), each with
-bench.py's raw-CPU control, and prints one JSON line per run — the
-protocol BASELINE.md uses for control-qualified pins.
+"""Thin alias kept for BASELINE.md provenance: the round-4
+dedup_ngram_jaccard re-pin protocol now lives in the generalized
+``scripts/repin_query.py`` (same warm-up, control calibration,
+fresh-process runs, JSON-line output).  One copy of the protocol only —
+edit repin_query.py, not this file.
 
 Usage: python scripts/repin_ngram_jaccard.py [n_runs]
 """
-
-import json
-import os
 import subprocess
 import sys
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def worker() -> dict:
-    import time
-
-    import ray
-    import ray.data
-
-    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-             logging_level="ERROR")
-    ray.data.DataContext.get_current().enable_progress_bars = False
-    sys.path.insert(0, REPO)
-    from bench import _calibrate_raw_cpu, consume
-    from knowledge_graph_ray.pipelines import queries as Q
-
-    # warm page cache + worker pool (same discipline as bench.py)
-    ray.data.read_parquet(f"{sf}/documents.parquet").count()
-    consume(Q.dedup_exact(sf))
-
-    t0 = time.time()
-    consume(Q.dedup_ngram_jaccard(sf))
-    sec = time.time() - t0
-    out = {
-        "query": "dedup_ngram_jaccard",
-        "sec": round(sec, 3),
-        "sf_dir": sf,
-        "num_cpus": ncpu,
-        "raw_cpu_tasks_per_sec": round(_calibrate_raw_cpu(ncpu), 2),
-    }
-    ray.shutdown()
-    return out
-
-
-def main(n_runs: int) -> None:
-    for i in range(n_runs):
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker"],
-            capture_output=True, text=True, check=True, cwd=REPO,
-        )
-        print(r.stdout.strip().splitlines()[-1], flush=True)
-
-
 if __name__ == "__main__":
-    if "--worker" in sys.argv:
-        print(json.dumps(worker()))
-    else:
-        n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-        main(n)
+    n = sys.argv[1] if len(sys.argv) > 1 else "3"
+    raise SystemExit(subprocess.call(
+        [sys.executable, "scripts/repin_query.py", "dedup_ngram_jaccard", n]
+    ))

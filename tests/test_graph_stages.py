@@ -560,3 +560,42 @@ def test_detect_communities_giant_edgeless_half_parity():
         via_driver.sort_values(key).reset_index(drop=True),
         via_giant.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_detect_communities_giant_max_cluster_above_louvain_parity():
+    """Review finding (round 5, second pass): when max_cluster_size >
+    max_louvain_nodes the recursion stops descending at clusters
+    <= max_cluster_size, but the pre-split rank arithmetic used to keep
+    bisecting down to max_louvain_nodes — emitting extra deeper levels.
+    300-node ring, max_cluster_size=100 > max_louvain_nodes=40: the
+    driver path stops at levels 0-1 (600 rows) and the distributed path
+    must match exactly."""
+    import pyarrow as pa
+
+    from knowledge_graph_ray.stages.community import detect_communities
+
+    big = [f"R{i:04d}" for i in range(300)]
+    all_edges = [(big[i], big[(i + 1) % 300], 1.0) for i in range(300)]
+    names = sorted(big)
+    ents = ray.data.from_arrow(pa.Table.from_pydict({"name": names})).repartition(4)
+    rels = ray.data.from_arrow(pa.Table.from_pydict(
+        {
+            "src": [e[0] for e in all_edges],
+            "dst": [e[1] for e in all_edges],
+            "weight": [e[2] for e in all_edges],
+        }
+    )).repartition(4)
+    comps = connected_components(ents, rels, num_partitions=4).materialize()
+    kw = dict(max_cluster_size=100, num_partitions=4, use_lcc=False,
+              max_louvain_nodes=40)
+    via_driver = detect_communities(comps, rels, **kw).to_pandas()
+    via_giant = detect_communities(comps, rels, driver_threshold=0,
+                                   **kw).to_pandas()
+    key = ["level", "community", "name"]
+    pd.testing.assert_frame_equal(
+        via_driver.sort_values(key).reset_index(drop=True),
+        via_giant.sort_values(key).reset_index(drop=True),
+    )
+    # the recursion stops once halves are <= max_cluster_size: levels 0-1
+    assert sorted(via_giant.level.unique()) == [0, 1]
+    assert len(via_giant) == 600
