@@ -259,6 +259,7 @@ def build_knowledge_graph(
                     seed=cfg.seed,
                     use_lcc=cfg.use_lcc,
                     num_partitions=num_partitions,
+                    algorithm=cfg.clustering_algorithm,
                 ).materialize(),
             ]
         )
@@ -301,6 +302,7 @@ def build_knowledge_graph(
                 seed=cfg.seed,
                 use_lcc=cfg.use_lcc,
                 num_partitions=num_partitions,
+                algorithm=cfg.clustering_algorithm,
             ),
             "communities",
         )

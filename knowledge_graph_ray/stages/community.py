@@ -103,14 +103,32 @@ def _cluster_component(
     graph: nx.Graph, component: str, max_cluster_size: int, seed: int,
     max_louvain_nodes: int = MAX_LOUVAIN_COMPONENT_NODES,
     start_level: int = 0, start_path: str = "",
+    algorithm: str = "louvain",
 ) -> list[dict]:
-    """Hierarchical louvain: rows (level, community, name).
+    """Hierarchical louvain/leiden: rows (level, community, name).
 
     ``start_level``/``start_path`` let a caller resume the recursion
     below pre-computed bisection levels (the distributed giant-component
     path) — rows come out identical to a single recursion from the root.
+
+    ``algorithm``: "louvain" (networkx, the engine default — pinned
+    outputs) or "leiden" (functions/leiden.py, the reference's actual
+    algorithm per graspologic leiden.py:45-61; guarantees connected
+    communities and is 3-5x faster than networkx louvain at leaf scale,
+    BASELINE.md round 5).
     """
     import networkx as nx
+
+    if algorithm == "leiden":
+        from knowledge_graph_ray.functions.leiden import leiden_communities
+
+        def _partition(g):
+            return leiden_communities(g, weight="weight", seed=seed)
+    elif algorithm == "louvain":
+        def _partition(g):
+            return nx.community.louvain_communities(g, weight="weight", seed=seed)
+    else:
+        raise ValueError(f"unknown clustering algorithm: {algorithm!r}")
 
     rows: list[dict] = []
 
@@ -137,12 +155,7 @@ def _cluster_component(
         elif subgraph.number_of_nodes() <= 1 or subgraph.number_of_edges() == 0:
             clusters = [set(subgraph.nodes())] if subgraph.number_of_nodes() else []
         else:
-            clusters = [
-                set(c)
-                for c in nx.community.louvain_communities(
-                    subgraph, weight="weight", seed=seed
-                )
-            ]
+            clusters = [set(c) for c in _partition(subgraph)]
         if len(clusters) <= 1 and subgraph.number_of_nodes() > max_cluster_size:
             # no modularity split — force a deterministic bisection so the
             # hierarchy terminates (graspologic bisects internally too)
@@ -291,6 +304,7 @@ def detect_communities(
     clustering_num_cpus: float | None = None,
     clustering_memory: float | None = None,
     driver_threshold: int = 100_000,
+    algorithm: str = "louvain",
 ):
     """-> Dataset[(level:int, community:str, name:str)].
 
@@ -377,7 +391,7 @@ def detect_communities(
             g = _canonical_graph(sub["name"], triples)
             rows.extend(
                 _cluster_component(g, component, max_cluster_size, seed,
-                                   max_louvain_nodes)
+                                   max_louvain_nodes, algorithm=algorithm)
             )
         return rd.from_arrow(pa.Table.from_pylist(rows, schema=_community_schema()))
 
@@ -409,19 +423,22 @@ def detect_communities(
                 pc.greater(b.column("count()"), max_louvain_nodes)
             )
 
-        # bounded pull: at most total_nodes/max_louvain_nodes rows
+        # bounded pull: at most total_nodes/max_louvain_nodes rows.
+        # NB: an all-filtered (no-giant) result loses its schema through
+        # to_pandas() (Ray 2.49 empty-Dataset pitfall) — guard on empty
         giants_pdf = (
             components.groupby("component")
             .count()
             .map_batches(_only_giants, batch_format="pyarrow")
             .to_pandas()
         )
-        giants = sorted(giants_pdf["component"])
+        giants = ([] if giants_pdf.empty
+                  else sorted(giants_pdf["component"]))
 
     if giants:
         return _detect_communities_with_giants(
             components, relationships, giants, max_cluster_size, seed,
-            num_partitions, max_louvain_nodes, remote_args,
+            num_partitions, max_louvain_nodes, remote_args, algorithm,
         )
 
     # tag edges with the component of their src (dst is in the same component)
@@ -469,7 +486,8 @@ def detect_communities(
             zip(edges["src"], edges["dst"], edges["weight"]),
         )
         rows = _cluster_component(
-            g, component, max_cluster_size, seed, max_louvain_nodes
+            g, component, max_cluster_size, seed, max_louvain_nodes,
+            algorithm=algorithm,
         )
         return pa.Table.from_pylist(rows, schema=_community_schema())
 
@@ -481,7 +499,7 @@ def detect_communities(
 def _detect_communities_with_giants(
     components, relationships, giants: list, max_cluster_size: int,
     seed: int, num_partitions: int, max_louvain_nodes: int,
-    remote_args: dict,
+    remote_args: dict, algorithm: str = "louvain",
 ):
     """Distributed regime when >max_louvain_nodes components exist.
 
@@ -612,6 +630,7 @@ def _detect_communities_with_giants(
         rows = _cluster_component(
             g, component, max_cluster_size, seed, max_louvain_nodes,
             start_level=leaf_level, start_path=leaf_path,
+            algorithm=algorithm,
         )
         return pa.Table.from_pylist(rows, schema=_community_schema())
 
