@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     "stratified_sample_documents",
     "documents_kfold",
     "events_nth_value",
+    # round-5 additions (appended to keep per-query comparisons against
+    # BENCH_r04 aligned)
+    "tpch_shipping_priority",
+    "tpch_returned_customers",
+    "events_hour_value_regression",
+    "events_trailing_hour",
 ]
 
 

@@ -738,6 +738,79 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
     return sums.map_batches(finish, batch_format="pyarrow")
 
 
+def grouped_regression(ds, keys: list[str], x_col: str, y_col: str,
+                       slope_col: str = "slope",
+                       intercept_col: str = "intercept",
+                       num_buckets: int = 16,
+                       driver_threshold: "int | None" = 500_000):
+    """Per-group ordinary-least-squares line of y on x (SQL
+    REGR_SLOPE / REGR_INTERCEPT) from EXACT integer sums.
+
+    Same sufficient-statistics shape as grouped_corr: the five stats
+    (n, Σx, Σy, Σxy, Σx²) accumulate exactly in int64 through the
+    grouped_agg combiner — only keys x batches partial rows cross the
+    shuffle, never data rows — then
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+        intercept = (Σy − slope·Σx) / n
+
+    closes in one fixed float64 expression over the exact operands, so
+    it is bit-reproducible against a SQL oracle writing the same tree.
+    Groups with zero x-variance yield NULL for both (SQL REGR_SLOPE
+    semantics).  Same int64 exactness bound as grouped_corr: each batch
+    raises if an |x|·|y| product can exceed 2^62 — pre-scale upstream.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cols = list(dict.fromkeys(keys + [x_col, y_col]))
+
+    def expand(b: pa.Table) -> pa.Table:
+        x = b.column(x_col).cast(pa.int64())
+        y = b.column(y_col).cast(pa.int64())
+        if len(b):
+            mx = max(abs(pc.min(x).as_py() or 0), abs(pc.max(x).as_py() or 0))
+            my = max(abs(pc.min(y).as_py() or 0), abs(pc.max(y).as_py() or 0))
+            if max(mx * my, mx * mx) > 2 ** 62:
+                raise ValueError(
+                    "grouped_regression: |x|*|y| products can overflow "
+                    "int64; pre-scale the inputs (see docstring bound)"
+                )
+        out = {k: b.column(k) for k in keys}
+        out["x"] = x
+        out["y"] = y
+        out["xy"] = pc.multiply(x, y)
+        out["xx"] = pc.multiply(x, x)
+        return pa.table(out)
+
+    sums = grouped_agg(
+        ds.select_columns(cols).map_batches(expand, batch_format="pyarrow"),
+        keys,
+        [("n", None, "count"), ("sx", "x", "sum"), ("sy", "y", "sum"),
+         ("sxy", "xy", "sum"), ("sxx", "xx", "sum")],
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = b.column("sy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = b.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = n * sxx - sx * sx
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = (n * sxy - sx * sy) / denom
+            intercept = (sy - slope * sx) / n
+        valid = denom > 0
+        out = pa.table({k: b.column(k) for k in keys})
+        out = out.append_column(slope_col, pa.Array.from_pandas(
+            pd.Series(slope).where(pd.Series(valid)), type=pa.float64()))
+        return out.append_column(intercept_col, pa.Array.from_pandas(
+            pd.Series(intercept).where(pd.Series(valid)), type=pa.float64()))
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
 def unpivot(ds, id_cols: list[str], value_cols: list[str],
             name_col: str = "name", value_col: str = "value"):
     """UNPIVOT / melt: one output row per (input row x value column) —

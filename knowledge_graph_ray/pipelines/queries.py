@@ -3957,3 +3957,314 @@ def kg_prompt_tune(sf_dir: str):
 
 
 QUERIES["kg_prompt_tune"] = kg_prompt_tune
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: multi-table analytic join DAGs (the TPC-H Q3/Q10
+# shapes — semi-join pruning, aggregate-before-dimension-join), per-group
+# OLS regression from exact sufficient statistics, and the value-based
+# RANGE window frame.  All fully DuckDB-oracled.
+
+def tpch_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: BUILDING-segment customers' orders placed before
+    1998, revenue of lineitems shipped after 1998-01-01, top 10 orders.
+
+    Scale shape: the date predicates are pushed INTO the parquet read
+    (pyarrow dataset filter — pruned row groups never leave storage);
+    the customer segment filter reaches orders as a left_semi hash_join
+    (only o_custkey crosses the wire); lineitem (the big side) is the
+    probe side of one partitioned hash_join; the groupby runs on the
+    per-batch combiner so only (order x batch) partials shuffle."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    cutoff = datetime.datetime(1998, 1, 1)
+    building = project(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
+            filter=pads.field("c_mktsegment") == "BUILDING",
+        ).select_columns(["c_custkey"]),
+        {"c_custkey": "o_custkey"},
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cutoff,
+    )
+
+    def date_to_s(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("o_custkey"),
+            "o_orderdate_s": pc.divide(
+                batch.column("o_orderdate").cast(pa.int64()), 1_000_000
+            ).cast(pa.int64()),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+
+    orders_sub = hash_join(
+        orders.map_batches(date_to_s, batch_format="pyarrow"), building,
+        on=["o_custkey"], how="left_semi",
+    ).drop_columns(["o_custkey"])
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > cutoff,
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"o_orderkey": batch.column("l_orderkey"), "rev": r})
+
+    joined = hash_join(line.map_batches(rev, batch_format="pyarrow"),
+                       orders_sub, on=["o_orderkey"], how="inner")
+    agg = grouped_agg(
+        joined, ["o_orderkey", "o_orderdate_s", "o_orderpriority"],
+        [("revenue", "rev", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "revenue_cents": scaled_int_column(batch.column("revenue"),
+                                               100.0),
+            "o_orderdate_s": batch.column("o_orderdate_s"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+TPCH_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey AS o_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue_cents,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def tpch_returned_customers(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue of RETURNED items.
+
+    Scale shape: aggregate-before-dimension-join — lineitem x orders is
+    reduced to one row per customer BEFORE any dimension attaches, so
+    the customer and nation joins see customer-cardinality inputs, not
+    fact rows; the returnflag predicate is pushed into the parquet
+    read."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"o_orderkey": batch.column("l_orderkey"), "rev": r})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    joined = hash_join(line.map_batches(rev, batch_format="pyarrow"),
+                       orders, on=["o_orderkey"], how="inner")
+    per_cust = grouped_agg(joined.select_columns(["o_custkey", "rev"]),
+                           ["o_custkey"], [("revenue", "rev", "sum")])
+
+    customer = project(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name", "c_acctbal",
+                                 "c_nationkey"]),
+        {"c_custkey": "o_custkey", "c_name": "c_name",
+         "c_acctbal": "c_acctbal", "c_nationkey": "n_nationkey"},
+    )
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    dims = hash_join(per_cust, customer, on=["o_custkey"], how="inner")
+    full = hash_join(dims, nation, on=["n_nationkey"], how="inner")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("o_custkey"),
+            "c_name": batch.column("c_name"),
+            "n_name": batch.column("n_name"),
+            "acctbal_cents": scaled_int_column(batch.column("c_acctbal"),
+                                               100.0),
+            "revenue_cents": scaled_int_column(batch.column("revenue"),
+                                               100.0),
+        })
+
+    return (
+        full.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+TPCH_RETURNED_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def events_hour_value_regression(sf_dir: str):
+    """Per-event-type OLS line of cents on hour-of-day
+    (functions/agg.grouped_regression): five exact int64 sufficient
+    statistics through the combiner, one fixed float64 closing
+    expression — e6 fixed point for the hash compare."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_regression
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        hour = pc.subtract(
+            pc.divide(ts_s, 3600),
+            pc.multiply(pc.divide(pc.divide(ts_s, 3600), 24),
+                        pa.scalar(24, pa.int64())),
+        )
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "hour": hour.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    reg = grouped_regression(prepped, ["event_type"], "hour", "cents")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "slope_e6": scaled_int_column(batch.column("slope"), 1e6),
+            "intercept_e6": scaled_int_column(batch.column("intercept"), 1e6),
+        })
+
+    return reg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOUR_VALUE_REGRESSION_SQL = """
+WITH e AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(hour) AS DOUBLE) AS sx,
+         CAST(sum(cents) AS DOUBLE) AS sy,
+         CAST(sum(hour * cents) AS DOUBLE) AS sxy,
+         CAST(sum(hour * hour) AS DOUBLE) AS sxx
+  FROM e GROUP BY event_type
+)
+SELECT event_type,
+       CAST(round(
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6
+       ) AS BIGINT) AS slope_e6,
+       CAST(round(
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1e6
+       ) AS BIGINT) AS intercept_e6
+FROM s
+"""
+
+
+def events_trailing_hour(sf_dir: str):
+    """Value-based RANGE window frame (stages/ranking.window_range_agg):
+    per event, the SUM/COUNT/AVG of cents over the same user's trailing
+    hour [ts-1h, ts] — peers at the exact same timestamp included like
+    SQL RANGE CURRENT ROW.  One shuffle on user_id, two searchsorted
+    calls per bucket, no per-key loop."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.stages.ranking import window_range_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    return window_range_agg(
+        prepped, key="user_id", order_col="ts_s", value_col="cents",
+        range_preceding=3600, id_cols=["event_id"],
+        sum_col="hr_sum_cents", n_col="hr_n", avg_col="hr_avg_cents",
+        driver_threshold=500_000, size_hint=events.count(),
+    )
+
+
+EVENTS_TRAILING_HOUR_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts_s, event_id, cents,
+       CAST(sum(cents) OVER w AS BIGINT) AS hr_sum_cents,
+       CAST(count(*) OVER w AS BIGINT) AS hr_n,
+       CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w
+         AS hr_avg_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+QUERIES["tpch_shipping_priority"] = tpch_shipping_priority
+QUERIES["tpch_returned_customers"] = tpch_returned_customers
+QUERIES["events_hour_value_regression"] = events_hour_value_regression
+QUERIES["events_trailing_hour"] = events_trailing_hour
+ORACLE_SQL["tpch_shipping_priority"] = TPCH_SHIPPING_PRIORITY_SQL
+ORACLE_SQL["tpch_returned_customers"] = TPCH_RETURNED_CUSTOMERS_SQL
+ORACLE_SQL["events_hour_value_regression"] = EVENTS_HOUR_VALUE_REGRESSION_SQL
+ORACLE_SQL["events_trailing_hour"] = EVENTS_TRAILING_HOUR_SQL

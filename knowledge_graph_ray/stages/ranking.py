@@ -436,6 +436,78 @@ def window_moving_agg(ds, key: str, order_cols: list[str], value_col: str,
     )
 
 
+def window_range_agg(ds, key: str, order_col: str, value_col: str,
+                     range_preceding: int, id_cols: list[str] | None = None,
+                     sum_col: str = "range_sum", n_col: str = "range_n",
+                     avg_col: str = "range_avg", num_buckets: int = 64,
+                     driver_threshold: int | None = None,
+                     size_hint: int | None = None):
+    """SUM/COUNT/AVG OVER (PARTITION BY key ORDER BY order_col RANGE
+    BETWEEN range_preceding PRECEDING AND CURRENT ROW) — the VALUE-based
+    window frame (vs window_moving_agg's ROW-count frame): each row
+    aggregates every partition row whose ``order_col`` lies in
+    ``[t - range_preceding, t]``, INCLUDING peers of the current row
+    that sort after it (SQL RANGE end-bound CURRENT ROW means "last
+    peer", not "this row") — the sliding time-window shape
+    (events in the trailing hour, bytes in the trailing minute).
+
+    Fully vectorized across keys with ONE searchsorted per bound: after
+    the per-bucket sort by (key, order_col), rows are embedded on a
+    single non-decreasing composite axis ``code(key) * spacing + t`` with
+    ``spacing > (t_max - t_min) + range_preceding`` so no frame can cross
+    a key boundary; the frame start/end indices for ALL rows are then two
+    ``np.searchsorted`` calls over that axis, and sums are exclusive
+    prefix-sum differences — O(rows log rows) per bucket, no per-key
+    Python loop, frame width free.
+
+    ``order_col`` and ``value_col`` must be non-null int64 (scale
+    timestamps to epoch seconds and floats to cents upstream) so the
+    prefix sums are exact; the average is the exact int sum IEEE-divided
+    by the exact frame count — the same two operands SQL divides.
+    """
+    assert range_preceding >= 0
+    id_cols = id_cols or []
+    cols = list(dict.fromkeys([key, order_col] + id_cols + [value_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_values([key, order_col], kind="stable")
+        out = g[cols].copy()
+        n = len(g)
+        if n == 0:
+            return pa.Table.from_pandas(out, preserve_index=False)
+        codes, _ = pd.factorize(g[key], use_na_sentinel=False)
+        t = g[order_col].to_numpy(dtype="int64")
+        t0 = int(t.min())
+        spacing = int(t.max()) - t0 + range_preceding + 2
+        if int(codes[-1]) * spacing > 2 ** 62:
+            # composite axis would overflow int64 — coarsen the order
+            # column upstream (epoch seconds, not microseconds)
+            raise ValueError(
+                "window_range_agg: order range x key count overflows the "
+                "composite axis; scale order_col to a coarser unit"
+            )
+        comp = codes.astype("int64") * spacing + (t - t0)
+        # frame start: first index >= t - range_preceding (same key);
+        # frame end: one past the LAST PEER (rows with equal order value)
+        lo = np.searchsorted(comp, comp - range_preceding, side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        cum = np.concatenate(
+            ([0], np.cumsum(g[value_col].to_numpy(dtype="int64")))
+        )
+        out[sum_col] = cum[hi] - cum[lo]
+        out[n_col] = hi - lo
+        out[avg_col] = out[sum_col].to_numpy(dtype="float64") / out[n_col]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )
+
+
 def _partition_bounds(g: pd.DataFrame, key: str):
     """(starts, sizes, gidx) of the key-partitions of a frame already
     sorted by key: ``starts[i]``/``sizes[i]`` bound partition i,

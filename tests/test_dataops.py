@@ -1120,3 +1120,38 @@ def test_minhash_batch_signatures_match_single_doc_path():
     bl = m._signatures_batch(pa.array(low))
     for i in range(64):
         assert (bl[i] == m.signature(low[i])).all(), i
+
+
+def test_grouped_regression_matches_numpy_and_zero_variance():
+    from knowledge_graph_ray.functions.agg import grouped_regression
+
+    rng = np.random.default_rng(17)
+    n = 500
+    x = rng.integers(0, 24, n)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], n),
+        "x": x,
+        "y": (x * 5 + rng.integers(-30, 30, n)).astype("int64"),
+    })
+    const = pd.DataFrame({"g": ["c"] * 4, "x": [7] * 4, "y": [1, 2, 3, 4]})
+    ds = rd.from_pandas(pd.concat([df, const], ignore_index=True)) \
+        .repartition(4)
+    got = (grouped_regression(ds, ["g"], "x", "y").to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    for grp in ("a", "b"):
+        sub = df[df.g == grp]
+        slope_exp, intercept_exp = np.polyfit(sub.x, sub.y, 1)
+        row = got[got.g == grp].iloc[0]
+        assert abs(row.slope - slope_exp) < 1e-9
+        assert abs(row.intercept - intercept_exp) < 1e-9
+    # zero x-variance group -> NULL slope AND intercept (REGR_SLOPE)
+    crow = got[got.g == "c"].iloc[0]
+    assert pd.isna(crow.slope) and pd.isna(crow.intercept)
+
+
+def test_grouped_regression_overflow_guard():
+    from knowledge_graph_ray.functions.agg import grouped_regression
+
+    df = pd.DataFrame({"g": ["a"], "x": [2 ** 32], "y": [2 ** 32]})
+    with pytest.raises(Exception, match="overflow|pre-scale"):
+        grouped_regression(rd.from_pandas(df), ["g"], "x", "y").materialize()

@@ -415,3 +415,80 @@ def test_window_nth_value_block_dtype_stable_across_buckets():
         blk = ray.get(ref)
         if len(blk):
             assert blk.schema.field("second").type == pa.int64(), blk.schema
+
+
+def test_window_range_agg_matches_brute_force():
+    from knowledge_graph_ray.stages.ranking import window_range_agg
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "rid": np.arange(n, dtype="int64"),
+        "k": rng.choice(["a", "b", "hot"], n, p=[0.2, 0.2, 0.6]),
+        # coarse grid so duplicate timestamps (RANGE peers) occur
+        "t": rng.integers(0, 60, n).astype("int64") * 10,
+        "v": rng.integers(-50, 50, n).astype("int64"),
+    })
+    got = (
+        window_range_agg(rd.from_pandas(df).repartition(8), key="k",
+                         order_col="t", value_col="v", range_preceding=100,
+                         id_cols=["rid"], sum_col="s", n_col="c",
+                         avg_col="m")
+        .to_pandas().sort_values(["rid"]).reset_index(drop=True)
+    )
+    # brute force: every same-key row with t' in [t-100, t] — INCLUDING
+    # peers at exactly t (SQL RANGE CURRENT ROW = last peer)
+    for _, row in df.sample(80, random_state=0).iterrows():
+        mask = (df.k == row.k) & (df.t >= row.t - 100) & (df.t <= row.t)
+        gr = got[got.rid == row.rid].iloc[0]
+        assert gr.s == df.v[mask].sum(), row.rid
+        assert gr.c == mask.sum()
+        assert gr.m == gr.s / gr.c
+
+
+def test_window_range_agg_matches_duckdb_range_frame():
+    import duckdb
+
+    from knowledge_graph_ray.stages.ranking import window_range_agg
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "rid": np.arange(300, dtype="int64"),
+        "k": rng.integers(0, 12, 300).astype("int64"),
+        "t": rng.integers(0, 40, 300).astype("int64"),
+        "v": rng.integers(0, 100, 300).astype("int64"),
+    })
+    got = (
+        window_range_agg(rd.from_pandas(df), key="k", order_col="t",
+                         value_col="v", range_preceding=7, id_cols=["rid"],
+                         sum_col="s", n_col="c", avg_col="m")
+        .to_pandas().sort_values(["rid", "s"]).reset_index(drop=True)
+    )
+    exp = duckdb.sql("""
+        SELECT rid, CAST(sum(v) OVER w AS BIGINT) AS s,
+               CAST(count(*) OVER w AS BIGINT) AS c
+        FROM df
+        WINDOW w AS (PARTITION BY k ORDER BY t
+                     RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
+    """).df().sort_values(["rid", "s"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["rid", "s", "c"]], exp,
+                                  check_dtype=False)
+
+
+def test_window_range_agg_overflow_guard():
+    import pytest as _pytest
+
+    from knowledge_graph_ray.stages.ranking import window_range_agg
+
+    # huge order range x many keys -> composite axis would overflow
+    df = pd.DataFrame({
+        "k": np.arange(1000, dtype="int64"),
+        "t": np.array([0] * 999 + [2 ** 53], dtype="int64"),
+        "v": np.ones(1000, dtype="int64"),
+    })
+    # num_buckets=1 so every key lands in one bucket body (the guard is
+    # per-bucket — that's the only place the composite axis exists)
+    with _pytest.raises(Exception, match="composite axis|overflow"):
+        window_range_agg(rd.from_pandas(df), key="k", order_col="t",
+                         value_col="v", range_preceding=10,
+                         num_buckets=1).materialize()
