@@ -4268,3 +4268,62 @@ ORACLE_SQL["tpch_shipping_priority"] = TPCH_SHIPPING_PRIORITY_SQL
 ORACLE_SQL["tpch_returned_customers"] = TPCH_RETURNED_CUSTOMERS_SQL
 ORACLE_SQL["events_hour_value_regression"] = EVENTS_HOUR_VALUE_REGRESSION_SQL
 ORACLE_SQL["events_trailing_hour"] = EVENTS_TRAILING_HOUR_SQL
+
+
+def similarity_topk_lsh(sf_dir: str):
+    """Rows-only: LSH-bucketed ANN variant of similarity_topk — sign
+    random projections (stages/similarity.lsh_assign), multiprobe
+    bit-flip buckets ordered by hyperplane margin.  Unlike IVF the
+    bucketer needs no training pass: planes are a pure (dim, seed)
+    function, so incremental corpora bucket consistently."""
+    from knowledge_graph_ray.stages.similarity import (
+        lsh_assign,
+        lsh_planes,
+        lsh_topk,
+    )
+
+    emb = _emb(sf_dir)
+    planes = lsh_planes(dim=64, n_bits=4, seed=6969)
+    assigned = lsh_assign(emb, planes).materialize()
+    return lsh_topk(assigned, planes, _query_vector(sf_dir), k=10, nprobe=4)
+
+
+def similarity_lsh_recall(sf_dir: str):
+    """SQL-gated recall floor for the LSH path (same pattern as
+    similarity_ivf_recall): multiprobe top-10 at nprobe=12/16 buckets
+    must recover >= 80% of the brute-force top-10 — deterministic
+    (seeded planes, fixed query).  A silent recall collapse FAILS the
+    driver, not just a pytest."""
+    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.stages.similarity import (
+        brute_force_topk,
+        lsh_assign,
+        lsh_planes,
+        lsh_topk,
+    )
+
+    emb = _emb(sf_dir)
+    exact = project(brute_force_topk(emb, _query_vector(sf_dir), k=10),
+                    ["vec_id"])
+    planes = lsh_planes(dim=64, n_bits=4, seed=6969)
+    assigned = lsh_assign(emb, planes).materialize()
+    approx = project(
+        lsh_topk(assigned, planes, _query_vector(sf_dir), k=10, nprobe=12),
+        ["vec_id"],
+    )
+    overlap = hash_join(exact, approx, on=["vec_id"], how="left_semi")
+    n = overlap.count()
+    ok = 1 if n >= 8 else 0
+    return pa.table({
+        "ok": pa.array([ok], type=pa.int64()),
+        "recall_floor_met": pa.array([ok], type=pa.int64()),
+    })
+
+
+SIMILARITY_LSH_RECALL_SQL = """
+SELECT CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS recall_floor_met
+"""
+
+QUERIES["similarity_topk_lsh"] = similarity_topk_lsh
+QUERIES["similarity_lsh_recall"] = similarity_lsh_recall
+ORACLE_SQL["similarity_lsh_recall"] = SIMILARITY_LSH_RECALL_SQL

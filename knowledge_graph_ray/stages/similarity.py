@@ -8,11 +8,13 @@ and emits its LOCAL top-k per query, then a small
 top-k.  Shuffle volume is O(num_queries * k * num_blocks), independent
 of corpus size.
 
-Scale path: IVF — a coarse centroid codebook (seeded kmeans-lite trained
-on a sample) assigns every vector to its nearest centroid in one pass;
-queries probe only the ``nprobe`` nearest centroid buckets.  The
+Scale paths: IVF — a coarse centroid codebook (seeded kmeans-lite
+trained on a sample) assigns every vector to its nearest centroid in one
+pass; queries probe only the ``nprobe`` nearest centroid buckets.  The
 assignment column also serves as the bucket key for
-dedup.embedding_near_dup_pairs.
+dedup.embedding_near_dup_pairs.  And sign-LSH — training-free random
+hyperplane buckets with margin-ordered multiprobe (lsh_assign/lsh_topk);
+both share one probe-scan kernel (_probe_topk).
 """
 
 from __future__ import annotations
@@ -157,13 +159,23 @@ def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
     q = _unit(np.asarray(queries, dtype=np.float64))
     c = _unit(np.asarray(centroids, dtype=np.float64))
     probes = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    wanted = sorted({int(b) for row in probes for b in row})
+    probe_sets = [set(int(b) for b in row) for row in probes]
+    return _probe_topk(ds_assigned, "ivf_bucket", probe_sets, q, k,
+                       vec_column, id_column)
+
+
+def _probe_topk(ds_assigned, bucket_col: str, probe_sets: list,
+                q: np.ndarray, k: int,
+                vec_column: str = "embedding", id_column: str = "vec_id"):
+    """Shared bucketed-ANN scan (IVF and LSH): drop rows outside every
+    probed bucket at the scan, local top-k per batch restricted to each
+    query's probe set, one small merge per query."""
+    wanted = sorted({int(b) for s in probe_sets for b in s})
     filtered = ds_assigned.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t.column("ivf_bucket"),
+        lambda t: t.filter(pa.compute.is_in(t.column(bucket_col),
                                             value_set=pa.array(wanted, type=pa.int32()))),
         batch_format="pyarrow",
     )
-    probe_sets = [set(int(b) for b in row) for row in probes]
     import ray
 
     q_ref = ray.put(q)
@@ -174,7 +186,7 @@ def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
         probe_s = ray.get(probe_ref)
         ids = [str(i) for i in batch.column(id_column).to_pylist()]
         id_key = _id_sort_key(ids)
-        buckets = batch.column("ivf_bucket").to_pylist()
+        buckets = batch.column(bucket_col).to_pylist()
         mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
         sims = q_m @ mat.T
         rows = []
@@ -211,6 +223,76 @@ def ivf_topk(ds_assigned, centroids: np.ndarray, queries: np.ndarray,
         return pa.Table.from_pandas(top, preserve_index=False)
 
     return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def lsh_planes(dim: int, n_bits: int = 4, seed: int = 6969) -> np.ndarray:
+    """Seeded random hyperplanes for sign-LSH: (n_bits, dim) gaussian
+    rows.  Unlike the IVF codebook this needs NO training pass over the
+    data — the planes are a pure function of (dim, seed), so every
+    worker can regenerate them and incremental corpora bucket
+    consistently forever (the classic LSH operational advantage)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_assign(ds, planes: np.ndarray, vec_column: str = "embedding",
+               bucket_col: str = "lsh_bucket"):
+    """Add a sign-LSH bucket column: bit i of the bucket id is
+    ``sign(v . plane_i)`` — one broadcast matmul per batch, int32
+    buckets in [0, 2^n_bits)."""
+    import ray
+
+    p_ref = ray.put(np.asarray(planes, dtype=np.float64))
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        p = ray.get(p_ref)  # node-local cached
+        mat = _as_matrix(batch.column(vec_column).to_pylist())
+        bits = (mat @ p.T) >= 0  # (B, n_bits)
+        bucket = (bits << np.arange(p.shape[0])).sum(axis=1).astype(np.int32)
+        return batch.append_column(bucket_col,
+                                   pa.array(bucket, type=pa.int32()))
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow",
+                          batch_size=4096)
+
+
+def lsh_probe_sets(queries: np.ndarray, planes: np.ndarray,
+                   nprobe: int = 4) -> list:
+    """Multiprobe bucket sets per query: rank ALL bit-flip masks by the
+    summed |margin| of the flipped hyperplanes (flipping a plane the
+    query barely cleared is cheap; flipping a decisive one is
+    expensive) and take the ``nprobe`` cheapest — the standard
+    multiprobe-LSH perturbation order.  Enumerates 2^n_bits masks, so
+    n_bits must stay small (<= 16); bucketed ANN wants few, fat buckets
+    anyway."""
+    p = np.asarray(planes, dtype=np.float64)
+    n_bits = p.shape[0]
+    assert n_bits <= 16, "enumerated multiprobe needs n_bits <= 16"
+    q = np.asarray(queries, dtype=np.float64)
+    margins = np.abs(q @ p.T)  # (Q, n_bits)
+    bits = (q @ p.T) >= 0
+    base = (bits << np.arange(n_bits)).sum(axis=1).astype(np.int64)
+    masks = np.arange(2 ** n_bits, dtype=np.int64)
+    # cost[mask] per query = sum of margins of the set bits in mask
+    mask_bits = ((masks[:, None] >> np.arange(n_bits)) & 1).astype(bool)
+    sets = []
+    for qi in range(len(q)):
+        costs = mask_bits @ margins[qi]
+        order = np.argsort(costs, kind="stable")[:nprobe]
+        sets.append({int(base[qi] ^ masks[m]) for m in order})
+    return sets
+
+
+def lsh_topk(ds_assigned, planes: np.ndarray, queries: np.ndarray,
+             k: int = 10, nprobe: int = 4,
+             vec_column: str = "embedding", id_column: str = "vec_id"):
+    """Approximate top-k over sign-LSH buckets (the LSH-bucketed ANN
+    variant next to IVF): multiprobe the ``nprobe`` cheapest bit-flip
+    buckets per query, then the shared probe-scan + merge."""
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    probe_sets = lsh_probe_sets(q, planes, nprobe=nprobe)
+    return _probe_topk(ds_assigned, "lsh_bucket", probe_sets, q, k,
+                       vec_column, id_column)
 
 
 def vector_centroids(ds, group_col: str = "label",

@@ -1155,3 +1155,51 @@ def test_grouped_regression_overflow_guard():
     df = pd.DataFrame({"g": ["a"], "x": [2 ** 32], "y": [2 ** 32]})
     with pytest.raises(Exception, match="overflow|pre-scale"):
         grouped_regression(rd.from_pandas(df), ["g"], "x", "y").materialize()
+
+
+def test_lsh_topk_recall_and_full_probe_exactness():
+    emb = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    planes = similarity.lsh_planes(dim=mat.shape[1], n_bits=4, seed=6969)
+    assigned = similarity.lsh_assign(emb, planes).materialize()
+    buckets = assigned.to_pandas()["lsh_bucket"]
+    assert buckets.nunique() > 1
+    assert buckets.between(0, 15).all()
+    queries = mat[:3]
+    exact = similarity.brute_force_topk(emb, queries, k=5).to_pandas()
+    # probing ALL 16 buckets must equal brute force exactly
+    full = similarity.lsh_topk(assigned, planes, queries, k=5,
+                               nprobe=16).to_pandas()
+    for qi in range(3):
+        f = full[full.query_id == qi].sort_values("rk").vec_id.tolist()
+        e = exact[exact.query_id == qi].sort_values("rk").vec_id.tolist()
+        assert f == e, qi
+    # multiprobe at 12/16 buckets keeps recall high
+    approx = similarity.lsh_topk(assigned, planes, queries, k=5,
+                                 nprobe=12).to_pandas()
+    recalls = []
+    for qi in range(3):
+        a = set(approx[approx.query_id == qi].vec_id)
+        e = set(exact[exact.query_id == qi].vec_id)
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_lsh_probe_sets_margin_order():
+    rng = np.random.default_rng(2)
+    planes = similarity.lsh_planes(dim=8, n_bits=4, seed=1)
+    q = rng.standard_normal((2, 8))
+    sets = similarity.lsh_probe_sets(q, planes, nprobe=3)
+    margins = np.abs(q @ planes.T)
+    bits = (q @ planes.T) >= 0
+    base = (bits << np.arange(4)).sum(axis=1)
+    for qi in range(2):
+        s = sets[qi]
+        assert len(s) == 3 and int(base[qi]) in s
+        # the two non-base probes are single flips of the two
+        # smallest-margin planes (no double flip can be cheaper)
+        cheap = np.argsort(margins[qi])[:2]
+        expected = {int(base[qi]), int(base[qi]) ^ (1 << int(cheap[0])),
+                    int(base[qi]) ^ (1 << int(cheap[1]))}
+        assert s == expected, (s, expected)
