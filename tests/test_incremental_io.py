@@ -327,3 +327,45 @@ def test_graph_diff_artifacts(tmp_path):
 
     got = pq.read_table(str(out / "new_entities")).to_pandas()
     assert got["name"].tolist() == ["D"]
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_skew_join_equals_hash_join_on_hot_key(how):
+    from knowledge_graph_ray.functions.joins import skew_join
+
+    rng = np.random.RandomState(7)
+    # 90% of left rows share one hot key; right has multi-row matches
+    # for some keys and misses for others (exercises left_outer nulls)
+    keys = np.where(rng.rand(2000) < 0.9, 1,
+                    rng.randint(2, 40, 2000)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "x": np.arange(2000, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": np.r_[np.array([1, 1]), np.arange(2, 30)].astype(np.int64),
+        "y": np.arange(30, dtype=np.int64),
+    })
+    got = skew_join(
+        rd.from_pandas(left).repartition(8), rd.from_pandas(right),
+        on=["k"], how=how, hot_min_rows=100, num_partitions=8,
+    ).to_pandas()
+    exp = hash_join(
+        rd.from_pandas(left).repartition(8), rd.from_pandas(right),
+        on=["k"], how=how, num_partitions=8,
+    ).to_pandas()
+    key = ["k", "x", "y"]
+    g = got.sort_values(key, na_position="last").reset_index(drop=True)
+    e = exp.sort_values(key, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g[key], e[key], check_dtype=False)
+
+
+def test_skew_join_no_hot_key_falls_back():
+    from knowledge_graph_ray.functions.joins import skew_join
+
+    left = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                         "x": np.arange(50, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 100, 2, dtype=np.int64),
+                          "y": np.arange(50, dtype=np.int64)})
+    got = skew_join(rd.from_pandas(left), rd.from_pandas(right), on=["k"],
+                    hot_min_rows=1000).to_pandas()
+    exp = left.merge(right, on="k", how="inner")
+    assert len(got) == len(exp)
+    assert sorted(got.k) == sorted(exp.k)
