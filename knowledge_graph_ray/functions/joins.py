@@ -483,3 +483,67 @@ def skew_join(left, right, on: list[str] | tuple[str, ...],
         on=on, how=how, num_partitions=num_partitions,
     )
     return hot_result.union(cold_result)
+
+
+def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
+                       how: str = "inner", broadcast_max: int = 1_000_000,
+                       right_size_hint: "int | None" = None,
+                       num_partitions: int = 32):
+    """hash_join semantics with the size-adaptive broadcast fast path.
+
+    When the right side is provably small (``right_size_hint`` or one
+    streaming count <= ``broadcast_max`` rows) it is collected once,
+    broadcast via ``ray.put``, and joined vectorized inside a stateless
+    ``map_batches`` over left — ZERO shuffle, left never repartitions.
+    Otherwise the ordinary partitioned ``hash_join`` runs.  Same output
+    row-set in both regimes (the broadcast body is the same pandas
+    merge/isin the bucket body runs).
+
+    The probe cost on the slow path is one extra streaming count of
+    right; pass ``right_size_hint`` when the caller already knows the
+    bound (the repo's standard probe-skip convention).
+    """
+    assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
+    import ray
+
+    on = list(on)
+    n_right = right_size_hint if right_size_hint is not None else right.count()
+    if n_right > broadcast_max:
+        return hash_join(left, right, on=on, how=how,
+                         num_partitions=num_partitions)
+
+    filter_only = how in ("left_semi", "left_anti")
+    left_schema, left = dataset_schema(left)
+    if filter_only:
+        rhs_df = right.select_columns(on).to_pandas().drop_duplicates()
+        out_fields = [left_schema.field(c) for c in left_schema.names]
+    else:
+        right_schema, right = dataset_schema(right)
+        right_payload = [c for c in right_schema.names if c not in on]
+        overlap = set(left_schema.names) & set(right_payload)
+        assert not overlap, f"rename right columns before joining: {overlap}"
+        rhs_df = right.to_pandas()[on + right_payload]
+        out_fields = [left_schema.field(c) for c in left_schema.names] + [
+            right_schema.field(c) for c in right_payload
+        ]
+    out_schema = pa.schema(out_fields)
+    rhs_ref = ray.put(rhs_df)
+
+    def body(batch: pa.Table) -> pa.Table:
+        rhs = ray.get(rhs_ref)  # node-local cached
+        lhs = batch.to_pandas()
+        if filter_only:
+            mask = pd.MultiIndex.from_frame(lhs[on]).isin(
+                pd.MultiIndex.from_frame(rhs[on])
+            )
+            merged = lhs[mask] if how == "left_semi" else lhs[~mask]
+        else:
+            merged = lhs.merge(
+                rhs, on=on, how="left" if how == "left_outer" else "inner"
+            )
+        return pa.Table.from_arrays(
+            [_to_arrow_col(merged[f.name], f) for f in out_fields],
+            schema=out_schema,
+        )
+
+    return left.map_batches(body, batch_format="pyarrow")

@@ -3971,17 +3971,24 @@ def tpch_shipping_priority(sf_dir: str):
 
     Scale shape: the date predicates are pushed INTO the parquet read
     (pyarrow dataset filter — pruned row groups never leave storage);
-    the customer segment filter reaches orders as a left_semi hash_join
-    (only o_custkey crosses the wire); lineitem (the big side) is the
-    probe side of one partitioned hash_join; the groupby runs on the
-    per-batch combiner so only (order x batch) partials shuffle."""
+    the customer segment filter reaches orders as a zero-shuffle
+    bloom_semi_join (broadcast key set at this cardinality, Bloom +
+    exact residual above it); the lineitem x orders join is
+    size-adaptive (broadcast the filtered orders while they fit,
+    partitioned hash_join above) — at THIS scale the whole query runs
+    with zero all-to-all exchanges; the groupby runs on the per-batch
+    combiner so only (order x batch) partials would shuffle."""
     import datetime
 
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     from knowledge_graph_ray.functions.agg import grouped_agg
-    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.functions.joins import (
+        bloom_semi_join,
+        project,
+        size_adaptive_join,
+    )
 
     cutoff = datetime.datetime(1998, 1, 1)
     building = project(
@@ -4007,7 +4014,7 @@ def tpch_shipping_priority(sf_dir: str):
             "o_orderpriority": batch.column("o_orderpriority"),
         })
 
-    orders_sub = hash_join(
+    orders_sub = bloom_semi_join(
         orders.map_batches(date_to_s, batch_format="pyarrow"), building,
         on=["o_custkey"], how="left_semi",
     ).drop_columns(["o_custkey"])
@@ -4025,8 +4032,10 @@ def tpch_shipping_priority(sf_dir: str):
         )
         return pa.table({"o_orderkey": batch.column("l_orderkey"), "rev": r})
 
-    joined = hash_join(line.map_batches(rev, batch_format="pyarrow"),
-                       orders_sub, on=["o_orderkey"], how="inner")
+    joined = size_adaptive_join(
+        line.map_batches(rev, batch_format="pyarrow"), orders_sub,
+        on=["o_orderkey"], how="inner", broadcast_max=BROADCAST_KEYS_MAX,
+    )
     agg = grouped_agg(
         joined, ["o_orderkey", "o_orderdate_s", "o_orderpriority"],
         [("revenue", "rev", "sum")],
@@ -4073,12 +4082,17 @@ def tpch_returned_customers(sf_dir: str):
     reduced to one row per customer BEFORE any dimension attaches, so
     the customer and nation joins see customer-cardinality inputs, not
     fact rows; the returnflag predicate is pushed into the parquet
-    read."""
+    read; every join is size-adaptive (zero-shuffle broadcast while the
+    right side fits, partitioned hash_join above — at 100x all three
+    flip regimes independently)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
     from knowledge_graph_ray.functions.agg import grouped_agg
-    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.functions.joins import (
+        project,
+        size_adaptive_join,
+    )
 
     line = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -4096,8 +4110,10 @@ def tpch_returned_customers(sf_dir: str):
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
-    joined = hash_join(line.map_batches(rev, batch_format="pyarrow"),
-                       orders, on=["o_orderkey"], how="inner")
+    joined = size_adaptive_join(
+        line.map_batches(rev, batch_format="pyarrow"), orders,
+        on=["o_orderkey"], how="inner", broadcast_max=BROADCAST_KEYS_MAX,
+    )
     per_cust = grouped_agg(joined.select_columns(["o_custkey", "rev"]),
                            ["o_custkey"], [("revenue", "rev", "sum")])
 
@@ -4110,8 +4126,11 @@ def tpch_returned_customers(sf_dir: str):
     )
     nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
                              columns=["n_nationkey", "n_name"])
-    dims = hash_join(per_cust, customer, on=["o_custkey"], how="inner")
-    full = hash_join(dims, nation, on=["n_nationkey"], how="inner")
+    dims = size_adaptive_join(per_cust, customer, on=["o_custkey"],
+                              how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX)
+    full = size_adaptive_join(dims, nation, on=["n_nationkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX)
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({

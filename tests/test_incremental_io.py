@@ -369,3 +369,25 @@ def test_skew_join_no_hot_key_falls_back():
     exp = left.merge(right, on="k", how="inner")
     assert len(got) == len(exp)
     assert sorted(got.k) == sorted(exp.k)
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer", "left_semi",
+                                 "left_anti"])
+def test_size_adaptive_join_regimes_agree(how):
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame({"k": rng.randint(0, 40, 300),
+                         "x": np.arange(300, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 60, 2, dtype=np.int64),
+                          "y": np.arange(30, dtype=np.int64)})
+    l, r = rd.from_pandas(left).repartition(6), rd.from_pandas(right)
+    bcast = size_adaptive_join(l, r, on=["k"], how=how,
+                               broadcast_max=10_000).to_pandas()
+    shuffl = size_adaptive_join(l, r, on=["k"], how=how,
+                                broadcast_max=0).to_pandas()
+    cols = [c for c in ("k", "x", "y") if c in bcast.columns]
+    b = bcast.sort_values(cols, na_position="last").reset_index(drop=True)
+    s = shuffl.sort_values(cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b[cols], s[cols], check_dtype=False)
+    assert len(b) > 0
