@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "tpch_returned_customers",
     "events_hour_value_regression",
     "events_trailing_hour",
+    "tpch_order_priority",
+    "tpch_asia_volume",
+    "similarity_topk_lsh",
 ]
 
 

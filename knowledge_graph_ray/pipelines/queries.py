@@ -4346,3 +4346,181 @@ SELECT CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS recall_floor_met
 QUERIES["similarity_topk_lsh"] = similarity_topk_lsh
 QUERIES["similarity_lsh_recall"] = similarity_lsh_recall
 ORACLE_SQL["similarity_lsh_recall"] = SIMILARITY_LSH_RECALL_SQL
+
+
+def tpch_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: orders with at least one lineitem shipped after
+    the order date, counted per priority — the EXISTS-with-predicate
+    join.
+
+    Scale shape: the EXISTS never materializes matches — lineitem
+    reduces to ONE (orderkey, max shipdate) row per order through the
+    combiner (shuffle moves order-cardinality partials), the orders
+    side attaches size-adaptively, and the predicate is a stateless
+    vectorized compare."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"])
+
+    def ship_s(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "ship_s": pc.divide(
+                batch.column("l_shipdate").cast(pa.int64()), 1_000_000
+            ).cast(pa.int64()),
+        })
+
+    max_ship = grouped_agg(
+        line.map_batches(ship_s, batch_format="pyarrow"),
+        ["o_orderkey"], [("max_ship_s", "ship_s", "max")],
+    )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def date_s(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "date_s": pc.divide(
+                batch.column("o_orderdate").cast(pa.int64()), 1_000_000
+            ).cast(pa.int64()),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+
+    joined = size_adaptive_join(
+        max_ship, orders.map_batches(date_s, batch_format="pyarrow"),
+        on=["o_orderkey"], how="inner", broadcast_max=BROADCAST_KEYS_MAX,
+    )
+    late = joined.map_batches(
+        lambda t: t.filter(pa.compute.greater(t.column("max_ship_s"),
+                                              t.column("date_s"))),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(late, ["o_orderpriority"], [("n", None, "count")])
+
+
+TPCH_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def tpch_asia_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation where customer and supplier
+    share the nation, restricted to one region — the 6-table join DAG.
+
+    Scale shape: lineitem streams through FOUR size-adaptive joins
+    (supplier / orders / customer attach, then the region-filtered
+    nation names) — each flips independently to a partitioned
+    hash_join when its right side outgrows the broadcast budget; the
+    same-nation predicate is a stateless vectorized compare, and the
+    final groupby is nation-cardinality."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import (
+        project,
+        size_adaptive_join,
+    )
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"), "rev": r})
+
+    supplier = project(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        {"s_suppkey": "l_suppkey", "s_nationkey": "s_nationkey"},
+    )
+    orders = project(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        ["o_orderkey", "o_custkey"],
+    )
+    customer = project(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        {"c_custkey": "o_custkey", "c_nationkey": "c_nationkey"},
+    )
+
+    step = size_adaptive_join(line.map_batches(rev, batch_format="pyarrow"),
+                              supplier, on=["l_suppkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX)
+    step = size_adaptive_join(step, orders, on=["o_orderkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX)
+    step = size_adaptive_join(step, customer, on=["o_custkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX)
+    same_nation = step.map_batches(
+        lambda t: t.filter(pa.compute.equal(
+            t.column("c_nationkey").cast(pa.int64()),
+            t.column("s_nationkey").cast(pa.int64()))),
+        batch_format="pyarrow",
+    )
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = rd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
+    asia = size_adaptive_join(
+        nation, project(region, {"r_regionkey": "n_regionkey",
+                                 "r_name": "r_name"}),
+        on=["n_regionkey"], how="inner", broadcast_max=BROADCAST_KEYS_MAX,
+    ).map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("r_name"), "ASIA")),
+        batch_format="pyarrow",
+    )
+    asia_names = project(asia.select_columns(["n_nationkey", "n_name"]),
+                         {"n_nationkey": "s_nationkey", "n_name": "n_name"})
+
+    full = size_adaptive_join(same_nation, asia_names, on=["s_nationkey"],
+                              how="inner", broadcast_max=BROADCAST_KEYS_MAX)
+    agg = grouped_agg(full.select_columns(["n_name", "rev"]), ["n_name"],
+                      [("revenue", "rev", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": batch.column("n_name"),
+            "revenue_cents": scaled_int_column(batch.column("revenue"),
+                                               100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+TPCH_ASIA_VOLUME_SQL = """
+SELECT n_name,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+QUERIES["tpch_order_priority"] = tpch_order_priority
+QUERIES["tpch_asia_volume"] = tpch_asia_volume
+ORACLE_SQL["tpch_order_priority"] = TPCH_ORDER_PRIORITY_SQL
+ORACLE_SQL["tpch_asia_volume"] = TPCH_ASIA_VOLUME_SQL
