@@ -515,31 +515,53 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
     filter_only = how in ("left_semi", "left_anti")
     left_schema, left = dataset_schema(left)
     if filter_only:
-        rhs_df = right.select_columns(on).to_pandas().drop_duplicates()
+        rhs_tab = pa.Table.from_pandas(
+            right.select_columns(on).to_pandas().drop_duplicates(),
+            preserve_index=False,
+        )
         out_fields = [left_schema.field(c) for c in left_schema.names]
     else:
         right_schema, right = dataset_schema(right)
         right_payload = [c for c in right_schema.names if c not in on]
         overlap = set(left_schema.names) & set(right_payload)
         assert not overlap, f"rename right columns before joining: {overlap}"
-        rhs_df = right.to_pandas()[on + right_payload]
+        rhs_tab = pa.Table.from_pandas(
+            right.to_pandas()[on + right_payload], preserve_index=False,
+        ).cast(pa.schema([right_schema.field(c)
+                          for c in on + right_payload]))
         out_fields = [left_schema.field(c) for c in left_schema.names] + [
             right_schema.field(c) for c in right_payload
         ]
     out_schema = pa.schema(out_fields)
-    rhs_ref = ray.put(rhs_df)
+    # Acero (pa.Table.join) treats null keys as non-matching; the bucket
+    # body's pandas merge matches null==null.  The fast path is only
+    # taken when NEITHER side has null keys, so both regimes stay
+    # row-set identical for every input.
+    rhs_null_free = all(rhs_tab.column(c).null_count == 0 for c in on)
+    acero_how = {"inner": "inner", "left_outer": "left outer",
+                 "left_semi": "left semi", "left_anti": "left anti"}[how]
+    rhs_ref = ray.put(rhs_tab)
 
     def body(batch: pa.Table) -> pa.Table:
         rhs = ray.get(rhs_ref)  # node-local cached
+        if rhs_null_free and all(
+            batch.column(c).null_count == 0 for c in on
+        ):
+            joined = batch.join(rhs, keys=on, join_type=acero_how)
+            return pa.table(
+                {f.name: joined.column(f.name).cast(f.type)
+                 for f in out_fields}
+            )
         lhs = batch.to_pandas()
+        rdf = rhs.to_pandas()
         if filter_only:
             mask = pd.MultiIndex.from_frame(lhs[on]).isin(
-                pd.MultiIndex.from_frame(rhs[on])
+                pd.MultiIndex.from_frame(rdf[on])
             )
             merged = lhs[mask] if how == "left_semi" else lhs[~mask]
         else:
             merged = lhs.merge(
-                rhs, on=on, how="left" if how == "left_outer" else "inner"
+                rdf, on=on, how="left" if how == "left_outer" else "inner"
             )
         return pa.Table.from_arrays(
             [_to_arrow_col(merged[f.name], f) for f in out_fields],

@@ -391,3 +391,25 @@ def test_size_adaptive_join_regimes_agree(how):
     s = shuffl.sort_values(cols, na_position="last").reset_index(drop=True)
     pd.testing.assert_frame_equal(b[cols], s[cols], check_dtype=False)
     assert len(b) > 0
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_size_adaptive_join_null_keys_match_shuffle_regime(how):
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+
+    left = pd.DataFrame({"k": pd.array([1, None, 2, None], dtype="Int64"),
+                         "x": np.arange(4, dtype=np.int64)})
+    right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                          "y": np.array([10, 20], dtype=np.int64)})
+    l, r = rd.from_pandas(left), rd.from_pandas(right)
+    bcast = size_adaptive_join(l, r, on=["k"], how=how,
+                               broadcast_max=100).to_pandas()
+    shuffl = size_adaptive_join(l, r, on=["k"], how=how,
+                                broadcast_max=0).to_pandas()
+    cols = ["k", "x", "y"]
+    b = bcast.sort_values(cols, na_position="last").reset_index(drop=True)
+    s = shuffl.sort_values(cols, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b[cols], s[cols], check_dtype=False)
+    # the bucket body matches null==null: both regimes must keep the
+    # null-key matches
+    assert (b.k.isna() & b.y.notna()).any()
