@@ -691,6 +691,10 @@ def grouped_corr(ds, keys: list[str], x_col: str, y_col: str,
     cols = list(dict.fromkeys(keys + [x_col, y_col]))
 
     def expand(b: pa.Table) -> pa.Table:
+        # SQL corr() is pairwise-complete: a row with NULL in EITHER
+        # column is excluded from ALL six statistics (a count-all n
+        # against null-skipping sums would silently mix row sets)
+        b = _pairwise_complete(b, x_col, y_col)
         x = b.column(x_col).cast(pa.int64())
         y = b.column(y_col).cast(pa.int64())
         if len(b):
@@ -766,6 +770,9 @@ def grouped_regression(ds, keys: list[str], x_col: str, y_col: str,
     cols = list(dict.fromkeys(keys + [x_col, y_col]))
 
     def expand(b: pa.Table) -> pa.Table:
+        # SQL REGR_* is pairwise-complete: rows with NULL in either
+        # column leave ALL five statistics (see _pairwise_complete)
+        b = _pairwise_complete(b, x_col, y_col)
         x = b.column(x_col).cast(pa.int64())
         y = b.column(y_col).cast(pa.int64())
         if len(b):
@@ -809,6 +816,20 @@ def grouped_regression(ds, keys: list[str], x_col: str, y_col: str,
             pd.Series(intercept).where(pd.Series(valid)), type=pa.float64()))
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def _pairwise_complete(b: pa.Table, x_col: str, y_col: str) -> pa.Table:
+    """Drop rows with NULL in either column (SQL REGR_*/corr row set).
+
+    A group whose rows are ALL null-paired disappears from the output
+    (SQL would keep it with NULL aggregates) — documented edge, same
+    non-null-input contract as the window family."""
+    import pyarrow.compute as pc
+
+    valid = pc.and_(b.column(x_col).is_valid(), b.column(y_col).is_valid())
+    if not pc.all(valid).as_py():
+        b = b.filter(valid)
+    return b
 
 
 def unpivot(ds, id_cols: list[str], value_cols: list[str],

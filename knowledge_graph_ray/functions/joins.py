@@ -405,9 +405,10 @@ def skew_join(left, right, on: list[str] | tuple[str, ...],
     the broadcast budget (a hot LEFT key with a huge right side means
     the output itself explodes — no partitioning fixes that).
 
-    Cost note: the left side is scanned twice (hot pass + cold pass) —
-    at scale that is two streaming reads, the price of removing an
-    unbounded single-task concentration.
+    Cost note: the left side is scanned three times (key-frequency
+    pass, hot pass, cold pass) and the right twice (hot split + cold
+    split) — at scale these are streaming reads, the price of removing
+    an unbounded single-task concentration.
     """
     assert how in ("inner", "left_outer"), how
     import numpy as np  # noqa: F401  (vectorized paths below)
@@ -443,7 +444,11 @@ def skew_join(left, right, on: list[str] | tuple[str, ...],
 
         return body
 
-    right_hot = right.map_batches(split(True), batch_format="pyarrow")
+    # materialize ONCE: the count probe and the broadcast pull both read
+    # the executed blocks (a lazy handle would run the split pass twice);
+    # if the guard trips, the handle is dropped and hash_join runs
+    right_hot = right.map_batches(split(True),
+                                  batch_format="pyarrow").materialize()
     n_right_hot = right_hot.count()
     if n_right_hot > hot_right_rows_max:
         return hash_join(left, right, on=on, how=how,
@@ -460,7 +465,16 @@ def skew_join(left, right, on: list[str] | tuple[str, ...],
     ]
     out_schema = pa.schema(out_fields)
 
-    rhs_df = right_hot.to_pandas()[on + right_payload]
+    # column-stable even when NO hot key exists in right (hot left keys
+    # with zero right matches are legal: inner drops them, left_outer
+    # null-fills) — an empty to_pandas() would lose the columns
+    rhs_df = right_hot.to_pandas()
+    if rhs_df.empty:
+        rhs_df = pa.table(
+            {c: pa.nulls(0, right_schema.field(c).type)
+             for c in on + right_payload}
+        ).to_pandas()
+    rhs_df = rhs_df[on + right_payload]
     rhs_ref = ray.put(rhs_df)
 
     def join_hot(batch: pa.Table) -> pa.Table:
@@ -499,40 +513,57 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
     row-set in both regimes (the broadcast body is the same pandas
     merge/isin the bucket body runs).
 
-    The probe cost on the slow path is one extra streaming count of
-    right; pass ``right_size_hint`` when the caller already knows the
-    bound (the repo's standard probe-skip convention).
+    Probe cost: without ``right_size_hint`` the PROJECTED right columns
+    are materialized once — count and (if small) the broadcast pull
+    both read the executed blocks, so right's pipeline runs exactly
+    once in every regime.  At terabyte right sides pass the hint so the
+    slow path never pins right in the object store (the repo's
+    standard probe-skip convention).
     """
     assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
     import ray
 
     on = list(on)
-    n_right = right_size_hint if right_size_hint is not None else right.count()
-    if n_right > broadcast_max:
-        return hash_join(left, right, on=on, how=how,
-                         num_partitions=num_partitions)
-
     filter_only = how in ("left_semi", "left_anti")
     left_schema, left = dataset_schema(left)
+    right_schema, right = dataset_schema(right)
     if filter_only:
-        rhs_tab = pa.Table.from_pandas(
-            right.select_columns(on).to_pandas().drop_duplicates(),
-            preserve_index=False,
-        )
+        cols = list(on)
         out_fields = [left_schema.field(c) for c in left_schema.names]
     else:
-        right_schema, right = dataset_schema(right)
         right_payload = [c for c in right_schema.names if c not in on]
         overlap = set(left_schema.names) & set(right_payload)
         assert not overlap, f"rename right columns before joining: {overlap}"
-        rhs_tab = pa.Table.from_pandas(
-            right.to_pandas()[on + right_payload], preserve_index=False,
-        ).cast(pa.schema([right_schema.field(c)
-                          for c in on + right_payload]))
+        cols = on + right_payload
         out_fields = [left_schema.field(c) for c in left_schema.names] + [
             right_schema.field(c) for c in right_payload
         ]
     out_schema = pa.schema(out_fields)
+
+    right_proj = right.select_columns(cols)
+    if right_size_hint is not None:
+        n_right = right_size_hint
+    else:
+        right_proj = right_proj.materialize()
+        n_right = right_proj.count()
+    if n_right > broadcast_max:
+        return hash_join(left, right_proj, on=on, how=how,
+                         num_partitions=num_partitions)
+
+    # Arrow-native collect: exact right types survive (a pandas round
+    # trip would drift large_string/dictionary keys and crash the Acero
+    # fast path) and an EMPTY right keeps its columns (inner/semi then
+    # yield empty, anti all of left, left_outer null payloads — same as
+    # the shuffle regime)
+    rhs_schema = pa.schema([right_schema.field(c) for c in cols])
+    blocks = ray.get(right_proj.to_arrow_refs())
+    blocks = [b.cast(rhs_schema) for b in blocks if b.num_rows]
+    rhs_tab = (pa.concat_tables(blocks) if blocks
+               else rhs_schema.empty_table())
+    if filter_only:
+        # distinct keys only — semi/anti never needs dup right rows
+        rhs_tab = rhs_tab.group_by(cols).aggregate([])
+        rhs_tab = rhs_tab.select(cols).cast(rhs_schema)
     # Acero (pa.Table.join) treats null keys as non-matching; the bucket
     # body's pandas merge matches null==null.  The fast path is only
     # taken when NEITHER side has null keys, so both regimes stay

@@ -476,6 +476,11 @@ def window_range_agg(ds, key: str, order_col: str, value_col: str,
         out = g[cols].copy()
         n = len(g)
         if n == 0:
+            # keep the FULL output schema so an empty bucket unions
+            # cleanly with the non-empty ones
+            out[sum_col] = np.array([], dtype="int64")
+            out[n_col] = np.array([], dtype="int64")
+            out[avg_col] = np.array([], dtype="float64")
             return pa.Table.from_pandas(out, preserve_index=False)
         codes, _ = pd.factorize(g[key], use_na_sentinel=False)
         t = g[order_col].to_numpy(dtype="int64")

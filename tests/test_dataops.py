@@ -125,8 +125,10 @@ def test_embedding_near_dup_and_topk():
 
 
 def test_ivf_topk_recall():
+    # ds and the query matrix MUST come from the same corpus (the
+    # queries are members of the searched set by design)
     emb = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
-    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
     cents = similarity.train_centroids(emb, num_centroids=8, sample=256, seed=6969)
     assigned = similarity.ivf_assign(emb, cents).materialize()
@@ -1158,8 +1160,10 @@ def test_grouped_regression_overflow_guard():
 
 
 def test_lsh_topk_recall_and_full_probe_exactness():
+    # ds and the query matrix MUST come from the same corpus (the
+    # queries are members of the searched set by design)
     emb = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
-    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
     planes = similarity.lsh_planes(dim=mat.shape[1], n_bits=4, seed=6969)
     assigned = similarity.lsh_assign(emb, planes).materialize()
@@ -1203,3 +1207,24 @@ def test_lsh_probe_sets_margin_order():
         expected = {int(base[qi]), int(base[qi]) ^ (1 << int(cheap[0])),
                     int(base[qi]) ^ (1 << int(cheap[1]))}
         assert s == expected, (s, expected)
+
+
+def test_grouped_corr_and_regression_pairwise_complete_nulls():
+    from knowledge_graph_ray.functions.agg import (
+        grouped_corr,
+        grouped_regression,
+    )
+
+    # the NULL-x row must leave ALL statistics (SQL pairwise-complete),
+    # not just the sums — y=(1,2) over x=(1,2) is an exact slope-1 line
+    df = pd.DataFrame({
+        "g": ["a", "a", "a"],
+        "x": pd.array([1, 2, None], dtype="Int64"),
+        "y": pd.array([1, 2, 5], dtype="Int64"),
+    })
+    reg = grouped_regression(rd.from_pandas(df), ["g"], "x", "y") \
+        .to_pandas()
+    assert abs(reg.slope.iloc[0] - 1.0) < 1e-12
+    assert abs(reg.intercept.iloc[0] - 0.0) < 1e-12
+    r = grouped_corr(rd.from_pandas(df), ["g"], "x", "y").to_pandas()
+    assert abs(r.r.iloc[0] - 1.0) < 1e-12

@@ -413,3 +413,47 @@ def test_size_adaptive_join_null_keys_match_shuffle_regime(how):
     # the bucket body matches null==null: both regimes must keep the
     # null-key matches
     assert (b.k.isna() & b.y.notna()).any()
+
+
+def test_skew_join_hot_key_absent_from_right():
+    from knowledge_graph_ray.functions.joins import skew_join
+
+    # the hot key (0) has ZERO right matches: inner must drop its rows,
+    # left_outer must null-fill — and neither may crash on the empty
+    # hot-right collect
+    left = pd.DataFrame({"k": np.r_[np.zeros(300, dtype=np.int64),
+                                    np.arange(1, 21)],
+                         "x": np.arange(320, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(1, 21, dtype=np.int64),
+                          "y": np.arange(20, dtype=np.int64)})
+    inner = skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on=["k"], how="inner", hot_min_rows=100).to_pandas()
+    assert len(inner) == 20 and (inner.k > 0).all()
+    outer = skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                      on=["k"], how="left_outer",
+                      hot_min_rows=100).to_pandas()
+    assert len(outer) == 320
+    assert outer[outer.k == 0].y.isna().all()
+
+
+@pytest.mark.parametrize("how", ["inner", "left_outer", "left_semi",
+                                 "left_anti"])
+def test_size_adaptive_join_empty_right(how):
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+
+    left = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                         "x": np.arange(10, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([99], dtype=np.int64),
+                          "y": np.array([1], dtype=np.int64)})
+    r_empty = rd.from_pandas(right).map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("k"), -1)),
+        batch_format="pyarrow",
+    )
+    got = size_adaptive_join(rd.from_pandas(left), r_empty, on=["k"],
+                             how=how, broadcast_max=100).to_pandas()
+    if how in ("inner", "left_semi"):
+        assert len(got) == 0
+    elif how == "left_anti":
+        assert len(got) == 10
+    else:
+        assert len(got) == 10 and got.y.isna().all()
