@@ -444,13 +444,14 @@ def skew_join(left, right, on: list[str] | tuple[str, ...],
 
         return body
 
-    # materialize ONCE: the count probe and the broadcast pull both read
-    # the executed blocks (a lazy handle would run the split pass twice);
-    # if the guard trips, the handle is dropped and hash_join runs
-    right_hot = right.map_batches(split(True),
-                                  batch_format="pyarrow").materialize()
-    n_right_hot = right_hot.count()
-    if n_right_hot > hot_right_rows_max:
+    # BOUNDED probe: limit() streams with early stop, so at most
+    # hot_right_rows_max+1 hot-right rows ever materialize — an
+    # over-budget hot right is rejected without pinning it (and the
+    # under-budget case reuses the same handle for the broadcast pull,
+    # one execution total)
+    right_hot = right.map_batches(split(True), batch_format="pyarrow") \
+        .limit(hot_right_rows_max + 1).materialize()
+    if right_hot.count() > hot_right_rows_max:
         return hash_join(left, right, on=on, how=how,
                          num_partitions=num_partitions)
 
@@ -470,10 +471,9 @@ def skew_join(left, right, on: list[str] | tuple[str, ...],
     # null-fills) — an empty to_pandas() would lose the columns
     rhs_df = right_hot.to_pandas()
     if rhs_df.empty:
-        rhs_df = pa.table(
-            {c: pa.nulls(0, right_schema.field(c).type)
-             for c in on + right_payload}
-        ).to_pandas()
+        rhs_df = pa.schema(
+            [right_schema.field(c) for c in on + right_payload]
+        ).empty_table().to_pandas()
     rhs_df = rhs_df[on + right_payload]
     rhs_ref = ray.put(rhs_df)
 
@@ -513,12 +513,14 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
     row-set in both regimes (the broadcast body is the same pandas
     merge/isin the bucket body runs).
 
-    Probe cost: without ``right_size_hint`` the PROJECTED right columns
-    are materialized once — count and (if small) the broadcast pull
-    both read the executed blocks, so right's pipeline runs exactly
-    once in every regime.  At terabyte right sides pass the hint so the
-    slow path never pins right in the object store (the repo's
-    standard probe-skip convention).
+    Probe cost: without ``right_size_hint`` the probe is a BOUNDED
+    ``limit(broadcast_max+1)`` materialize — the streaming executor
+    stops early, so at most broadcast_max+1 projected right rows ever
+    pin in the object store regardless of right's true size; a small
+    right reuses the same handle for the broadcast pull (one execution
+    total), an over-budget right streams through hash_join untouched.
+    Pass the hint when the caller already knows the bound to skip even
+    the bounded scan (the repo's standard probe-skip convention).
     """
     assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
     import ray
@@ -541,12 +543,11 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
     out_schema = pa.schema(out_fields)
 
     right_proj = right.select_columns(cols)
-    if right_size_hint is not None:
-        n_right = right_size_hint
-    else:
-        right_proj = right_proj.materialize()
-        n_right = right_proj.count()
-    if n_right > broadcast_max:
+    if right_size_hint is not None and right_size_hint > broadcast_max:
+        return hash_join(left, right_proj, on=on, how=how,
+                         num_partitions=num_partitions)
+    probe = right_proj.limit(broadcast_max + 1).materialize()
+    if probe.count() > broadcast_max:
         return hash_join(left, right_proj, on=on, how=how,
                          num_partitions=num_partitions)
 
@@ -556,7 +557,7 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
     # yield empty, anti all of left, left_outer null payloads — same as
     # the shuffle regime)
     rhs_schema = pa.schema([right_schema.field(c) for c in cols])
-    blocks = ray.get(right_proj.to_arrow_refs())
+    blocks = ray.get(probe.to_arrow_refs())
     blocks = [b.cast(rhs_schema) for b in blocks if b.num_rows]
     rhs_tab = (pa.concat_tables(blocks) if blocks
                else rhs_schema.empty_table())

@@ -472,16 +472,11 @@ def window_range_agg(ds, key: str, order_col: str, value_col: str,
     def bucket_body(g: pd.DataFrame) -> pa.Table:
         import numpy as np
 
+        # (no empty-frame branch: map_groups never passes empty groups
+        # and the zero-row-INPUT case is bucketed_bucket_map's
+        # empty_schema contract — same as window_moving_agg)
         g = g.sort_values([key, order_col], kind="stable")
         out = g[cols].copy()
-        n = len(g)
-        if n == 0:
-            # keep the FULL output schema so an empty bucket unions
-            # cleanly with the non-empty ones
-            out[sum_col] = np.array([], dtype="int64")
-            out[n_col] = np.array([], dtype="int64")
-            out[avg_col] = np.array([], dtype="float64")
-            return pa.Table.from_pandas(out, preserve_index=False)
         codes, _ = pd.factorize(g[key], use_na_sentinel=False)
         t = g[order_col].to_numpy(dtype="int64")
         t0 = int(t.min())
