@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "tpch_order_priority",
     "tpch_asia_volume",
     "similarity_topk_lsh",
+    "events_value_quantiles_cont",
+    "tpch_revenue_forecast",
 ]
 
 

@@ -4524,3 +4524,113 @@ QUERIES["tpch_order_priority"] = tpch_order_priority
 QUERIES["tpch_asia_volume"] = tpch_asia_volume
 ORACLE_SQL["tpch_order_priority"] = TPCH_ORDER_PRIORITY_SQL
 ORACLE_SQL["tpch_asia_volume"] = TPCH_ASIA_VOLUME_SQL
+
+
+def events_value_quantiles_cont(sf_dir: str):
+    """Interpolated quantiles (SQL PERCENTILE_CONT / quantile_cont) per
+    event type — stages/sketches.grouped_quantiles_cont: the same
+    value-histogram combiner as the discrete path (shuffle bounded by
+    distinct (type, value) pairs), linear interpolation between the two
+    order statistics around rank (n-1)*q.  e6 fixed point (cents inputs
+    interpolate to <= 4 decimals, exactly representable)."""
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles_cont
+
+    q = grouped_quantiles_cont(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "value"]),
+        "event_type", "value", qs=[0.5, 0.9, 0.99],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict({
+            "event_type": batch.column("event_type"),
+            "q_e2": scaled_int_column(batch.column("q"), 100.0),
+            "value_e6": scaled_int_column(batch.column("value"), 1e6),
+        })
+
+    return q.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_VALUE_QUANTILES_CONT_SQL = """
+SELECT event_type, CAST(50 AS BIGINT) AS q_e2,
+       CAST(round(quantile_cont(value, 0.5) * 1e6) AS BIGINT) AS value_e6
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(90 AS BIGINT),
+       CAST(round(quantile_cont(value, 0.9) * 1e6) AS BIGINT)
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(99 AS BIGINT),
+       CAST(round(quantile_cont(value, 0.99) * 1e6) AS BIGINT)
+FROM events GROUP BY event_type
+"""
+
+
+def tpch_revenue_forecast(sf_dir: str):
+    """TPC-H Q6 shape: global filtered sum — the read-pruning
+    showcase.  ALL four predicates (shipdate range, discount band,
+    quantity cap) are pushed into the parquet read as one conjunction
+    (pruned row groups never leave storage); the surviving rows reduce
+    through the constant-key combiner (one partial row per block, no
+    driver materialization)."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    f = (
+        (pads.field("l_shipdate") >= datetime.datetime(1998, 1, 1))
+        & (pads.field("l_shipdate") < datetime.datetime(1999, 1, 1))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24)
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_shipdate",
+                 "l_quantity"],
+        filter=f,
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "__grand": pa.array(
+                np.zeros(len(batch), dtype=np.int8)),
+            "rev": pc.multiply(batch.column("l_extendedprice"),
+                               batch.column("l_discount")),
+        })
+
+    agg = grouped_agg(
+        line.map_batches(rev, batch_format="pyarrow"), ["__grand"],
+        [("revenue", "rev", "sum"), ("n_items", None, "count")],
+        num_buckets=1,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_cents": scaled_int_column(batch.column("revenue"),
+                                               100.0),
+            "n_items": batch.column("n_items"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+TPCH_REVENUE_FORECAST_SQL = """
+SELECT CAST(round(sum(l_extendedprice * l_discount) * 100) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+QUERIES["events_value_quantiles_cont"] = events_value_quantiles_cont
+QUERIES["tpch_revenue_forecast"] = tpch_revenue_forecast
+ORACLE_SQL["events_value_quantiles_cont"] = EVENTS_VALUE_QUANTILES_CONT_SQL
+ORACLE_SQL["tpch_revenue_forecast"] = TPCH_REVENUE_FORECAST_SQL

@@ -77,6 +77,53 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs: list[float],
                               num_buckets=num_buckets)
 
 
+def grouped_quantiles_cont(ds, group_col: str, value_col: str,
+                           qs: list[float], num_buckets: int = 16):
+    """-> Dataset[(group, q, value)] — SQL ``quantile_cont`` /
+    PERCENTILE_CONT parity: linear interpolation between the two order
+    statistics around rank ``h = (n-1)*q`` of the sorted multiset,
+    ``v[floor(h)] + (h - floor(h)) * (v[floor(h)+1] - v[floor(h)])``.
+
+    Same scale shape as grouped_quantiles: the shuffle moves one row
+    per DISTINCT (group, value) pair (the value-histogram combiner),
+    never data rows; the interpolation walks the cumulative counts so
+    duplicate values are weighted exactly like the raw multiset."""
+    import math
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    counts = grouped_agg(ds, [group_col, value_col],
+                         [("cnt", None, "count")], num_buckets=num_buckets)
+    out_schema = pa.schema(
+        [(group_col, pa.string()), ("q", pa.float64()),
+         (value_col, pa.float64())]
+    )
+
+    def per_group(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values(value_col)
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g[value_col].to_numpy()
+
+        def elem(idx0: int) -> float:
+            # idx0-th (0-indexed) element of the sorted multiset
+            return float(vals[int(np.searchsorted(cum, idx0 + 1))])
+
+        rows = []
+        for q in qs:
+            h = (n - 1) * q
+            lo = math.floor(h)
+            vlo = elem(lo)
+            frac = h - lo
+            v = vlo if frac == 0.0 else vlo + (elem(lo + 1) - vlo) * frac
+            rows.append({group_col: str(g[group_col].iloc[0]),
+                         "q": float(q), value_col: v})
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return bucketed_group_map(counts, [group_col], per_group,
+                              num_buckets=num_buckets)
+
+
 def grouped_quantiles_binned(ds, group_col: str, value_col: str,
                              qs: list[float], bins: int = 8192,
                              num_buckets: int = 16):

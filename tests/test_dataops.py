@@ -1228,3 +1228,23 @@ def test_grouped_corr_and_regression_pairwise_complete_nulls():
     assert abs(reg.intercept.iloc[0] - 0.0) < 1e-12
     r = grouped_corr(rd.from_pandas(df), ["g"], "x", "y").to_pandas()
     assert abs(r.r.iloc[0] - 1.0) < 1e-12
+
+
+def test_grouped_quantiles_cont_matches_numpy_linear():
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles_cont
+
+    rng = np.random.default_rng(23)
+    # heavy duplication so the histogram weighting (cnt>1) is exercised
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 800),
+        "v": rng.integers(0, 25, 800).astype("float64"),
+    })
+    got = (grouped_quantiles_cont(rd.from_pandas(df).repartition(4),
+                                  "g", "v", qs=[0.25, 0.5, 0.9])
+           .to_pandas())
+    for grp in ("a", "b"):
+        vals = np.sort(df[df.g == grp].v.to_numpy())
+        for q in (0.25, 0.5, 0.9):
+            exp = np.percentile(vals, q * 100, method="linear")
+            r = got[(got.g == grp) & (got.q == q)].v.iloc[0]
+            assert abs(r - exp) < 1e-9, (grp, q, r, exp)
