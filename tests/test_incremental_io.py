@@ -457,3 +457,35 @@ def test_size_adaptive_join_empty_right(how):
         assert len(got) == 10
     else:
         assert len(got) == 10 and got.y.isna().all()
+
+
+def test_size_adaptive_join_many_to_many_and_empty_left():
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+
+    # duplicate keys on BOTH sides: the join must produce the full
+    # cartesian fanout per key, identically in both regimes
+    left = pd.DataFrame({"k": np.array([1, 1, 2, 3], dtype=np.int64),
+                         "x": np.arange(4, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.array([1, 1, 2], dtype=np.int64),
+                          "y": np.arange(3, dtype=np.int64)})
+    l, r = rd.from_pandas(left), rd.from_pandas(right)
+    bcast = size_adaptive_join(l, r, on=["k"], how="inner",
+                               broadcast_max=100).to_pandas()
+    shuffl = size_adaptive_join(l, r, on=["k"], how="inner",
+                                broadcast_max=0).to_pandas()
+    assert len(bcast) == len(shuffl) == 5  # 2x2 fanout on k=1 + one k=2
+    cols = ["k", "x", "y"]
+    pd.testing.assert_frame_equal(
+        bcast.sort_values(cols).reset_index(drop=True)[cols],
+        shuffl.sort_values(cols).reset_index(drop=True)[cols],
+        check_dtype=False)
+
+    # empty LEFT: both regimes yield an empty, schema-correct result
+    l_empty = rd.from_pandas(left).map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("k"), -1)),
+        batch_format="pyarrow",
+    )
+    for bm in (100, 0):
+        out = size_adaptive_join(l_empty, r, on=["k"], how="inner",
+                                 broadcast_max=bm).to_pandas()
+        assert len(out) == 0
