@@ -543,13 +543,18 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
     out_schema = pa.schema(out_fields)
 
     right_proj = right.select_columns(cols)
-    if right_size_hint is not None and right_size_hint > broadcast_max:
-        return hash_join(left, right_proj, on=on, how=how,
-                         num_partitions=num_partitions)
-    probe = right_proj.limit(broadcast_max + 1).materialize()
-    if probe.count() > broadcast_max:
-        return hash_join(left, right_proj, on=on, how=how,
-                         num_partitions=num_partitions)
+    if right_size_hint is not None:
+        if right_size_hint > broadcast_max:
+            return hash_join(left, right_proj, on=on, how=how,
+                             num_partitions=num_partitions)
+        # hint proves smallness: skip the probe entirely; the collect
+        # below is the single execution of right's pipeline
+        probe = right_proj
+    else:
+        probe = right_proj.limit(broadcast_max + 1).materialize()
+        if probe.count() > broadcast_max:
+            return hash_join(left, right_proj, on=on, how=how,
+                             num_partitions=num_partitions)
 
     # Arrow-native collect: exact right types survive (a pandas round
     # trip would drift large_string/dictionary keys and crash the Acero

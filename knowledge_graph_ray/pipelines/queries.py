@@ -4615,7 +4615,15 @@ def tpch_revenue_forecast(sf_dir: str):
             "n_items": batch.column("n_items"),
         })
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    out = agg.map_batches(finish, batch_format="pyarrow").materialize()
+    if out.count() == 0:
+        # ungrouped SQL aggregates always yield ONE row: sum over no
+        # rows is NULL, count(*) is 0 — match that shape exactly
+        return pa.table({
+            "revenue_cents": pa.array([None], type=pa.int64()),
+            "n_items": pa.array([0], type=pa.int64()),
+        })
+    return out
 
 
 TPCH_REVENUE_FORECAST_SQL = """

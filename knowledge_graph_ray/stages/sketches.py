@@ -44,37 +44,18 @@ def grouped_quantiles(ds, group_col: str, value_col: str, qs: list[float],
     values pass ``bins=N`` to take ``grouped_quantiles_binned``'s
     quantize-first path instead (shuffle bounded by groups x N; value
     error <= one bin width, see its docstring)."""
-    from knowledge_graph_ray.functions.agg import grouped_agg
+    import math
 
     if bins is not None:
         return grouped_quantiles_binned(ds, group_col, value_col, qs,
                                         bins=bins, num_buckets=num_buckets)
-    counts = grouped_agg(ds, [group_col, value_col],
-                         [("cnt", None, "count")], num_buckets=num_buckets)
-    out_schema = pa.schema(
-        [(group_col, pa.string()), ("q", pa.float64()),
-         (value_col, pa.float64())]
-    )
 
-    def per_group(group: pd.DataFrame) -> pa.Table:
-        g = group.sort_values(value_col)
-        cum = g["cnt"].cumsum().to_numpy()
-        n = int(cum[-1])
-        vals = g[value_col].to_numpy()
-        import math
+    def disc(vals, cum, n, q):
+        rank = max(1, math.ceil(round(n * q, 9)))  # 1-indexed
+        return float(vals[int(np.searchsorted(cum, rank))])
 
-        rows = []
-        for q in qs:
-            rank = max(1, math.ceil(round(n * q, 9)))  # 1-indexed
-            i = int(np.searchsorted(cum, rank))
-            rows.append(
-                {group_col: str(g[group_col].iloc[0]), "q": float(q),
-                 value_col: float(vals[i])}
-            )
-        return pa.Table.from_pylist(rows, schema=out_schema)
-
-    return bucketed_group_map(counts, [group_col], per_group,
-                              num_buckets=num_buckets)
+    return _grouped_quantile_walk(ds, group_col, value_col, qs, disc,
+                                  num_buckets)
 
 
 def grouped_quantiles_cont(ds, group_col: str, value_col: str,
@@ -90,10 +71,43 @@ def grouped_quantiles_cont(ds, group_col: str, value_col: str,
     duplicate values are weighted exactly like the raw multiset."""
     import math
 
+    def cont(vals, cum, n, q):
+        def elem(idx0: int) -> float:
+            # idx0-th (0-indexed) element of the sorted multiset
+            return float(vals[int(np.searchsorted(cum, idx0 + 1))])
+
+        h = (n - 1) * q
+        lo = math.floor(h)
+        vlo = elem(lo)
+        frac = h - lo
+        return vlo if frac == 0.0 else vlo + (elem(lo + 1) - vlo) * frac
+
+    return _grouped_quantile_walk(ds, group_col, value_col, qs, cont,
+                                  num_buckets)
+
+
+def _grouped_quantile_walk(ds, group_col: str, value_col: str,
+                           qs: list[float], pick, num_buckets: int):
+    """Shared scaffolding of the exact quantile family: NULL values are
+    dropped first (SQL quantile_disc/quantile_cont ignore NULLs — a
+    NULL landing in the histogram would inflate every rank and can
+    surface as NaN), then the (group, value) count combiner, one sorted
+    cumsum walk per group, and ``pick(vals, cum, n, q) -> float``
+    selects per rank rule.  Groups whose values are ALL null disappear
+    (same documented edge as the sufficient-statistics family)."""
     from knowledge_graph_ray.functions.agg import grouped_agg
 
-    counts = grouped_agg(ds, [group_col, value_col],
-                         [("cnt", None, "count")], num_buckets=num_buckets)
+    def drop_null_values(b: pa.Table) -> pa.Table:
+        col = b.column(value_col)
+        if col.null_count:
+            b = b.filter(col.is_valid())
+        return b
+
+    counts = grouped_agg(
+        ds.select_columns([group_col, value_col])
+          .map_batches(drop_null_values, batch_format="pyarrow"),
+        [group_col, value_col],
+        [("cnt", None, "count")], num_buckets=num_buckets)
     out_schema = pa.schema(
         [(group_col, pa.string()), ("q", pa.float64()),
          (value_col, pa.float64())]
@@ -104,20 +118,11 @@ def grouped_quantiles_cont(ds, group_col: str, value_col: str,
         cum = g["cnt"].cumsum().to_numpy()
         n = int(cum[-1])
         vals = g[value_col].to_numpy()
-
-        def elem(idx0: int) -> float:
-            # idx0-th (0-indexed) element of the sorted multiset
-            return float(vals[int(np.searchsorted(cum, idx0 + 1))])
-
-        rows = []
-        for q in qs:
-            h = (n - 1) * q
-            lo = math.floor(h)
-            vlo = elem(lo)
-            frac = h - lo
-            v = vlo if frac == 0.0 else vlo + (elem(lo + 1) - vlo) * frac
-            rows.append({group_col: str(g[group_col].iloc[0]),
-                         "q": float(q), value_col: v})
+        rows = [
+            {group_col: str(g[group_col].iloc[0]), "q": float(q),
+             value_col: pick(vals, cum, n, q)}
+            for q in qs
+        ]
         return pa.Table.from_pylist(rows, schema=out_schema)
 
     return bucketed_group_map(counts, [group_col], per_group,

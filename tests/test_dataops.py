@@ -1248,3 +1248,25 @@ def test_grouped_quantiles_cont_matches_numpy_linear():
             exp = np.percentile(vals, q * 100, method="linear")
             r = got[(got.g == grp) & (got.q == q)].v.iloc[0]
             assert abs(r - exp) < 1e-9, (grp, q, r, exp)
+
+
+def test_grouped_quantiles_ignore_null_values():
+    from knowledge_graph_ray.stages.sketches import (
+        grouped_quantiles,
+        grouped_quantiles_cont,
+    )
+
+    df = pd.DataFrame({
+        "g": ["a"] * 6,
+        "v": pd.array([1.0, 2.0, 3.0, 4.0, None, None], dtype="Float64"),
+    })
+    # SQL quantile_disc/cont ignore NULLs: n=4, not 6
+    disc = grouped_quantiles(rd.from_pandas(df), "g", "v",
+                             qs=[0.5, 1.0]).to_pandas()
+    assert disc[disc.q == 0.5].v.iloc[0] == 2.0
+    assert disc[disc.q == 1.0].v.iloc[0] == 4.0
+    cont = grouped_quantiles_cont(rd.from_pandas(df), "g", "v",
+                                  qs=[0.5, 0.99]).to_pandas()
+    assert cont[cont.q == 0.5].v.iloc[0] == 2.5
+    assert abs(cont[cont.q == 0.99].v.iloc[0] - 3.97) < 1e-9
+    assert not cont.v.isna().any()
