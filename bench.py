@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "similarity_topk_lsh",
     "events_value_quantiles_cont",
     "tpch_revenue_forecast",
+    "events_disjunctive_scan",
 ]
 
 

@@ -4642,3 +4642,48 @@ QUERIES["events_value_quantiles_cont"] = events_value_quantiles_cont
 QUERIES["tpch_revenue_forecast"] = tpch_revenue_forecast
 ORACLE_SQL["events_value_quantiles_cont"] = EVENTS_VALUE_QUANTILES_CONT_SQL
 ORACLE_SQL["tpch_revenue_forecast"] = TPCH_REVENUE_FORECAST_SQL
+
+
+def events_disjunctive_scan(sf_dir: str):
+    """Disjunctive predicate pushdown (the TPC-H Q19 shape reduced to
+    one table): an OR of per-branch conjunctions is pushed INTO the
+    parquet read as a single pyarrow dataset expression — row groups
+    where NO branch can match never leave storage — then one combiner
+    groupby per event type."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    f = (
+        ((pads.field("event_type") == "click")
+         & (pads.field("value") > 400.0))
+        | ((pads.field("event_type") == "view")
+           & (pads.field("value") < 10.0))
+    )
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"], filter=f)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    agg = grouped_agg(events.map_batches(cents, batch_format="pyarrow"),
+                      ["event_type"],
+                      [("n", None, "count"), ("sum_cents", "cents", "sum")])
+    return agg
+
+
+EVENTS_DISJUNCTIVE_SCAN_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE (event_type = 'click' AND value > 400.0)
+   OR (event_type = 'view' AND value < 10.0)
+GROUP BY event_type
+"""
+
+QUERIES["events_disjunctive_scan"] = events_disjunctive_scan
+ORACLE_SQL["events_disjunctive_scan"] = EVENTS_DISJUNCTIVE_SCAN_SQL
