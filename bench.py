@@ -113,6 +113,12 @@ BENCH_QUERIES = [
     "events_value_quantiles_cont",
     "tpch_revenue_forecast",
     "events_disjunctive_scan",
+    "tpch_ship_priority_lines",
+    "tpch_customer_order_counts",
+    "tpch_promo_revenue",
+    "tpch_small_quantity_revenue",
+    "tpch_large_orders",
+    "tpch_idle_rich_customers",
 ]
 
 

@@ -4687,3 +4687,441 @@ GROUP BY event_type
 
 QUERIES["events_disjunctive_scan"] = events_disjunctive_scan
 ORACLE_SQL["events_disjunctive_scan"] = EVENTS_DISJUNCTIVE_SCAN_SQL
+
+
+def tpch_ship_priority_lines(sf_dir: str):
+    """TPC-H Q12 shape: lineitems shipped in one year, classified by
+    order priority into high/low counts per return flag — the
+    join-then-conditional-count pattern.
+
+    Scale shape: the year predicate is pushed into the parquet read
+    (row groups outside the window never leave storage), the orders
+    side attaches size-adaptively (keys + one small string column),
+    and the CASE collapses inside the combiner groupby — the shuffle
+    moves returnflag-cardinality partial rows."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    f = (
+        (pads.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+        & (pads.field("l_shipdate") < datetime.datetime(1997, 1, 1))
+    )
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_returnflag"], filter=f)
+    orders = project(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority"]),
+        {"o_orderkey": "l_orderkey", "o_orderpriority": "o_orderpriority"},
+    )
+    joined = size_adaptive_join(line, orders, on=["l_orderkey"], how="inner",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        high = pc.is_in(
+            batch.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        ).cast(pa.int64())
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "high": high,
+            "low": pc.subtract(pa.scalar(1, type=pa.int64()), high),
+        })
+
+    return grouped_agg(
+        joined.map_batches(classify, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("high_line_count", "high", "sum"), ("low_line_count", "low", "sum")],
+    )
+
+
+TPCH_SHIP_PRIORITY_LINES_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def tpch_customer_order_counts(sf_dir: str):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    INCLUDING zero-order customers — the left-outer-join + two-level
+    aggregation pattern.
+
+    Scale shape: orders collapse to one (custkey, count) partial per
+    customer BEFORE any join (the shuffle moves customer-cardinality
+    rows, never order rows), the customer side attaches left-outer
+    size-adaptively so zero-order customers survive as nulls, and the
+    distribution groupby is count-cardinality."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    non_urgent = orders.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("o_orderpriority"),
+                                        "1-URGENT")),
+        batch_format="pyarrow",
+    )
+    per_cust = project(
+        grouped_agg(non_urgent, ["o_custkey"], [("c_count", None, "count")]),
+        {"o_custkey": "c_custkey", "c_count": "c_count"},
+    )
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+    joined = size_adaptive_join(customer, per_cust, on=["c_custkey"],
+                                how="left_outer",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+
+    def fill_zero(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": pc.fill_null(
+                batch.column("c_count").cast(pa.int64()), 0
+            ),
+        })
+
+    return grouped_agg(
+        joined.map_batches(fill_zero, batch_format="pyarrow"),
+        ["c_count"], [("custdist", None, "count")],
+    )
+
+
+TPCH_CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_custkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def tpch_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: share of one year's revenue from promo parts —
+    join + conditional grand-total aggregation.
+
+    Scale shape: the year predicate is pushed into the read, the part
+    type attaches size-adaptively (part is the small side), and both
+    sums collapse through the constant-key combiner — one partial row
+    per block reaches the driver-side finish.  Numerator and
+    denominator are reported as separate cent sums (a ratio of two
+    float sums would be hash-brittle)."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    f = (
+        (pads.field("l_shipdate") >= datetime.datetime(1997, 1, 1))
+        & (pads.field("l_shipdate") < datetime.datetime(1998, 1, 1))
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"], filter=f,
+    )
+    part = project(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_type"]),
+        {"p_partkey": "l_partkey", "p_type": "p_type"},
+    )
+    joined = size_adaptive_join(line, part, on=["l_partkey"], how="inner",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+
+    def revs(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        promo = pc.if_else(
+            pc.equal(batch.column("p_type"), "PROMO"), rev, pa.scalar(0.0)
+        )
+        return pa.table({
+            "g": pa.array([1] * len(batch), type=pa.int64()),
+            "rev": rev,
+            "promo": promo,
+        })
+
+    agg = grouped_agg(
+        joined.map_batches(revs, batch_format="pyarrow"),
+        ["g"],
+        [("promo_rev", "promo", "sum"), ("total_rev", "rev", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "promo_revenue_cents": scaled_int_column(
+                batch.column("promo_rev"), 100.0),
+            "total_revenue_cents": scaled_int_column(
+                batch.column("total_rev"), 100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+TPCH_PROMO_REVENUE_SQL = """
+SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0 END) * 100) AS BIGINT)
+         AS promo_revenue_cents,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+         AS total_revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+"""
+
+
+QUERIES["tpch_ship_priority_lines"] = tpch_ship_priority_lines
+QUERIES["tpch_customer_order_counts"] = tpch_customer_order_counts
+QUERIES["tpch_promo_revenue"] = tpch_promo_revenue
+ORACLE_SQL["tpch_ship_priority_lines"] = TPCH_SHIP_PRIORITY_LINES_SQL
+ORACLE_SQL["tpch_customer_order_counts"] = TPCH_CUSTOMER_ORDER_COUNTS_SQL
+ORACLE_SQL["tpch_promo_revenue"] = TPCH_PROMO_REVENUE_SQL
+
+
+def tpch_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from below-average-quantity lineitems
+    of one brand — the self-aggregation join-back (correlated-avg)
+    pattern.
+
+    Scale shape: the brand's partkeys broadcast as a semi-join filter
+    (lineitem never shuffles for the filter), the per-part average is a
+    combiner groupby over the filtered subset (part-cardinality
+    partials), and the join-back attaches size-adaptively.  Quantities
+    are integer-valued doubles, so the per-part mean is exact and the
+    strict-inequality threshold cannot drift between engines."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    brand_keys = project(
+        part.map_batches(
+            lambda t: t.filter(pc.equal(t.column("p_brand"), "Brand#23")),
+            batch_format="pyarrow",
+        ),
+        {"p_partkey": "l_partkey"},
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    brand_lines = size_adaptive_join(line, brand_keys, on=["l_partkey"],
+                                     how="left_semi",
+                                     broadcast_max=BROADCAST_KEYS_MAX)
+    brand_lines = brand_lines.materialize()
+    avg_qty = grouped_agg(brand_lines, ["l_partkey"],
+                          [("avg_qty", "l_quantity", "mean")])
+    joined = size_adaptive_join(brand_lines, avg_qty, on=["l_partkey"],
+                                how="inner",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+
+    def below(batch: pa.Table) -> pa.Table:
+        keep = pc.less(
+            batch.column("l_quantity"),
+            pc.multiply(pa.scalar(0.2), batch.column("avg_qty")),
+        )
+        t = batch.filter(keep)
+        return pa.table({
+            "g": pa.array([1] * len(t), type=pa.int64()),
+            "l_extendedprice": t.column("l_extendedprice"),
+        })
+
+    agg = grouped_agg(
+        joined.map_batches(below, batch_format="pyarrow"),
+        ["g"],
+        [("price_sum", "l_extendedprice", "sum"), ("n_lines", None, "count")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "avg_yearly_cents": scaled_int_column(
+                pc.divide(batch.column("price_sum"), 7.0), 100.0),
+            "n_lines": batch.column("n_lines"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+TPCH_SMALL_QUANTITY_REVENUE_SQL = """
+WITH pl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+), a AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS lim
+  FROM pl GROUP BY l_partkey
+)
+SELECT CAST(round(sum(l_extendedprice) / 7.0 * 100) AS BIGINT)
+         AS avg_yearly_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM pl JOIN a USING (l_partkey)
+WHERE l_quantity < lim
+"""
+
+
+def tpch_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with customer attribution — the HAVING-on-aggregate + join-back
+    pattern.
+
+    Scale shape: lineitem collapses to one (orderkey, sum) partial per
+    order through the combiner, the HAVING filter drops most orders
+    BEFORE any join, and the two dimension attaches are size-adaptive.
+    Quantity sums are integer-valued doubles — the BIGINT cast is
+    exact."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"])
+    per_order = grouped_agg(line, ["l_orderkey"],
+                            [("sum_qty_f", "l_quantity", "sum")])
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t.column("sum_qty_f"), 150.0)),
+        batch_format="pyarrow",
+    )
+    orders = project(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        {"o_orderkey": "l_orderkey", "o_custkey": "o_custkey",
+         "o_totalprice": "o_totalprice"},
+    )
+    joined = size_adaptive_join(big, orders, on=["l_orderkey"], how="inner",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+    customer = project(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name"]),
+        {"c_custkey": "o_custkey", "c_name": "c_name"},
+    )
+    full = size_adaptive_join(joined, customer, on=["o_custkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": batch.column("c_name"),
+            "o_orderkey": batch.column("l_orderkey"),
+            "totalprice_cents": scaled_int_column(
+                batch.column("o_totalprice"), 100.0),
+            "sum_qty": scaled_int_column(batch.column("sum_qty_f"), 1.0),
+        })
+
+    return full.map_batches(finish, batch_format="pyarrow")
+
+
+TPCH_LARGE_ORDERS_SQL = """
+SELECT c_name, o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(round(sq) AS BIGINT) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sq
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) t
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def tpch_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders, grouped by segment — the scalar-subquery broadcast +
+    anti-join pattern.
+
+    Scale shape: the balance average collapses through the constant-key
+    combiner to ONE driver scalar (bounded take on a 1-row dataset),
+    the urgent-customer keys anti-join size-adaptively (keys only on
+    the wire), and balances sum as exact per-row cents."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    )
+
+    def positive(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("c_acctbal"), 0.0))
+        return pa.table({
+            "g": pa.array([1] * len(t), type=pa.int64()),
+            "c_acctbal": t.column("c_acctbal"),
+        })
+
+    stats = grouped_agg(
+        customer.map_batches(positive, batch_format="pyarrow"),
+        ["g"], [("bal_sum", "c_acctbal", "sum"), ("n", None, "count")],
+    ).take(1)[0]
+    avg_bal = stats["bal_sum"] / stats["n"]
+
+    rich = customer.map_batches(
+        lambda t: t.filter(pc.greater(t.column("c_acctbal"), avg_bal)),
+        batch_format="pyarrow",
+    )
+    urgent = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+    urgent_keys = project(
+        urgent.map_batches(
+            lambda t: t.filter(pc.equal(t.column("o_orderpriority"),
+                                        "1-URGENT")),
+            batch_format="pyarrow",
+        ),
+        {"o_custkey": "c_custkey"},
+    )
+    idle = size_adaptive_join(rich, urgent_keys, on=["c_custkey"],
+                              how="left_anti",
+                              broadcast_max=BROADCAST_KEYS_MAX)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "bal_cents": scaled_int_column(batch.column("c_acctbal"), 100.0),
+        })
+
+    return grouped_agg(
+        idle.map_batches(cents, batch_format="pyarrow"),
+        ["c_mktsegment"],
+        [("numcust", None, "count"), ("totacctbal_cents", "bal_cents", "sum")],
+    )
+
+
+TPCH_IDLE_RICH_CUSTOMERS_SQL = """
+WITH a AS (SELECT avg(c_acctbal) AS v FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer, a
+WHERE c_acctbal > v
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES["tpch_small_quantity_revenue"] = tpch_small_quantity_revenue
+QUERIES["tpch_large_orders"] = tpch_large_orders
+QUERIES["tpch_idle_rich_customers"] = tpch_idle_rich_customers
+ORACLE_SQL["tpch_small_quantity_revenue"] = TPCH_SMALL_QUANTITY_REVENUE_SQL
+ORACLE_SQL["tpch_large_orders"] = TPCH_LARGE_ORDERS_SQL
+ORACLE_SQL["tpch_idle_rich_customers"] = TPCH_IDLE_RICH_CUSTOMERS_SQL
