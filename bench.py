@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "tpch_small_quantity_revenue",
     "tpch_large_orders",
     "tpch_idle_rich_customers",
+    "embeddings_kmeans_sizes",
+    "text_inverted_index",
 ]
 
 

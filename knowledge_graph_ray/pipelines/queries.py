@@ -5125,3 +5125,139 @@ QUERIES["tpch_idle_rich_customers"] = tpch_idle_rich_customers
 ORACLE_SQL["tpch_small_quantity_revenue"] = TPCH_SMALL_QUANTITY_REVENUE_SQL
 ORACLE_SQL["tpch_large_orders"] = TPCH_LARGE_ORDERS_SQL
 ORACLE_SQL["tpch_idle_rich_customers"] = TPCH_IDLE_RICH_CUSTOMERS_SQL
+
+
+def embeddings_kmeans_sizes(sf_dir: str):
+    """Rows-only: distributed Lloyd's k-means document clustering
+    (stages/similarity.kmeans_fit) — cluster sizes for k=8.  Non-SQL
+    (iterative); the invariants gate is embeddings_kmeans_quality."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    emb = _emb(sf_dir)
+    cents, _ = kmeans_fit(emb, k=8, iters=4, seed=6969)
+    assigned = kmeans_assign(emb, cents).select_columns(["cluster"])
+    return grouped_agg(assigned, ["cluster"], [("n_vectors", None, "count")])
+
+
+def embeddings_kmeans_quality(sf_dir: str):
+    """SQL-gated invariants for the k-means path (the established
+    self-check-gate pattern, cf. similarity_ivf_recall): (a) Lloyd's
+    inertia sequence is non-increasing across iterations; (b) the
+    final WCSS — recomputed in an independent streaming pass against
+    the final centroids — does not exceed the last iteration's inertia
+    (a broken centroid update would raise it); (c) the fit returns
+    exactly k finite centroids.  A silent divergence FAILS the driver,
+    not just a pytest."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.similarity import (
+        _as_matrix,
+        kmeans_fit,
+    )
+
+    emb = _emb(sf_dir)
+    cents, inertia = kmeans_fit(emb, k=8, iters=4, seed=6969)
+
+    def wcss(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch.column("embedding").to_pylist()).astype(
+            np.float64
+        )
+        d2 = (
+            -2.0 * (mat @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+            + (mat * mat).sum(axis=1)[:, None]
+        )
+        return pa.table({
+            "g": pa.array([1] * len(batch), type=pa.int64()),
+            "err": pa.array(d2.min(axis=1), type=pa.float64()),
+        })
+
+    row = grouped_agg(
+        emb.select_columns(["embedding"]).map_batches(
+            wcss, batch_format="pyarrow"),
+        ["g"], [("final_wcss", "err", "sum")],
+    ).take(1)
+    final_wcss = float(row[0]["final_wcss"]) if row else 0.0
+
+    monotone = int(all(
+        b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:])
+    ))
+    update_ok = int(final_wcss <= inertia[-1] * (1 + 1e-9))
+    finite_ok = int(
+        len(cents) == 8 and bool(np.isfinite(cents).all())
+    )
+    return pa.table({
+        "inertia_monotone": pa.array([monotone], type=pa.int64()),
+        "final_update_improves": pa.array([update_ok], type=pa.int64()),
+        "k_finite_centroids": pa.array([finite_ok], type=pa.int64()),
+    })
+
+
+EMBEDDINGS_KMEANS_QUALITY_SQL = """
+SELECT CAST(1 AS BIGINT) AS inertia_monotone,
+       CAST(1 AS BIGINT) AS final_update_improves,
+       CAST(1 AS BIGINT) AS k_finite_centroids
+"""
+
+QUERIES["embeddings_kmeans_sizes"] = embeddings_kmeans_sizes
+QUERIES["embeddings_kmeans_quality"] = embeddings_kmeans_quality
+ORACLE_SQL["embeddings_kmeans_quality"] = EMBEDDINGS_KMEANS_QUALITY_SQL
+
+
+def text_inverted_index(sf_dir: str):
+    """Inverted index over the corpus: term -> document frequency +
+    ascending posting list — the index-build shape behind sharded
+    retrieval.
+
+    Scale shape: the corpus explodes to distinct (term, doc) incidence
+    rows per batch (stages/vocab.term_doc_pairs — text never leaves the
+    batch), then ONE shuffle on term builds every posting list with the
+    vectorized Arrow sort + group-boundary binary_join of
+    grouped_string_agg; df is recovered from the joined string's
+    separator count (doc ids contain no commas), so no second shuffle.
+    At 100 TB the posting lists of stop-word-like terms are the skew
+    risk — the redaction/stopword filters upstream bound them."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_string_agg
+    from knowledge_graph_ray.stages.vocab import term_doc_pairs
+
+    pairs = term_doc_pairs(_docs(sf_dir))
+
+    def add_str(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "doc_id_str", batch.column("doc_id").cast(pa.string())
+        )
+
+    postings = grouped_string_agg(
+        pairs.map_batches(add_str, batch_format="pyarrow"),
+        ["term"], "doc_id_str", ["doc_id"], sep=",", out_col="postings",
+    )
+
+    def with_df(batch: pa.Table) -> pa.Table:
+        n_sep = pc.count_substring(batch.column("postings"), ",")
+        return pa.table({
+            "term": batch.column("term"),
+            "df": pc.add(n_sep, 1).cast(pa.int64()),
+            "postings": batch.column("postings"),
+        })
+
+    return postings.map_batches(with_df, batch_format="pyarrow")
+
+
+TEXT_INVERTED_INDEX_SQL = """
+WITH terms AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents,
+       unnest(list_distinct(string_split(lower(text), ' '))) AS t(term)
+  WHERE t.term <> ''
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM terms GROUP BY term
+"""
+
+QUERIES["text_inverted_index"] = text_inverted_index
+ORACLE_SQL["text_inverted_index"] = TEXT_INVERTED_INDEX_SQL

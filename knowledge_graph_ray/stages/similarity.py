@@ -359,3 +359,112 @@ def vector_centroids(ds, group_col: str = "label",
 
     return bucketed_bucket_map(partials, [group_col], merge,
                                num_buckets=num_buckets)
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 5, seed: int = 6969,
+               vec_column: str = "embedding", sample: int = 2048):
+    """Distributed Lloyd's k-means over a ``list<float>`` column —
+    full-corpus document clustering (vs ``train_centroids``, which only
+    fits a codebook on a bounded sample).
+
+    Init: seeded choice of k distinct vectors from a bounded
+    driver-side sample.  Each round then makes ONE streaming pass over
+    the corpus: the current centroids broadcast via ``ray.put``, every
+    batch assigns its vectors with a single (batch x k) matmul-argmin
+    and emits at most k partial rows (sum vector, count, squared
+    error); the driver reduce handles (blocks x k) tiny rows — vectors
+    never shuffle and the corpus never materializes.  Empty clusters
+    keep their previous centroid.  Euclidean geometry (un-normalized),
+    so inertia is the standard within-cluster sum of squares.
+
+    Returns ``(centroids (k, dim) float64, inertia_per_iter list)``;
+    inertia[i] is measured against the iteration-i input centroids, so
+    the sequence is non-increasing (Lloyd's monotonicity).
+    """
+    import ray
+
+    frac = 1.0
+    cnt = ds.count()
+    if cnt > sample:
+        frac = sample / cnt
+    sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    mat0 = _as_matrix(sampled.to_pandas()[vec_column])
+    rng = np.random.RandomState(seed)
+    k_eff = min(k, len(mat0))
+    cents = mat0[rng.choice(len(mat0), size=k_eff, replace=False)].astype(
+        np.float64
+    )
+
+    inertia_per_iter: list[float] = []
+    vecs = ds.select_columns([vec_column])
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(batch: pa.Table, _c_ref=c_ref) -> pa.Table:
+            c = ray.get(_c_ref)  # node-local zero-copy fetch
+            kk, dim = c.shape
+            if len(batch) == 0:
+                return pa.table({
+                    "cluster": pa.array([], type=pa.int32()),
+                    "__sum": pa.array([], type=pa.list_(pa.float64())),
+                    "__n": pa.array([], type=pa.int64()),
+                    "__sqerr": pa.array([], type=pa.float64()),
+                })
+            mat = _as_matrix(batch.column(vec_column).to_pylist()).astype(
+                np.float64
+            )
+            # argmin ||x-c||^2 == argmin(-2 x.c + ||c||^2)
+            d2 = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            sq = d2[np.arange(len(mat)), assign] + (mat * mat).sum(axis=1)
+            sums = np.zeros((kk, dim))
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=kk).astype(np.int64)
+            errs = np.bincount(assign, weights=sq, minlength=kk)
+            present = counts > 0
+            idx = np.nonzero(present)[0]
+            return pa.table({
+                "cluster": pa.array(idx.astype(np.int32)),
+                "__sum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums[present].ravel(), type=pa.float64()), dim
+                ).cast(pa.list_(pa.float64())),
+                "__n": pa.array(counts[present], type=pa.int64()),
+                "__sqerr": pa.array(errs[present], type=pa.float64()),
+            })
+
+        pdf = vecs.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new_cents = cents.copy()
+        total_err = 0.0
+        if len(pdf):
+            pm = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in pdf["__sum"]])
+            for c_id, grp in pdf.groupby("cluster", sort=True):
+                n = int(grp["__n"].sum())
+                if n > 0:
+                    new_cents[c_id] = pm[grp.index].sum(axis=0) / n
+                total_err += float(grp["__sqerr"].sum())
+        inertia_per_iter.append(total_err)
+        cents = new_cents
+    return cents, inertia_per_iter
+
+
+def kmeans_assign(ds, centroids: np.ndarray,
+                  vec_column: str = "embedding",
+                  out_col: str = "cluster"):
+    """Add a nearest-centroid (Euclidean argmin) column — the broadcast
+    scoring pass of ``kmeans_fit``, reusable on any corpus."""
+    import ray
+
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        mat = _as_matrix(batch.column(vec_column).to_pylist()).astype(
+            np.float64
+        )
+        d2 = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
+        assign = np.argmin(d2, axis=1).astype(np.int32)
+        return batch.append_column(out_col, pa.array(assign, type=pa.int32()))
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow",
+                          batch_size=4096)

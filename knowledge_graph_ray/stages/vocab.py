@@ -194,3 +194,22 @@ def term_cooccurrence_pmi(docs, n_docs: int, vocab_k: int = 100,
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+def term_doc_pairs(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """-> Dataset[(term, doc_id)]: distinct (term, doc) incidence rows —
+    the exploded form behind document_frequency, exported for postings
+    / inverted-index builds.  Vectorized split/explode per batch; each
+    doc's terms are deduped inside its batch, and docs never span
+    batches, so the rows are globally distinct."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = _explode_distinct_terms(batch, id_col, text_col)
+        return pa.Table.from_pydict({
+            "term": pa.array(df["term"].to_numpy(dtype=object),
+                             type=pa.string()),
+            id_col: pa.array(df[id_col].to_numpy(), type=pa.int64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )

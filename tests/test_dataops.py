@@ -1270,3 +1270,46 @@ def test_grouped_quantiles_ignore_null_values():
     assert cont[cont.q == 0.5].v.iloc[0] == 2.5
     assert abs(cont[cont.q == 0.99].v.iloc[0] - 3.97) < 1e-9
     assert not cont.v.isna().any()
+
+
+def test_kmeans_recovers_separated_blobs():
+    """Three well-separated blobs, k=3: every blob maps to one cluster,
+    recovered centroids land near the true means, inertia is
+    non-increasing (Lloyd's invariant)."""
+    rng = np.random.RandomState(7)
+    means = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    pts = np.concatenate(
+        [m + 0.1 * rng.randn(50, 2) for m in means]
+    )
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(pts)), type=pa.int64()),
+        "embedding": pa.array([list(map(float, p)) for p in pts],
+                              type=pa.list_(pa.float64())),
+    }))
+    cents, inertia = similarity.kmeans_fit(ds, k=3, iters=5, seed=6969)
+    assert len(cents) == 3 and np.isfinite(cents).all()
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(inertia, inertia[1:]))
+    # each true mean has a recovered centroid within the blob radius
+    for m in means:
+        assert np.linalg.norm(cents - m, axis=1).min() < 1.0
+    # blob members agree on their cluster, and the three labels differ
+    assigned = similarity.kmeans_assign(ds, cents).to_pandas()
+    labels = [assigned["cluster"][i * 50:(i + 1) * 50].unique()
+              for i in range(3)]
+    assert all(len(u) == 1 for u in labels)
+    assert len({u[0] for u in labels}) == 3
+
+
+def test_kmeans_assign_matches_numpy_argmin():
+    rng = np.random.RandomState(11)
+    pts = rng.randn(200, 8)
+    cents = rng.randn(4, 8)
+    ds = rd.from_arrow(pa.table({
+        "embedding": pa.array([list(map(float, p)) for p in pts],
+                              type=pa.list_(pa.float64())),
+    }))
+    got = similarity.kmeans_assign(ds, cents).to_pandas()["cluster"].to_numpy()
+    want = np.argmin(
+        ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), axis=1
+    )
+    assert (got == want).all()

@@ -94,3 +94,31 @@ def test_vocab_handles_null_and_empty_text():
     # repeated separators produce empty tokens: dropped, not counted
     assert got.term.tolist() == ["hello", "world"]
     assert got.df.tolist() == [1, 1]
+
+
+def test_term_doc_pairs_distinct_and_posting_order_numeric():
+    from knowledge_graph_ray.stages.vocab import term_doc_pairs
+
+    # doc ids 2 and 10 pin NUMERIC posting order (lexicographic would
+    # emit "10,2"); repeated terms within a doc dedupe to one pair
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 2], type=pa.int64()),
+        "text": pa.array(["alpha beta alpha", "beta gamma"],
+                         type=pa.string()),
+    }))
+    pairs = term_doc_pairs(ds).to_pandas()
+    got = set(map(tuple, pairs[["term", "doc_id"]].itertuples(index=False)))
+    assert got == {("alpha", 10), ("beta", 10), ("beta", 2), ("gamma", 2)}
+
+    from knowledge_graph_ray.functions.agg import grouped_string_agg
+
+    with_str = term_doc_pairs(ds).map_batches(
+        lambda t: t.append_column(
+            "doc_id_str", t.column("doc_id").cast(pa.string())),
+        batch_format="pyarrow",
+    )
+    postings = grouped_string_agg(
+        with_str, ["term"], "doc_id_str", ["doc_id"], sep=",",
+        out_col="postings",
+    ).to_pandas().set_index("term")["postings"]
+    assert postings["beta"] == "2,10"
