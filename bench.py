@@ -121,6 +121,11 @@ BENCH_QUERIES = [
     "tpch_idle_rich_customers",
     "embeddings_kmeans_sizes",
     "text_inverted_index",
+    "events_type_value_stddev",
+    "text_bigram_counts",
+    "documents_source_entropy",
+    "documents_lang_source_chi2",
+    "text_tfidf_top_terms",
 ]
 
 

@@ -869,3 +869,68 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
     return ds.select_columns(id_cols + value_cols).map_batches(
         body, batch_format="pyarrow"
     )
+
+
+def grouped_stddev(ds, keys: list[str], x_col: str,
+                   out_col: str = "stddev", num_buckets: int = 16,
+                   driver_threshold: "int | None" = 500_000):
+    """Sample standard deviation per group from EXACT integer sums
+    (same contract as grouped_corr: scale floats to ints upstream).
+
+    n, Σx, Σx² accumulate exactly in int64 through the grouped_agg
+    combiner, then
+
+        stddev = sqrt((n·Σx² − Σx·Σx) / (n·(n−1)))
+
+    is one fixed float64 expression over exact operands — reproducible
+    bit-for-bit against a SQL oracle writing the same tree (unlike the
+    builtin stddev_samp, whose streaming accumulation is
+    order-dependent in the last ulp).  Groups with n < 2 yield NULL.
+    Same int64 overflow bound as grouped_corr (batch raises if a
+    single x² can exceed 2^62)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cols = list(dict.fromkeys(keys + [x_col]))
+
+    def expand(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(x_col)))
+        x = b.column(x_col).cast(pa.int64())
+        if len(b):
+            mx = max(abs(pc.min(x).as_py() or 0), abs(pc.max(x).as_py() or 0))
+            if mx * mx > 2 ** 62:
+                raise ValueError(
+                    "grouped_stddev: x*x can overflow int64; pre-scale "
+                    "the inputs (see grouped_corr exactness bound)"
+                )
+        out = {k: b.column(k) for k in keys}
+        out["x"] = x
+        out["xx"] = pc.multiply(x, x)
+        return pa.table(out)
+
+    sums = grouped_agg(
+        ds.select_columns(cols).map_batches(expand, batch_format="pyarrow"),
+        keys,
+        [("n", None, "count"), ("sx", "x", "sum"), ("sxx", "xx", "sum")],
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b.column("sx").to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = b.column("sxx").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))
+        valid = n >= 2
+        out = pa.table({k: b.column(k) for k in keys})
+        out = out.append_column(
+            "n", b.column("n")
+        )
+        col = pa.Array.from_pandas(
+            pd.Series(s).where(pd.Series(valid)), type=pa.float64()
+        )
+        return out.append_column(out_col, col)
+
+    return sums.map_batches(finish, batch_format="pyarrow")

@@ -5261,3 +5261,251 @@ FROM terms GROUP BY term
 
 QUERIES["text_inverted_index"] = text_inverted_index
 ORACLE_SQL["text_inverted_index"] = TEXT_INVERTED_INDEX_SQL
+
+
+def events_type_value_stddev(sf_dir: str):
+    """Sample stddev of value-cents per event type —
+    functions/agg.grouped_stddev: exact int64 sufficient statistics
+    (n, Σx, Σx²) through the combiner, then ONE fixed float64
+    expression — bit-reproducible vs a SQL oracle writing the same
+    tree (the builtin stddev_samp's streaming accumulation is
+    order-dependent in the last ulp)."""
+    from knowledge_graph_ray.functions.agg import grouped_stddev
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    return grouped_stddev(
+        events.map_batches(cents, batch_format="pyarrow"),
+        ["event_type"], "cents", out_col="stddev_cents",
+    )
+
+
+EVENTS_TYPE_VALUE_STDDEV_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sx,
+         CAST(sum(cents * cents) AS BIGINT) AS sxx
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n,
+       sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            / (CAST(n AS DOUBLE) * (n - 1))) AS stddev_cents
+FROM s
+"""
+
+
+def text_bigram_counts(sf_dir: str):
+    """Corpus-wide adjacent-token bigram counts
+    (stages/vocab.bigram_counts) — the n-gram LM counting shape; top
+    100 by (n desc, pair asc) for a bounded result."""
+    from knowledge_graph_ray.stages.vocab import bigram_counts
+
+    return (
+        bigram_counts(_docs(sf_dir))
+        .sort(["n", "term_a", "term_b"], descending=[True, False, False])
+        .limit(100)
+    )
+
+
+TEXT_BIGRAM_COUNTS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+  FROM documents
+)
+SELECT l[i] AS term_a, l[i + 1] AS term_b, CAST(count(*) AS BIGINT) AS n
+FROM toks, unnest(generate_series(1, len(l) - 1)) AS g(i)
+GROUP BY 1, 2
+ORDER BY n DESC, term_a, term_b
+LIMIT 100
+"""
+
+
+def documents_source_entropy(sf_dir: str):
+    """Shannon entropy of each language's source distribution — the
+    distribution-health metric for corpus mixing.
+
+    Scale shape: the ONLY distributed work is the (lang, source) count
+    groupby (combiner partials); the entropy formula runs on the
+    bounded langs x sources table (driver-side, ~100 rows — same
+    bounded-finish discipline as the chi-square query)."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+    cells = grouped_agg(docs, ["lang", "source"],
+                        [("n", None, "count")]).to_pandas()
+    tot = cells.groupby("lang")["n"].transform("sum")
+    p = cells["n"] / tot
+    cells["h"] = -p * np.log(p)
+    ent = cells.groupby("lang", sort=True)["h"].sum()
+    return pa.table({
+        "lang": pa.array(ent.index.to_numpy(dtype=object),
+                         type=pa.string()),
+        "entropy_e6": pa.array(
+            np.round(ent.to_numpy() * 1e6).astype(np.int64)
+        ),
+    })
+
+
+DOCUMENTS_SOURCE_ENTROPY_SQL = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2
+),
+t AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.lang,
+       CAST(round(sum(-(n / tot) * ln(n / tot)) * 1e6) AS BIGINT)
+         AS entropy_e6
+FROM c JOIN t ON c.lang = t.lang
+GROUP BY c.lang
+"""
+
+
+def documents_lang_source_chi2(sf_dir: str):
+    """Chi-square independence statistic for the lang x source
+    contingency table (zero-observed cells included via the marginal
+    grid) — the corpus-drift test shape.
+
+    Scale shape: distributed work = ONE (lang, source) count groupby;
+    marginals + the chi2 sum run on the bounded cell grid
+    (driver-side, langs x sources rows)."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+    cells = grouped_agg(docs, ["lang", "source"],
+                        [("n", None, "count")]).to_pandas()
+    langs = sorted(cells["lang"].unique())
+    sources = sorted(cells["source"].unique())
+    obs = cells.pivot_table(index="lang", columns="source", values="n",
+                            fill_value=0).reindex(
+        index=langs, columns=sources, fill_value=0
+    ).to_numpy(dtype=np.float64)
+    rn = obs.sum(axis=1, keepdims=True)
+    cn = obs.sum(axis=0, keepdims=True)
+    t = obs.sum()
+    e = rn * cn / t
+    chi2 = float(((obs - e) ** 2 / e).sum())
+    return pa.table({
+        "chi2_e6": pa.array([int(np.round(chi2 * 1e6))], type=pa.int64()),
+        "n_cells": pa.array([obs.size], type=pa.int64()),
+    })
+
+
+DOCUMENTS_LANG_SOURCE_CHI2_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY 1, 2
+),
+rm AS (SELECT lang, sum(n) AS rn FROM cells GROUP BY 1),
+cm AS (SELECT source, sum(n) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM cells),
+grid AS (SELECT lang, source, rn, cn, t FROM rm, cm, tot),
+full_g AS (
+  SELECT g.lang, g.source, coalesce(c.n, 0) AS o, g.rn * g.cn / g.t AS e
+  FROM grid g LEFT JOIN cells c ON g.lang = c.lang AND g.source = c.source
+)
+SELECT CAST(round(sum((o - e) * (o - e) / e) * 1e6) AS BIGINT) AS chi2_e6,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM full_g
+"""
+
+
+def text_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document — the keyword-extraction shape.
+
+    Scale shape: per-doc term frequencies stay in their batch
+    (stages/vocab.term_count_pairs), the tiny df table broadcast-joins
+    via the size-adaptive path, n_docs is one streaming count, and the
+    per-doc top-3 runs through the grouped_topk combiner (<= k rows
+    per (doc, batch) ever shuffle)."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+    from knowledge_graph_ray.stages.vocab import (
+        document_frequency,
+        term_count_pairs,
+    )
+
+    docs = _docs(sf_dir)
+    n_docs = docs.count()
+    pairs = term_count_pairs(docs)
+    dfreq = document_frequency(docs)
+    joined = size_adaptive_join(pairs, dfreq, on=["term"], how="inner",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False)
+        w = np.round(
+            tf * np.log(float(n_docs) / dfv) * 1e6
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "term": batch.column("term"),
+            "tf": batch.column("tf"),
+            "weight_e6": pa.array(w),
+        })
+
+    return grouped_topk(
+        joined.map_batches(weigh, batch_format="pyarrow"),
+        ["doc_id"], "weight_e6", k=3, descending=True, tie_cols=["term"],
+    )
+
+
+TEXT_TFIDF_TOP_TERMS_SQL = """
+WITH pairs AS (
+  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+  FROM documents,
+       unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+         AS t(term)
+  GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(*) AS df FROM pairs GROUP BY term
+),
+nd AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, pairs.term, tf,
+         CAST(round(tf * ln(CAST(n AS DOUBLE) / df) * 1e6) AS BIGINT)
+           AS weight_e6
+  FROM pairs JOIN df ON pairs.term = df.term, nd
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY weight_e6 DESC, term
+  ) AS rk FROM w
+)
+SELECT doc_id, term, tf, weight_e6, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+"""
+
+
+QUERIES["events_type_value_stddev"] = events_type_value_stddev
+QUERIES["text_bigram_counts"] = text_bigram_counts
+QUERIES["documents_source_entropy"] = documents_source_entropy
+QUERIES["documents_lang_source_chi2"] = documents_lang_source_chi2
+QUERIES["text_tfidf_top_terms"] = text_tfidf_top_terms
+ORACLE_SQL["events_type_value_stddev"] = EVENTS_TYPE_VALUE_STDDEV_SQL
+ORACLE_SQL["text_bigram_counts"] = TEXT_BIGRAM_COUNTS_SQL
+ORACLE_SQL["documents_source_entropy"] = DOCUMENTS_SOURCE_ENTROPY_SQL
+ORACLE_SQL["documents_lang_source_chi2"] = DOCUMENTS_LANG_SOURCE_CHI2_SQL
+ORACLE_SQL["text_tfidf_top_terms"] = TEXT_TFIDF_TOP_TERMS_SQL

@@ -213,3 +213,69 @@ def term_doc_pairs(docs, id_col: str = "doc_id", text_col: str = "text"):
     return docs.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow"
     )
+
+
+def term_count_pairs(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """-> Dataset[(doc_id, term, tf)]: per-document term frequencies —
+    the counted (not deduped) companion of term_doc_pairs, for TF-IDF.
+    Docs never span batches, so in-batch (doc, term) counts are global."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            id_col: batch.column(id_col).to_pandas(),
+            "term": batch.column(text_col).cast(pa.string()).to_pandas()
+            .str.lower().str.split(" "),
+        }).explode("term")
+        df = df[df.term.notna() & (df.term != "")]
+        counts = df.groupby([id_col, "term"], sort=False).size()
+        idx = counts.index.to_frame(index=False)
+        return pa.Table.from_pydict({
+            id_col: pa.array(idx[id_col].to_numpy(), type=pa.int64()),
+            "term": pa.array(idx["term"].to_numpy(dtype=object),
+                             type=pa.string()),
+            "tf": pa.array(counts.to_numpy(), type=pa.int64()),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def bigram_counts(docs, id_col: str = "doc_id", text_col: str = "text",
+                  num_buckets: int = 16,
+                  driver_threshold: int | None = 500_000):
+    """-> Dataset[(term_a, term_b, n)]: corpus-wide adjacent-token
+    bigram counts (empty tokens dropped BEFORE pairing) — the n-gram
+    language-model counting shape.
+
+    Combiner shape: per batch one vectorized explode + within-doc
+    shift(-1) produces the batch's bigram rows; in-batch pair counts
+    are additive partials, so the shuffle moves (pair, batch) partial
+    rows, never tokens."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            id_col: batch.column(id_col).to_pandas(),
+            "term": batch.column(text_col).cast(pa.string()).to_pandas()
+            .str.lower().str.split(" "),
+        }).explode("term")
+        df = df[df.term.notna() & (df.term != "")]
+        df["next"] = df.groupby(id_col, sort=False)["term"].shift(-1)
+        df = df[df["next"].notna()]
+        counts = df.groupby(["term", "next"], sort=False).size()
+        idx = counts.index.to_frame(index=False)
+        return pa.Table.from_pydict({
+            "term_a": pa.array(idx["term"].to_numpy(dtype=object),
+                               type=pa.string()),
+            "term_b": pa.array(idx["next"].to_numpy(dtype=object),
+                               type=pa.string()),
+            "n_partial": pa.array(counts.to_numpy(), type=pa.int64()),
+        })
+
+    partials = docs.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return grouped_agg(
+        partials, ["term_a", "term_b"], [("n", "n_partial", "sum")],
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+    )

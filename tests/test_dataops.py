@@ -1313,3 +1313,34 @@ def test_kmeans_assign_matches_numpy_argmin():
         ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), axis=1
     )
     assert (got == want).all()
+
+
+def test_grouped_stddev_matches_numpy():
+    import numpy as np
+
+    from knowledge_graph_ray.functions.agg import grouped_stddev
+
+    rng = np.random.RandomState(5)
+    keys = rng.randint(0, 3, size=500)
+    vals = rng.randint(-1000, 1000, size=500)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(keys, type=pa.int64()),
+        "x": pa.array(vals, type=pa.int64()),
+    }))
+    got = grouped_stddev(ds, ["k"], "x").to_pandas().set_index("k")
+    for k in range(3):
+        member = vals[keys == k]
+        assert got.loc[k, "n"] == len(member)
+        assert abs(got.loc[k, "stddev"] - member.std(ddof=1)) < 1e-9
+
+
+def test_grouped_stddev_single_row_group_is_null():
+    from knowledge_graph_ray.functions.agg import grouped_stddev
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2], type=pa.int64()),
+        "x": pa.array([5, 1, 3], type=pa.int64()),
+    }))
+    got = grouped_stddev(ds, ["k"], "x").to_pandas().set_index("k")
+    assert pd.isna(got.loc[1, "stddev"])
+    assert abs(got.loc[2, "stddev"] - 2 ** 0.5) < 1e-12

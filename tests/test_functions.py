@@ -232,3 +232,4 @@ def test_extract_json_paths_edge_cases():
     assert got.k.isna().tolist() == [False, True, True, True, True]
     assert got.s.tolist()[0] == "x"
     assert got.s.isna().tolist() == [False, True, True, True, True]
+

@@ -122,3 +122,37 @@ def test_term_doc_pairs_distinct_and_posting_order_numeric():
         out_col="postings",
     ).to_pandas().set_index("term")["postings"]
     assert postings["beta"] == "2,10"
+
+
+def test_bigram_counts_vs_brute_force():
+    from knowledge_graph_ray.stages.vocab import bigram_counts
+
+    texts = ["a b a b c", "b  c b", "x", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+    got = {
+        (r.term_a, r.term_b): r.n
+        for r in bigram_counts(ds).to_pandas().itertuples()
+    }
+    want = Counter()
+    for t in texts:
+        toks = [w for w in t.lower().split(" ") if w]
+        for a, b in zip(toks, toks[1:]):
+            want[(a, b)] += 1
+    assert got == dict(want)
+
+
+def test_term_count_pairs_counts_duplicates():
+    from knowledge_graph_ray.stages.vocab import term_count_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a a b", "b"], type=pa.string()),
+    }))
+    got = {
+        (r.doc_id, r.term): r.tf
+        for r in term_count_pairs(ds).to_pandas().itertuples()
+    }
+    assert got == {(1, "a"): 2, (1, "b"): 1, (2, "b"): 1}
