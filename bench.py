@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "documents_source_entropy",
     "documents_lang_source_chi2",
     "text_tfidf_top_terms",
+    "kg_media_features",
 ]
 
 

@@ -5509,3 +5509,104 @@ ORACLE_SQL["text_bigram_counts"] = TEXT_BIGRAM_COUNTS_SQL
 ORACLE_SQL["documents_source_entropy"] = DOCUMENTS_SOURCE_ENTROPY_SQL
 ORACLE_SQL["documents_lang_source_chi2"] = DOCUMENTS_LANG_SOURCE_CHI2_SQL
 ORACLE_SQL["text_tfidf_top_terms"] = TEXT_TFIDF_TOP_TERMS_SQL
+
+
+def kg_media_features(sf_dir: str):
+    """Rows-only: the multimodal feature-extraction pipeline over the
+    deterministic interleaved corpus — media spans -> actor-pool fetch
+    (client held once per actor) -> actor-pool decode (codec once per
+    actor) -> per-kind feature aggregate.  The codec is the documented
+    DeterministicFakeCodec seam (no codec libs in this container); the
+    Ray-side plumbing (schemas, actor pools, batch sizing, output
+    layout) is the real path.  Non-SQL (blake2b payloads); the
+    integrity gate is kg_media_integrity."""
+    import numpy as np
+
+    from knowledge_graph_ray.corpus import read_corpus
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.multimodal import (
+        decode_media,
+        fetch_media,
+        media_refs_from_docs,
+    )
+
+    docs = read_corpus(500, seed=6969, shard_size=125)
+    feats = decode_media(fetch_media(media_refs_from_docs(docs)))
+
+    def norms(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(
+            batch.column("feature").combine_chunks().flatten()
+        ).reshape(len(batch), -1)
+        return pa.table({
+            "kind": batch.column("kind"),
+            "norm_e6": pa.array(
+                np.round(np.linalg.norm(mat.astype(np.float64), axis=1)
+                         * 1e6).astype(np.int64)
+            ),
+        })
+
+    return grouped_agg(
+        feats.map_batches(norms, batch_format="pyarrow"),
+        ["kind"],
+        [("n_media", None, "count"), ("sum_norm_e6", "norm_e6", "sum")],
+    )
+
+
+def kg_media_integrity(sf_dir: str):
+    """SQL-gated integrity invariants for the multimodal path: (a) no
+    media row is dropped between the ref listing and the decoded
+    features (streaming counts agree); (b) every decoded feature has
+    the contract dimension and values inside [0, 1] (violations
+    counted distributed, must be 0); (c) all three media kinds appear.
+    A silent drop or shape drift FAILS the driver."""
+    import numpy as np
+
+    from knowledge_graph_ray.corpus import read_corpus
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.multimodal import (
+        FEATURE_DIM,
+        decode_media,
+        fetch_media,
+        media_refs_from_docs,
+    )
+
+    docs = read_corpus(500, seed=6969, shard_size=125)
+    refs = media_refs_from_docs(docs)
+    n_refs = refs.count()
+    feats = decode_media(fetch_media(refs))
+
+    def check(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(
+            batch.column("feature").combine_chunks().flatten()
+        ).reshape(len(batch), -1)
+        row_bad = ((mat < 0.0) | (mat > 1.0)).any(axis=1)
+        if mat.shape[1] != FEATURE_DIM:
+            row_bad[:] = True
+        return pa.table({
+            "kind": batch.column("kind"),
+            "bad": pa.array(row_bad.astype(np.int64)),
+        })
+
+    checked = grouped_agg(
+        feats.map_batches(check, batch_format="pyarrow"),
+        ["kind"], [("n", None, "count"), ("n_bad", "bad", "sum")],
+    ).to_pandas()
+    n_decoded = int(checked["n"].sum())
+    n_bad = int(checked["n_bad"].sum())
+    return pa.table({
+        "refs_equal_decoded": pa.array(
+            [int(n_refs == n_decoded)], type=pa.int64()),
+        "feature_violations": pa.array([n_bad], type=pa.int64()),
+        "kinds_found": pa.array([len(checked)], type=pa.int64()),
+    })
+
+
+KG_MEDIA_INTEGRITY_SQL = """
+SELECT CAST(1 AS BIGINT) AS refs_equal_decoded,
+       CAST(0 AS BIGINT) AS feature_violations,
+       CAST(3 AS BIGINT) AS kinds_found
+"""
+
+QUERIES["kg_media_features"] = kg_media_features
+QUERIES["kg_media_integrity"] = kg_media_integrity
+ORACLE_SQL["kg_media_integrity"] = KG_MEDIA_INTEGRITY_SQL
