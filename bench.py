@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "documents_lang_source_chi2",
     "text_tfidf_top_terms",
     "kg_media_features",
+    "graph_bfs_hops",
 ]
 
 

@@ -5610,3 +5610,74 @@ SELECT CAST(1 AS BIGINT) AS refs_equal_decoded,
 QUERIES["kg_media_features"] = kg_media_features
 QUERIES["kg_media_integrity"] = kg_media_integrity
 ORACLE_SQL["kg_media_integrity"] = KG_MEDIA_INTEGRITY_SQL
+
+
+def graph_bfs_hops(sf_dir: str):
+    """3-hop BFS frontier expansion from the smallest customer over the
+    customer-supplier bipartite graph (distinct trading pairs) — the
+    iterative graph-traversal shape.
+
+    Scale shape: each hop is one size-adaptive semi-join of the edge
+    set against the frontier plus one anti-join against the visited
+    side (stages/graphops.bipartite_bfs_hops) — frontiers broadcast
+    while small and flip to partitioned joins when they outgrow the
+    budget; only node keys ever sit in frontier/visited sets."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+    from knowledge_graph_ray.stages.graphops import bipartite_bfs_hops
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    line = project(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey"]),
+        {"l_orderkey": "o_orderkey", "l_suppkey": "s"},
+    )
+    pairs = size_adaptive_join(line, orders, on=["o_orderkey"], how="inner",
+                               broadcast_max=BROADCAST_KEYS_MAX)
+    edges = grouped_agg(
+        project(pairs.select_columns(["o_custkey", "s"]),
+                {"o_custkey": "c", "s": "s"}),
+        ["c", "s"], [("__n", None, "count")],
+    ).select_columns(["c", "s"]).materialize()
+
+    seed_val = grouped_agg(
+        edges.map_batches(
+            lambda t: pa.table({
+                "g": pa.array([1] * len(t), type=pa.int64()),
+                "c": t.column("c"),
+            }),
+            batch_format="pyarrow",
+        ),
+        ["g"], [("min_c", "c", "min")],
+    ).take(1)[0]["min_c"]
+    seed = rd.from_arrow(pa.table({"c": pa.array([seed_val],
+                                                 type=pa.int64())}))
+
+    counts = bipartite_bfs_hops(edges, seed, hops=3)
+    return pa.table({
+        "hop": pa.array([h for h, _ in counts], type=pa.int64()),
+        "n_new": pa.array([n for _, n in counts], type=pa.int64()),
+    })
+
+
+GRAPH_BFS_HOPS_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+seed AS (SELECT min(c) AS c FROM e),
+h1 AS (SELECT DISTINCT s FROM e JOIN seed USING (c)),
+h2 AS (SELECT DISTINCT c FROM e JOIN h1 USING (s)
+       WHERE c NOT IN (SELECT c FROM seed)),
+h3 AS (SELECT DISTINCT s FROM e JOIN h2 USING (c)
+       WHERE s NOT IN (SELECT s FROM h1))
+SELECT CAST(1 AS BIGINT) AS hop, CAST((SELECT count(*) FROM h1) AS BIGINT) AS n_new
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST((SELECT count(*) FROM h2) AS BIGINT)
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST((SELECT count(*) FROM h3) AS BIGINT)
+"""
+
+QUERIES["graph_bfs_hops"] = graph_bfs_hops
+ORACLE_SQL["graph_bfs_hops"] = GRAPH_BFS_HOPS_SQL

@@ -134,3 +134,53 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
     n_tri = closing.count()
     return rd.from_arrow(pa.table({"triangles":
                                    pa.array([n_tri], pa.int64())}))
+
+
+def bipartite_bfs_hops(edges, seed_left, hops: int = 3,
+                       left: str = "c", right: str = "s",
+                       broadcast_max: int = 5_000_000):
+    """Breadth-first frontier expansion over a bipartite edge set —
+    hop h alternates sides (odd hops discover right nodes, even hops
+    left nodes).  Returns [(hop, n_new)] for h = 1..hops.
+
+    Scale shape: each hop is ONE size-adaptive semi-join of the edge
+    set against the current frontier (frontier broadcasts while small,
+    flips to a partitioned hash_join when it outgrows the budget) plus
+    one anti-join against the visited side — the classic distributed
+    BFS; edges stream every round, frontiers/visited sets hold node
+    keys only.  The edge dataset is re-read per hop, so pass a
+    materialized dataset when hops > 1."""
+    from knowledge_graph_ray.functions.joins import (
+        project,
+        size_adaptive_join,
+    )
+
+    def distinct(ds, col):
+        from knowledge_graph_ray.functions.agg import grouped_agg
+
+        return grouped_agg(ds, [col], [("__n", None, "count")]) \
+            .select_columns([col])
+
+    frontier = seed_left          # Dataset[left] (node keys, one column)
+    visited = {left: seed_left, right: None}
+    side_in, side_out = left, right
+    counts = []
+    for hop in range(1, hops + 1):
+        hit = size_adaptive_join(edges, frontier, on=[side_in],
+                                 how="left_semi",
+                                 broadcast_max=broadcast_max)
+        nxt = distinct(project(hit.select_columns([side_out]),
+                               [side_out]), side_out)
+        if visited[side_out] is not None:
+            nxt = size_adaptive_join(nxt, visited[side_out],
+                                     on=[side_out], how="left_anti",
+                                     broadcast_max=broadcast_max)
+        nxt = nxt.materialize()
+        counts.append((hop, nxt.count()))
+        visited[side_out] = (
+            nxt if visited[side_out] is None
+            else visited[side_out].union(nxt).materialize()
+        )
+        frontier = nxt
+        side_in, side_out = side_out, side_in
+    return counts

@@ -54,3 +54,18 @@ def test_triangle_count_normalization_and_edges():
         "dst": pa.array([], type=pa.string()),
     }))
     assert triangle_count(empty).to_pandas().triangles.iloc[0] == 0
+
+
+def test_bipartite_bfs_hops_alternates_and_excludes_visited():
+    from knowledge_graph_ray.stages.graphops import bipartite_bfs_hops
+
+    # c1-{s1,s2}, c2-{s2,s3}, c3-{s3}, c4 isolated via s9
+    edges = rd.from_arrow(pa.table({
+        "c": pa.array([1, 1, 2, 2, 3, 4], type=pa.int64()),
+        "s": pa.array([1, 2, 2, 3, 3, 9], type=pa.int64()),
+    })).materialize()
+    seed = rd.from_arrow(pa.table({"c": pa.array([1], type=pa.int64())}))
+    counts = bipartite_bfs_hops(edges, seed, hops=4)
+    # hop1: s1,s2 -> 2; hop2: c2 (c1 visited) -> 1; hop3: s3 -> 1;
+    # hop4: c3 -> 1 (c4/s9 unreachable)
+    assert counts == [(1, 2), (2, 1), (3, 1), (4, 1)]
