@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "text_tfidf_top_terms",
     "kg_media_features",
     "graph_bfs_hops",
+    "events_hour_groups_frame",
+    "events_value_mad",
+    "events_dense_topk",
 ]
 
 

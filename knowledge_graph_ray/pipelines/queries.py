@@ -5681,3 +5681,182 @@ SELECT CAST(3 AS BIGINT), CAST((SELECT count(*) FROM h3) AS BIGINT)
 
 QUERIES["graph_bfs_hops"] = graph_bfs_hops
 ORACLE_SQL["graph_bfs_hops"] = GRAPH_BFS_HOPS_SQL
+
+
+def events_hour_groups_frame(sf_dir: str):
+    """GROUPS window frame (stages/ranking.window_groups_agg): per
+    event, the cent sum over its hour peer group plus the previous
+    distinct hour group within its event type — completes the
+    ROWS/RANGE/GROUPS frame triad.  One shuffle on event_type, two
+    searchsorted calls per bucket on the group-index axis."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.stages.ranking import window_groups_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "ts",
+                                      "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hour = pc.divide(
+            pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000),
+            3600,
+        )
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+            "hour": hour.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    return window_groups_agg(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key="event_type", order_col="hour", value_col="cents",
+        groups_preceding=1, id_cols=["event_id"],
+        sum_col="grp_sum_cents", driver_threshold=500_000,
+        size_hint=events.count(),
+    )
+
+
+EVENTS_HOUR_GROUPS_FRAME_SQL = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (SELECT event_type, hour, sum(cents) AS gs FROM e GROUP BY 1, 2),
+w AS (
+  SELECT event_type, hour,
+         gs + coalesce(lag(gs) OVER (PARTITION BY event_type
+                                     ORDER BY hour), 0) AS s
+  FROM g
+)
+SELECT e.event_id, e.event_type, e.hour, e.cents,
+       CAST(w.s AS BIGINT) AS grp_sum_cents
+FROM e JOIN w USING (event_type, hour)
+"""
+
+
+def events_value_mad(sf_dir: str):
+    """Median absolute deviation of cents per event type — the robust
+    dispersion statistic: exact discrete median, broadcast back
+    (size-adaptive join), exact discrete median of absolute
+    deviations.  All-integer pipeline: both quantile passes move one
+    row per DISTINCT (type, value) pair."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.joins import (
+        hash_join,
+        project,
+        size_adaptive_join,
+    )
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    cents_ds = events.map_batches(cents, batch_format="pyarrow")
+    cents_ds = cents_ds.materialize()
+    meds = grouped_quantiles(cents_ds, "event_type", "cents", [0.5])
+    meds_proj = project(meds, {"event_type": "event_type",
+                               "cents": "med_f"}).materialize()
+    joined = size_adaptive_join(cents_ds, meds_proj, on=["event_type"],
+                                how="inner",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+
+    def adev(batch: pa.Table) -> pa.Table:
+        med = batch.column("med_f").cast(pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "adev": pc.abs(pc.subtract(batch.column("cents"), med)),
+        })
+
+    mads = grouped_quantiles(
+        joined.map_batches(adev, batch_format="pyarrow"),
+        "event_type", "adev", [0.5],
+    )
+    out = hash_join(
+        meds_proj,
+        project(mads, {"event_type": "event_type", "adev": "mad_f"}),
+        on=["event_type"], how="inner",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "med_cents": batch.column("med_f").cast(pa.int64()),
+            "mad_cents": batch.column("mad_f").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_VALUE_MAD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med FROM c GROUP BY 1
+)
+SELECT c.event_type, CAST(m.med AS BIGINT) AS med_cents,
+       CAST(quantile_disc(abs(c.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM c JOIN m ON c.event_type = m.event_type
+GROUP BY c.event_type, m.med
+"""
+
+
+def events_dense_topk(sf_dir: str):
+    """DENSE_RANK top-k: rows whose cent value is among each type's
+    top-3 DISTINCT values, with their row counts — pure composition:
+    distinct (type, cents) collapse through the count combiner, then
+    the bounded top-k combiner ranks distinct values (so rk IS the
+    dense rank of the raw rows)."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    distinct = grouped_agg(
+        events.map_batches(cents, batch_format="pyarrow"),
+        ["event_type", "cents"], [("n", None, "count")],
+    )
+    return grouped_topk(distinct, ["event_type"], "cents", k=3,
+                        descending=True)
+
+
+EVENTS_DENSE_TOPK_SQL = """
+WITH d AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY cents DESC
+  ) AS rk FROM d
+)
+SELECT event_type, cents, n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+"""
+
+QUERIES["events_hour_groups_frame"] = events_hour_groups_frame
+QUERIES["events_value_mad"] = events_value_mad
+QUERIES["events_dense_topk"] = events_dense_topk
+ORACLE_SQL["events_hour_groups_frame"] = EVENTS_HOUR_GROUPS_FRAME_SQL
+ORACLE_SQL["events_value_mad"] = EVENTS_VALUE_MAD_SQL
+ORACLE_SQL["events_dense_topk"] = EVENTS_DENSE_TOPK_SQL

@@ -666,3 +666,60 @@ def window_nth_value(ds, key: str, order_cols: list[str], value_col: str,
         num_buckets=num_buckets, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def window_groups_agg(ds, key: str, order_col: str, value_col: str,
+                      groups_preceding: int, id_cols: list[str] | None = None,
+                      sum_col: str = "groups_sum", num_buckets: int = 64,
+                      driver_threshold: int | None = None,
+                      size_hint: int | None = None):
+    """SUM OVER (PARTITION BY key ORDER BY order_col GROUPS BETWEEN
+    groups_preceding PRECEDING AND CURRENT ROW) — the PEER-GROUP window
+    frame completing the ROWS (window_moving_agg) / RANGE
+    (window_range_agg) / GROUPS triad: each row aggregates its whole
+    peer group (rows with equal order value) plus the
+    ``groups_preceding`` preceding distinct-order groups in the
+    partition.
+
+    Same one-searchsorted-per-bound trick as window_range_agg, on a
+    GROUP-INDEX axis instead of the value axis: after the per-bucket
+    sort by (key, order_col), a cumulative increment vector (key change
+    -> groups_preceding + 2 so no frame crosses a key; order change
+    within key -> 1; peer -> 0) embeds every row at its group index,
+    and frame bounds for ALL rows are two ``np.searchsorted`` calls
+    with exclusive-prefix-sum differences.  ``order_col``/``value_col``
+    must be non-null int64 (exact sums).
+    """
+    assert groups_preceding >= 0
+    id_cols = id_cols or []
+    cols = list(dict.fromkeys([key, order_col] + id_cols + [value_col]))
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        g = g.sort_values([key, order_col], kind="stable")
+        out = g[cols].copy()
+        codes, _ = pd.factorize(g[key], use_na_sentinel=False)
+        t = g[order_col].to_numpy(dtype="int64")
+        key_change = np.empty(len(g), dtype=bool)
+        key_change[0] = False
+        key_change[1:] = codes[1:] != codes[:-1]
+        order_change = np.empty(len(g), dtype=bool)
+        order_change[0] = False
+        order_change[1:] = (t[1:] != t[:-1]) & ~key_change[1:]
+        inc = np.where(key_change, groups_preceding + 2,
+                       np.where(order_change, 1, 0)).astype("int64")
+        gaxis = np.cumsum(inc)
+        lo = np.searchsorted(gaxis, gaxis - groups_preceding, side="left")
+        hi = np.searchsorted(gaxis, gaxis, side="right")
+        cum = np.concatenate(
+            ([0], np.cumsum(g[value_col].to_numpy(dtype="int64")))
+        )
+        out[sum_col] = cum[hi] - cum[lo]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucketed_bucket_map(
+        ds.select_columns(cols), [key], bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

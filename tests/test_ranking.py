@@ -492,3 +492,28 @@ def test_window_range_agg_overflow_guard():
         window_range_agg(rd.from_pandas(df), key="k", order_col="t",
                          value_col="v", range_preceding=10,
                          num_buckets=1).materialize()
+
+
+def test_window_groups_agg_vs_brute_force():
+    from knowledge_graph_ray.stages.ranking import window_groups_agg
+
+    rng = np.random.RandomState(3)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.randint(0, 4, size=n),
+        "o": rng.randint(0, 12, size=n),   # coarse → many peer groups
+        "v": rng.randint(-50, 50, size=n),
+        "rid": np.arange(n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = window_groups_agg(ds, key="k", order_col="o", value_col="v",
+                            groups_preceding=1, id_cols=["rid"]) \
+        .to_pandas().set_index("rid")["groups_sum"]
+    # brute force: per (k, o) group sums; frame = own group + previous
+    # distinct group in the partition
+    gs = df.groupby(["k", "o"])["v"].sum()
+    for _, row in df.iterrows():
+        k, o = row["k"], row["o"]
+        prev = [oo for oo in sorted(df[df.k == k]["o"].unique()) if oo < o]
+        want = gs.loc[(k, o)] + (gs.loc[(k, prev[-1])] if prev else 0)
+        assert got[row["rid"]] == want
