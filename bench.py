@@ -131,6 +131,10 @@ BENCH_QUERIES = [
     "events_hour_groups_frame",
     "events_value_mad",
     "events_dense_topk",
+    "events_winsorized_mean",
+    "events_user_gini",
+    "referential_integrity_audit",
+    "events_column_profile",
 ]
 
 

@@ -5860,3 +5860,307 @@ QUERIES["events_dense_topk"] = events_dense_topk
 ORACLE_SQL["events_hour_groups_frame"] = EVENTS_HOUR_GROUPS_FRAME_SQL
 ORACLE_SQL["events_value_mad"] = EVENTS_VALUE_MAD_SQL
 ORACLE_SQL["events_dense_topk"] = EVENTS_DENSE_TOPK_SQL
+
+
+def events_winsorized_mean(sf_dir: str):
+    """Winsorized (clipped at [P5, P95]) cent sum and count per event
+    type — the robust-mean preprocessing shape: exact discrete group
+    quantiles, thresholds attach via the size-adaptive join, stateless
+    vectorized clip, combiner sum.  All-integer end to end."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    cents_ds = events.map_batches(cents, batch_format="pyarrow") \
+        .materialize()
+    qs = grouped_quantiles(cents_ds, "event_type", "cents", [0.05, 0.95]) \
+        .to_pandas()
+    wide = qs.pivot(index="event_type", columns="q",
+                    values="cents").reset_index()
+    bounds = rd.from_arrow(pa.table({
+        "event_type": pa.array(wide["event_type"].to_numpy(dtype=object),
+                               type=pa.string()),
+        "p5": pa.array(wide[0.05].to_numpy(), type=pa.int64()),
+        "p95": pa.array(wide[0.95].to_numpy(), type=pa.int64()),
+    }))
+    joined = size_adaptive_join(cents_ds, bounds, on=["event_type"],
+                                how="inner",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        c = pc.min_element_wise(
+            pc.max_element_wise(batch.column("cents"),
+                                batch.column("p5")),
+            batch.column("p95"),
+        )
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "wcents": c,
+        })
+
+    return grouped_agg(
+        joined.map_batches(clip, batch_format="pyarrow"),
+        ["event_type"],
+        [("wsum_cents", "wcents", "sum"), ("n", None, "count")],
+    )
+
+
+EVENTS_WINSORIZED_MEAN_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+p AS (
+  SELECT event_type, quantile_disc(cents, 0.05) AS p5,
+         quantile_disc(cents, 0.95) AS p95
+  FROM c GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(sum(CASE WHEN cents < p5 THEN p5
+                     WHEN cents > p95 THEN p95 ELSE cents END) AS BIGINT)
+         AS wsum_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM c JOIN p ON c.event_type = p.event_type
+GROUP BY c.event_type
+"""
+
+
+def events_user_gini(sf_dir: str):
+    """Gini coefficient of the per-user event-count distribution — the
+    skew-diagnostics shape (how concentrated is activity across
+    users).
+
+    Scale shape: per-user counts collapse through the combiner
+    (user-cardinality rows); the sorted-rank formula then needs a
+    GLOBAL enumerate — run here over the count table (users, not
+    events) on a constant key; at hub-scale user counts the
+    range-salted enumerate (running_sum_salted's pattern) is the
+    documented escape hatch.  Formula: G = 2·Σ(i·x_i)/(n·Σx) −
+    (n+1)/n over counts sorted ascending, reported at e6."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.ranking import window_enumerate
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+    counts = grouped_agg(events, ["user_id"], [("n_events", None, "count")])
+
+    def const_key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array([1] * len(batch), type=pa.int64())
+        )
+
+    ranked = window_enumerate(
+        counts.map_batches(const_key, batch_format="pyarrow"),
+        key="g", order_cols=["n_events", "user_id"],
+        dense_rank_col="n_events", value_col="n_events",
+    )
+
+    def weighted(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "g": batch.column("g"),
+            "x": batch.column("n_events"),
+            "ix": pc.multiply(batch.column("rn"),
+                              batch.column("n_events")),
+        })
+
+    stats = grouped_agg(
+        ranked.map_batches(weighted, batch_format="pyarrow"),
+        ["g"],
+        [("s1", "x", "sum"), ("s2", "ix", "sum"), ("n", None, "count")],
+    ).take(1)[0]
+    n, s1, s2 = float(stats["n"]), float(stats["s1"]), float(stats["s2"])
+    gini = 2.0 * s2 / (n * s1) - (n + 1.0) / n
+    return pa.table({
+        "gini_e6": pa.array([int(np.round(gini * 1e6))], type=pa.int64()),
+        "n_users": pa.array([int(stats["n"])], type=pa.int64()),
+    })
+
+
+EVENTS_USER_GINI_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT n_events,
+         row_number() OVER (ORDER BY n_events, user_id) AS i
+  FROM c
+),
+s AS (
+  SELECT CAST(sum(n_events) AS DOUBLE) AS s1,
+         CAST(sum(i * n_events) AS DOUBLE) AS s2,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM r
+)
+SELECT CAST(round((2 * s2 / (n * s1) - (n + 1) / n) * 1e6) AS BIGINT)
+         AS gini_e6,
+       CAST(n AS BIGINT) AS n_users
+FROM s
+"""
+
+
+def referential_integrity_audit(sf_dir: str):
+    """Foreign-key orphan audit across the fact tables — the
+    data-quality gate shape: one size-adaptive anti-join per FK edge
+    (keys only on the wire), counts per relationship."""
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    line = project(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey"]),
+        {"l_orderkey": "o_orderkey"},
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    customer = project(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"]),
+        {"c_custkey": "o_custkey"},
+    )
+    supplier_keys = project(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey"]),
+        {"s_suppkey": "l_suppkey"},
+    )
+    line_supp = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_suppkey"])
+
+    orphan_line = size_adaptive_join(
+        line, orders.select_columns(["o_orderkey"]), on=["o_orderkey"],
+        how="left_anti", broadcast_max=BROADCAST_KEYS_MAX,
+    ).count()
+    orphan_orders = size_adaptive_join(
+        orders.select_columns(["o_custkey"]), customer, on=["o_custkey"],
+        how="left_anti", broadcast_max=BROADCAST_KEYS_MAX,
+    ).count()
+    orphan_supp = size_adaptive_join(
+        line_supp, supplier_keys, on=["l_suppkey"],
+        how="left_anti", broadcast_max=BROADCAST_KEYS_MAX,
+    ).count()
+    return pa.table({
+        "fk": pa.array(["lineitem.orderkey", "lineitem.suppkey",
+                        "orders.custkey"], type=pa.string()),
+        "n_orphans": pa.array([orphan_line, orphan_supp, orphan_orders],
+                              type=pa.int64()),
+    })
+
+
+REFERENTIAL_INTEGRITY_AUDIT_SQL = """
+SELECT 'lineitem.orderkey' AS fk,
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem.suppkey',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+            AS BIGINT)
+UNION ALL
+SELECT 'orders.custkey',
+       CAST((SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS BIGINT)
+"""
+
+QUERIES["events_winsorized_mean"] = events_winsorized_mean
+QUERIES["events_user_gini"] = events_user_gini
+QUERIES["referential_integrity_audit"] = referential_integrity_audit
+ORACLE_SQL["events_winsorized_mean"] = EVENTS_WINSORIZED_MEAN_SQL
+ORACLE_SQL["events_user_gini"] = EVENTS_USER_GINI_SQL
+ORACLE_SQL["referential_integrity_audit"] = REFERENTIAL_INTEGRITY_AUDIT_SQL
+
+
+def events_column_profile(sf_dir: str):
+    """Per-column completeness/cardinality profile of the events table
+    (null count + exact distinct count per column) — the dataset-
+    profiling shape that fronts every ingestion pipeline.
+
+    Scale shape: null counts are ONE streaming pass (each batch emits
+    one 6-row partial, the combiner sums them); distinct counts run
+    one column-pruned pair-distinct pass per column (exact — the HLL
+    sketch path (events_distinct_users_hll) is the swap-in when a
+    column's cardinality makes exact pair shuffles too wide)."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.sketches import grouped_distinct_count
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def null_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": pa.array(cols, type=pa.string()),
+            "n_null_p": pa.array(
+                [batch.column(c).null_count for c in cols],
+                type=pa.int64(),
+            ),
+        })
+
+    nulls = grouped_agg(
+        events.map_batches(null_partial, batch_format="pyarrow"),
+        ["col"], [("n_null", "n_null_p", "sum")],
+    ).to_pandas().set_index("col")["n_null"]
+
+    distinct = {}
+    for c in cols:
+        one = rd.read_parquet(f"{sf_dir}/events.parquet", columns=[c]) \
+            .map_batches(
+                # drop nulls first: SQL count(DISTINCT) never counts NULL
+                lambda t, _c=c: (lambda f: pa.table({
+                    "g": pa.array([1] * len(f), type=pa.int64()),
+                    "v": f.column(_c),
+                }))(t.filter(pc.is_valid(t.column(_c)))),
+                batch_format="pyarrow",
+        )
+        distinct[c] = int(
+            grouped_distinct_count(one, "g", "v").take(1)[0]["n_distinct"]
+        )
+
+    return pa.table({
+        "col": pa.array(cols, type=pa.string()),
+        "n_null": pa.array([int(nulls.get(c, 0)) for c in cols],
+                           type=pa.int64()),
+        "n_distinct": pa.array([distinct[c] for c in cols],
+                               type=pa.int64()),
+    })
+
+
+EVENTS_COLUMN_PROFILE_SQL = """
+SELECT 'event_id' AS col,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'ts', CAST(count(*) - count(ts) AS BIGINT),
+       CAST(count(DISTINCT ts) AS BIGINT) FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT) FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) - count(props) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT) FROM events
+"""
+
+QUERIES["events_column_profile"] = events_column_profile
+ORACLE_SQL["events_column_profile"] = EVENTS_COLUMN_PROFILE_SQL
