@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "events_user_gini",
     "referential_integrity_audit",
     "events_column_profile",
+    "tpch_nation_trade_pairs",
+    "events_hourly_dense",
 ]
 
 

@@ -6164,3 +6164,192 @@ SELECT 'props', CAST(count(*) - count(props) AS BIGINT),
 
 QUERIES["events_column_profile"] = events_column_profile
 ORACLE_SQL["events_column_profile"] = EVENTS_COLUMN_PROFILE_SQL
+
+
+def tpch_nation_trade_pairs(sf_dir: str):
+    """TPC-H Q7 shape: revenue between supplier-nation / customer-nation
+    pairs (generalized to all alphabetically-ordered pairs) — the
+    two-dimension-attach join DAG.
+
+    Scale shape: lineitem streams through the same size-adaptive chain
+    as the Q5 query but attaches BOTH nation names (supplier side and
+    customer side, the second via a renamed copy of the tiny nation
+    table); the pair predicate is a stateless vectorized compare and
+    the final groupby is pair-cardinality.  Revenue rounds to cents
+    PER ROW (exact integer sums both sides) — a rounded float sum sits
+    one ulp from a half-cent boundary here and hash-mismatches."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "l_suppkey": batch.column("l_suppkey"), "rev_cents": scaled_int_column(r, 100.0)})
+
+    supplier = project(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        {"s_suppkey": "l_suppkey", "s_nationkey": "s_nationkey"},
+    )
+    orders = project(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        ["o_orderkey", "o_custkey"],
+    )
+    customer = project(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        {"c_custkey": "o_custkey", "c_nationkey": "c_nationkey"},
+    )
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    supp_nation = project(nation, {"n_nationkey": "s_nationkey",
+                                   "n_name": "supp_nation"})
+    cust_nation = project(nation, {"n_nationkey": "c_nationkey",
+                                   "n_name": "cust_nation"})
+
+    step = size_adaptive_join(line.map_batches(rev, batch_format="pyarrow"),
+                              supplier, on=["l_suppkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX)
+    step = size_adaptive_join(step, orders, on=["o_orderkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX)
+    step = size_adaptive_join(step, customer, on=["o_custkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX)
+    step = size_adaptive_join(step, supp_nation, on=["s_nationkey"],
+                              how="inner", broadcast_max=BROADCAST_KEYS_MAX)
+    step = size_adaptive_join(step, cust_nation, on=["c_nationkey"],
+                              how="inner", broadcast_max=BROADCAST_KEYS_MAX)
+    pairs = step.map_batches(
+        lambda t: t.filter(pa.compute.less(t.column("supp_nation"),
+                                           t.column("cust_nation"))),
+        batch_format="pyarrow",
+    )
+    return grouped_agg(
+        pairs.select_columns(["supp_nation", "cust_nation", "rev_cents"]),
+        ["supp_nation", "cust_nation"],
+        [("revenue_cents", "rev_cents", "sum")],
+    )
+
+
+TPCH_NATION_TRADE_PAIRS_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY 1, 2
+"""
+
+
+def events_hourly_dense(sf_dir: str):
+    """Gap-filled hourly counts: every (event_type, hour) cell from the
+    global min to max hour, zero-filled where no events landed — the
+    time-series densification (spine join) shape.
+
+    Scale shape: the hour bounds collapse to ONE driver scalar pair
+    through the constant-key combiner; the spine is generated
+    DISTRIBUTED (rd.range over the hour span, types cross-attached
+    per batch from a broadcast list), and the observed counts attach
+    by left-outer size-adaptive join with vectorized zero-fill."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts"])
+
+    def hours(batch: pa.Table) -> pa.Table:
+        h = pc.divide(
+            pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000),
+            3600,
+        ).cast(pa.int64())
+        return pa.table({"event_type": batch.column("event_type"),
+                         "hour": h})
+
+    hourly = events.map_batches(hours, batch_format="pyarrow").materialize()
+    counts = grouped_agg(hourly, ["event_type", "hour"],
+                         [("n", None, "count")])
+
+    def with_g(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array([1] * len(batch), type=pa.int64()),
+            "hour": batch.column("hour"),
+        })
+
+    bounds = grouped_agg(
+        hourly.map_batches(with_g, batch_format="pyarrow"),
+        ["g"], [("mn", "hour", "min"), ("mx", "hour", "max")],
+    ).take(1)[0]
+    mn, mx = int(bounds["mn"]), int(bounds["mx"])
+    types = sorted(
+        grouped_agg(hourly.select_columns(["event_type"]), ["event_type"],
+                    [("__n", None, "count")])
+        .to_pandas()["event_type"].tolist()
+    )
+
+    def spine_batch(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        hrs = batch.column("id").to_numpy(zero_copy_only=False) + mn
+        return pa.table({
+            "event_type": pa.array(
+                np.repeat(np.asarray(types, dtype=object), len(hrs)),
+                type=pa.string(),
+            ),
+            "hour": pa.array(np.tile(hrs, len(types)), type=pa.int64()),
+        })
+
+    spine = rd.range(mx - mn + 1).map_batches(spine_batch,
+                                              batch_format="pyarrow")
+    joined = size_adaptive_join(spine, counts, on=["event_type", "hour"],
+                                how="left_outer",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "hour": batch.column("hour"),
+            "n": pc.fill_null(batch.column("n").cast(pa.int64()), 0),
+        })
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_DENSE_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour
+  FROM events
+),
+b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM e),
+types AS (SELECT DISTINCT event_type FROM e),
+spine AS (
+  SELECT event_type, g.h AS hour
+  FROM types, b, unnest(generate_series(mn, mx)) AS g(h)
+),
+cnt AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2)
+SELECT s.event_type, s.hour, coalesce(c.n, 0) AS n
+FROM spine s LEFT JOIN cnt c
+  ON s.event_type = c.event_type AND s.hour = c.hour
+"""
+
+QUERIES["tpch_nation_trade_pairs"] = tpch_nation_trade_pairs
+QUERIES["events_hourly_dense"] = events_hourly_dense
+ORACLE_SQL["tpch_nation_trade_pairs"] = TPCH_NATION_TRADE_PAIRS_SQL
+ORACLE_SQL["events_hourly_dense"] = EVENTS_HOURLY_DENSE_SQL
