@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "events_column_profile",
     "tpch_nation_trade_pairs",
     "events_hourly_dense",
+    "documents_k_anonymity",
+    "events_value_psi",
 ]
 
 

@@ -6353,3 +6353,145 @@ QUERIES["tpch_nation_trade_pairs"] = tpch_nation_trade_pairs
 QUERIES["events_hourly_dense"] = events_hourly_dense
 ORACLE_SQL["tpch_nation_trade_pairs"] = TPCH_NATION_TRADE_PAIRS_SQL
 ORACLE_SQL["events_hourly_dense"] = EVENTS_HOURLY_DENSE_SQL
+
+
+def documents_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (lang, source) quasi-identifier pair:
+    how many equivalence classes fall below k=5 members, plus the
+    smallest class size — the privacy-release gate shape.  ONE count
+    groupby (combiner partials); the class-level scan is
+    class-cardinality."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source"])
+    classes = grouped_agg(docs, ["lang", "source"],
+                          [("n", None, "count")])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array([1] * len(batch), type=pa.int64()),
+            "viol": pc.less(batch.column("n"), 5).cast(pa.int64()),
+            "n": batch.column("n"),
+        })
+
+    row = grouped_agg(
+        classes.map_batches(flags, batch_format="pyarrow"),
+        ["g"],
+        [("n_classes", None, "count"), ("n_below_k", "viol", "sum"),
+         ("min_class", "n", "min")],
+    ).take(1)[0]
+    return pa.table({
+        "n_classes": pa.array([row["n_classes"]], type=pa.int64()),
+        "n_below_k": pa.array([row["n_below_k"]], type=pa.int64()),
+        "min_class": pa.array([row["min_class"]], type=pa.int64()),
+    })
+
+
+DOCUMENTS_K_ANONYMITY_SQL = """
+WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_k,
+       CAST(min(n) AS BIGINT) AS min_class
+FROM c
+"""
+
+
+def events_value_psi(sf_dir: str):
+    """Population stability index of the event-value distribution
+    between the first and second half of the time range (fixed-width
+    cent bins) — the distribution-drift monitor shape for training
+    pipelines.
+
+    Scale shape: ONE streaming pass bins every event and emits
+    (half, bin) partial counts; the PSI formula runs on the bounded
+    bin table.  Empty-on-one-side bins get the standard +1 count
+    smoothing so ln stays finite — applied identically in the
+    oracle."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "value"])
+
+    def with_g(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "g": pa.array([1] * len(batch), type=pa.int64()),
+            "ts_s": ts_s.cast(pa.int64()),
+        })
+
+    b = grouped_agg(
+        events.map_batches(with_g, batch_format="pyarrow"),
+        ["g"], [("mn", "ts_s", "min"), ("mx", "ts_s", "max")],
+    ).take(1)[0]
+    mid = (int(b["mn"]) + int(b["mx"])) // 2
+
+    def binned(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()),
+                         1_000_000).cast(pa.int64())
+        half = pc.greater(ts_s, mid).cast(pa.int64())
+        cents = scaled_int_column(batch.column("value"), 100.0)
+        return pa.table({
+            "half": half,
+            # values are non-negative, so pyarrow's truncating divide
+            # equals SQL's flooring // here
+            "bin": pc.divide(cents, 5000).cast(pa.int64()),
+        })
+
+    cells = grouped_agg(
+        events.map_batches(binned, batch_format="pyarrow"),
+        ["half", "bin"], [("n", None, "count")],
+    ).to_pandas()
+    wide = cells.pivot_table(index="bin", columns="half", values="n",
+                             fill_value=0)
+    c0 = wide.get(0, pd.Series(0, index=wide.index)).to_numpy(
+        dtype=np.float64) + 1.0
+    c1 = wide.get(1, pd.Series(0, index=wide.index)).to_numpy(
+        dtype=np.float64) + 1.0
+    p0, p1 = c0 / c0.sum(), c1 / c1.sum()
+    psi = float(((p0 - p1) * np.log(p0 / p1)).sum())
+    return pa.table({
+        "psi_e6": pa.array([int(np.round(psi * 1e6))], type=pa.int64()),
+        "n_bins": pa.array([len(wide)], type=pa.int64()),
+    })
+
+
+EVENTS_VALUE_PSI_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) // 5000 AS bin
+  FROM events
+),
+b AS (SELECT (min(ts_s) + max(ts_s)) // 2 AS mid FROM e),
+h AS (
+  SELECT bin, CASE WHEN ts_s > mid THEN 1 ELSE 0 END AS half
+  FROM e, b
+),
+cells AS (
+  SELECT bin,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS DOUBLE) AS c0,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS DOUBLE) AS c1
+  FROM h GROUP BY bin
+),
+tot AS (SELECT sum(c0) AS t0, sum(c1) AS t1 FROM cells)
+SELECT CAST(round(sum((c0 / t0 - c1 / t1) * ln((c0 / t0) / (c1 / t1)))
+                  * 1e6) AS BIGINT) AS psi_e6,
+       CAST(count(*) AS BIGINT) AS n_bins
+FROM cells, tot
+"""
+
+QUERIES["documents_k_anonymity"] = documents_k_anonymity
+QUERIES["events_value_psi"] = events_value_psi
+ORACLE_SQL["documents_k_anonymity"] = DOCUMENTS_K_ANONYMITY_SQL
+ORACLE_SQL["events_value_psi"] = EVENTS_VALUE_PSI_SQL
