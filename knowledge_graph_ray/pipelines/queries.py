@@ -64,6 +64,16 @@ def _tune_streaming_gen_buffer(blocks: int = 64) -> None:
 _tune_streaming_gen_buffer()
 
 
+def _pq_rows(path: str) -> int:
+    """Exact row count from the parquet footer — a zero-scan
+    ``right_size_hint`` for size-adaptive joins whose right side is a
+    plain projection of a full-table read (skips the bounded probe
+    materialize entirely)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _docs(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet")
 
@@ -6017,7 +6027,10 @@ FROM s
 def referential_integrity_audit(sf_dir: str):
     """Foreign-key orphan audit across the fact tables — the
     data-quality gate shape: one size-adaptive anti-join per FK edge
-    (keys only on the wire), counts per relationship."""
+    (keys only on the wire), all three unioned into ONE counting
+    execution (a 0-weight baseline row per FK preserves zero-orphan
+    relationships)."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
     from knowledge_graph_ray.functions.joins import project, size_adaptive_join
 
     line = project(
@@ -6040,24 +6053,41 @@ def referential_integrity_audit(sf_dir: str):
     line_supp = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                                 columns=["l_suppkey"])
 
+    def tag(name):
+        def body(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "fk": pa.array([name] * len(t), type=pa.string()),
+                "one": pa.array([1] * len(t), type=pa.int64()),
+            })
+        return body
+
+    n_orders = _pq_rows(f"{sf_dir}/orders.parquet")
     orphan_line = size_adaptive_join(
         line, orders.select_columns(["o_orderkey"]), on=["o_orderkey"],
         how="left_anti", broadcast_max=BROADCAST_KEYS_MAX,
-    ).count()
+        right_size_hint=n_orders,
+    ).map_batches(tag("lineitem.orderkey"), batch_format="pyarrow")
     orphan_orders = size_adaptive_join(
         orders.select_columns(["o_custkey"]), customer, on=["o_custkey"],
         how="left_anti", broadcast_max=BROADCAST_KEYS_MAX,
-    ).count()
+        right_size_hint=_pq_rows(f"{sf_dir}/customer.parquet"),
+    ).map_batches(tag("orders.custkey"), batch_format="pyarrow")
     orphan_supp = size_adaptive_join(
         line_supp, supplier_keys, on=["l_suppkey"],
         how="left_anti", broadcast_max=BROADCAST_KEYS_MAX,
-    ).count()
-    return pa.table({
+        right_size_hint=_pq_rows(f"{sf_dir}/supplier.parquet"),
+    ).map_batches(tag("lineitem.suppkey"), batch_format="pyarrow")
+
+    # zero-orphan FKs must still report a row: union a 0-weight
+    # baseline so the single count execution preserves zeros
+    baseline = rd.from_arrow(pa.table({
         "fk": pa.array(["lineitem.orderkey", "lineitem.suppkey",
                         "orders.custkey"], type=pa.string()),
-        "n_orphans": pa.array([orphan_line, orphan_supp, orphan_orders],
-                              type=pa.int64()),
-    })
+        "one": pa.array([0, 0, 0], type=pa.int64()),
+    }))
+    unioned = baseline.union(orphan_line).union(orphan_supp) \
+        .union(orphan_orders)
+    return grouped_agg(unioned, ["fk"], [("n_orphans", "one", "sum")])
 
 
 REFERENTIAL_INTEGRITY_AUDIT_SQL = """
@@ -6090,55 +6120,61 @@ def events_column_profile(sf_dir: str):
     (null count + exact distinct count per column) — the dataset-
     profiling shape that fronts every ingestion pipeline.
 
-    Scale shape: null counts are ONE streaming pass (each batch emits
-    one 6-row partial, the combiner sums them); distinct counts run
-    one column-pruned pair-distinct pass per column (exact — the HLL
-    sketch path (events_distinct_users_hll) is the swap-in when a
-    column's cardinality makes exact pair shuffles too wide)."""
+    Scale shape: ONE streaming read pass — each batch emits, per
+    column, its distinct non-null values (cast to their exact
+    shortest-roundtrip string form, injective per column type) plus a
+    null-marker row carrying the batch's null count; the pair-distinct
+    combiner groupby then collapses values across batches and a final
+    column-cardinality groupby counts them.  Exact for any column the
+    pair shuffle can hold — the HLL sketch path
+    (events_distinct_users_hll) is the swap-in when a column's
+    cardinality makes exact pair shuffles too wide."""
     import pyarrow.compute as pc
 
     from knowledge_graph_ray.functions.agg import grouped_agg
-    from knowledge_graph_ray.stages.sketches import grouped_distinct_count
 
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
 
-    def null_partial(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        out_col: list = []
+        out_v: list = []
+        out_nulls: list = []
+        for c in cols:
+            arr = batch.column(c)
+            vals = pc.unique(
+                arr.combine_chunks().drop_null().cast(pa.string())
+            )
+            out_col.extend([c] * len(vals))
+            out_v.extend(vals.to_pylist())
+            out_nulls.extend([0] * len(vals))
+            # null-marker row (v = NULL): carries the batch null count
+            out_col.append(c)
+            out_v.append(None)
+            out_nulls.append(arr.null_count)
         return pa.table({
-            "col": pa.array(cols, type=pa.string()),
-            "n_null_p": pa.array(
-                [batch.column(c).null_count for c in cols],
-                type=pa.int64(),
-            ),
+            "col": pa.array(out_col, type=pa.string()),
+            "v": pa.array(out_v, type=pa.string()),
+            "nulls_p": pa.array(out_nulls, type=pa.int64()),
         })
 
-    nulls = grouped_agg(
-        events.map_batches(null_partial, batch_format="pyarrow"),
-        ["col"], [("n_null", "n_null_p", "sum")],
-    ).to_pandas().set_index("col")["n_null"]
+    pairs = grouped_agg(
+        events.map_batches(partial, batch_format="pyarrow"),
+        ["col", "v"], [("nulls", "nulls_p", "sum")],
+    )
 
-    distinct = {}
-    for c in cols:
-        one = rd.read_parquet(f"{sf_dir}/events.parquet", columns=[c]) \
-            .map_batches(
-                # drop nulls first: SQL count(DISTINCT) never counts NULL
-                lambda t, _c=c: (lambda f: pa.table({
-                    "g": pa.array([1] * len(f), type=pa.int64()),
-                    "v": f.column(_c),
-                }))(t.filter(pc.is_valid(t.column(_c)))),
-                batch_format="pyarrow",
-        )
-        distinct[c] = int(
-            grouped_distinct_count(one, "g", "v").take(1)[0]["n_distinct"]
-        )
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": batch.column("col"),
+            "is_val": pc.is_valid(batch.column("v")).cast(pa.int64()),
+            "nulls": batch.column("nulls"),
+        })
 
-    return pa.table({
-        "col": pa.array(cols, type=pa.string()),
-        "n_null": pa.array([int(nulls.get(c, 0)) for c in cols],
-                           type=pa.int64()),
-        "n_distinct": pa.array([distinct[c] for c in cols],
-                               type=pa.int64()),
-    })
+    return grouped_agg(
+        pairs.map_batches(flags, batch_format="pyarrow"),
+        ["col"],
+        [("n_null", "nulls", "sum"), ("n_distinct", "is_val", "sum")],
+    )
 
 
 EVENTS_COLUMN_PROFILE_SQL = """
@@ -6218,17 +6254,26 @@ def tpch_nation_trade_pairs(sf_dir: str):
     cust_nation = project(nation, {"n_nationkey": "c_nationkey",
                                    "n_name": "cust_nation"})
 
+    n_nation = _pq_rows(f"{sf_dir}/nation.parquet")
     step = size_adaptive_join(line.map_batches(rev, batch_format="pyarrow"),
                               supplier, on=["l_suppkey"], how="inner",
-                              broadcast_max=BROADCAST_KEYS_MAX)
+                              broadcast_max=BROADCAST_KEYS_MAX,
+                              right_size_hint=_pq_rows(
+                                  f"{sf_dir}/supplier.parquet"))
     step = size_adaptive_join(step, orders, on=["o_orderkey"], how="inner",
-                              broadcast_max=BROADCAST_KEYS_MAX)
+                              broadcast_max=BROADCAST_KEYS_MAX,
+                              right_size_hint=_pq_rows(
+                                  f"{sf_dir}/orders.parquet"))
     step = size_adaptive_join(step, customer, on=["o_custkey"], how="inner",
-                              broadcast_max=BROADCAST_KEYS_MAX)
+                              broadcast_max=BROADCAST_KEYS_MAX,
+                              right_size_hint=_pq_rows(
+                                  f"{sf_dir}/customer.parquet"))
     step = size_adaptive_join(step, supp_nation, on=["s_nationkey"],
-                              how="inner", broadcast_max=BROADCAST_KEYS_MAX)
+                              how="inner", broadcast_max=BROADCAST_KEYS_MAX,
+                              right_size_hint=n_nation)
     step = size_adaptive_join(step, cust_nation, on=["c_nationkey"],
-                              how="inner", broadcast_max=BROADCAST_KEYS_MAX)
+                              how="inner", broadcast_max=BROADCAST_KEYS_MAX,
+                              right_size_hint=n_nation)
     pairs = step.map_batches(
         lambda t: t.filter(pa.compute.less(t.column("supp_nation"),
                                            t.column("cust_nation"))),
