@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "events_hourly_dense",
     "documents_k_anonymity",
     "events_value_psi",
+    "tpch_top_supplier",
 ]
 
 

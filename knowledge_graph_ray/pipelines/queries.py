@@ -6540,3 +6540,89 @@ QUERIES["documents_k_anonymity"] = documents_k_anonymity
 QUERIES["events_value_psi"] = events_value_psi
 ORACLE_SQL["documents_k_anonymity"] = DOCUMENTS_K_ANONYMITY_SQL
 ORACLE_SQL["events_value_psi"] = EVENTS_VALUE_PSI_SQL
+
+
+def tpch_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue
+    — the argmax-of-aggregate pattern (max computed over an aggregate,
+    then the aggregate rows filtered back to it, ties kept).
+
+    Scale shape: lineitem collapses to supplier-cardinality revenue
+    partials through the combiner (per-row cent rounding — exact
+    integer sums), the global max collapses through a second
+    constant-key combiner to ONE driver scalar, and the winner filter
+    + name attach are stateless/size-adaptive."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    f = (
+        (pads.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+        & (pads.field("l_shipdate") < datetime.datetime(1996, 4, 1))
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"], filter=f,
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({
+            "s_suppkey": batch.column("l_suppkey"),
+            "rev_cents": scaled_int_column(r, 100.0),
+        })
+
+    rev = grouped_agg(
+        line.map_batches(cents, batch_format="pyarrow"),
+        ["s_suppkey"], [("total_cents", "rev_cents", "sum")],
+    ).materialize()
+
+    mx = grouped_agg(
+        rev.map_batches(
+            lambda t: pa.table({
+                "g": pa.array([1] * len(t), type=pa.int64()),
+                "total_cents": t.column("total_cents"),
+            }),
+            batch_format="pyarrow",
+        ),
+        ["g"], [("mx", "total_cents", "max")],
+    ).take(1)[0]["mx"]
+
+    winners = rev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("total_cents"), mx)),
+        batch_format="pyarrow",
+    )
+    supplier = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_name"])
+    return size_adaptive_join(
+        winners, supplier, on=["s_suppkey"], how="inner",
+        broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/supplier.parquet"),
+    ).select_columns(["s_suppkey", "s_name", "total_cents"])
+
+
+TPCH_TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+),
+m AS (SELECT max(total_cents) AS mx FROM rev)
+SELECT rev.s_suppkey, s_name, total_cents
+FROM rev JOIN m ON total_cents = mx
+JOIN supplier ON supplier.s_suppkey = rev.s_suppkey
+"""
+
+QUERIES["tpch_top_supplier"] = tpch_top_supplier
+ORACLE_SQL["tpch_top_supplier"] = TPCH_TOP_SUPPLIER_SQL

@@ -28,6 +28,34 @@ def _as_matrix(vectors) -> np.ndarray:
     return np.asarray([np.asarray(v, dtype=np.float64) for v in vectors])
 
 
+def _column_matrix(col) -> np.ndarray:
+    """Arrow list<float> column -> (n, dim) float64 matrix WITHOUT the
+    per-row Python conversion: when the lists are non-null and
+    uniform-width (the embedding contract) the child values buffer
+    reshapes zero-copy(+one cast); otherwise falls back to the per-row
+    path.  This is the batch-side hot path of every vector operator
+    (brute/IVF/LSH top-k, k-means fit/assign)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr.type, pa.ExtensionType):
+        # Ray tensor extension arrays: to_numpy is already (n, dim)
+        m = arr.to_numpy(zero_copy_only=False)
+        if m.dtype != object:
+            return np.ascontiguousarray(m, dtype=np.float64)
+        return _as_matrix(m)
+    if arr.null_count == 0 and len(arr):
+        vals = np.asarray(arr.flatten())
+        if vals.dtype != np.float64:
+            vals = vals.astype(np.float64)
+        if len(vals) % len(arr) == 0:
+            dim = len(vals) // len(arr)
+            if pa.types.is_fixed_size_list(arr.type):
+                return vals.reshape(len(arr), dim)
+            offs = np.asarray(arr.offsets, dtype=np.int64)
+            if (np.diff(offs) == dim).all():
+                return vals.reshape(len(arr), dim)
+    return _as_matrix(arr.to_pylist())
+
+
 def _id_sort_key(ids: list[str]) -> np.ndarray:
     """Numeric tie-break key when every id parses as an int (matches the
     SQL oracle's integer ORDER BY); lexicographic fallback otherwise.
@@ -69,7 +97,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
             q = ray.get(q_ref)
             ids = [str(i) for i in batch.column(id_column).to_pylist()]
             id_key = _id_sort_key(ids)
-            mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
+            mat = _unit(_column_matrix(batch.column(vec_column)))
             sims = q @ mat.T  # (Q, B)
             take = min(k, sims.shape[1])
             rows = []
@@ -140,7 +168,7 @@ def ivf_assign(ds, centroids: np.ndarray, vec_column: str = "embedding"):
 
     def assign_batch(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)  # node-local cached
-        mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
+        mat = _unit(_column_matrix(batch.column(vec_column)))
         bucket = np.argmax(mat @ c.T, axis=1).astype(np.int32)
         return batch.append_column("ivf_bucket", pa.array(bucket, type=pa.int32()))
 
@@ -187,7 +215,7 @@ def _probe_topk(ds_assigned, bucket_col: str, probe_sets: list,
         ids = [str(i) for i in batch.column(id_column).to_pylist()]
         id_key = _id_sort_key(ids)
         buckets = batch.column(bucket_col).to_pylist()
-        mat = _unit(_as_matrix(batch.column(vec_column).to_pylist()))
+        mat = _unit(_column_matrix(batch.column(vec_column)))
         sims = q_m @ mat.T
         rows = []
         for qi in range(sims.shape[0]):
@@ -246,7 +274,7 @@ def lsh_assign(ds, planes: np.ndarray, vec_column: str = "embedding",
 
     def assign_batch(batch: pa.Table) -> pa.Table:
         p = ray.get(p_ref)  # node-local cached
-        mat = _as_matrix(batch.column(vec_column).to_pylist())
+        mat = _column_matrix(batch.column(vec_column))
         bits = (mat @ p.T) >= 0  # (B, n_bits)
         bucket = (bits << np.arange(p.shape[0])).sum(axis=1).astype(np.int32)
         return batch.append_column(bucket_col,
@@ -410,9 +438,7 @@ def kmeans_fit(ds, k: int = 8, iters: int = 5, seed: int = 6969,
                     "__n": pa.array([], type=pa.int64()),
                     "__sqerr": pa.array([], type=pa.float64()),
                 })
-            mat = _as_matrix(batch.column(vec_column).to_pylist()).astype(
-                np.float64
-            )
+            mat = _column_matrix(batch.column(vec_column))
             # argmin ||x-c||^2 == argmin(-2 x.c + ||c||^2)
             d2 = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
             assign = np.argmin(d2, axis=1)
@@ -459,9 +485,7 @@ def kmeans_assign(ds, centroids: np.ndarray,
 
     def assign_batch(batch: pa.Table) -> pa.Table:
         c = ray.get(c_ref)
-        mat = _as_matrix(batch.column(vec_column).to_pylist()).astype(
-            np.float64
-        )
+        mat = _column_matrix(batch.column(vec_column))
         d2 = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)[None, :]
         assign = np.argmin(d2, axis=1).astype(np.int32)
         return batch.append_column(out_col, pa.array(assign, type=pa.int32()))
