@@ -566,12 +566,48 @@ class SimHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Vectorized across the batch, bit-identical to simhash64 (the
+        # per-row reference kept above for tests): blake2b runs once
+        # per DISTINCT token (factorize), the ±1 bit contributions
+        # scatter-add per doc, and the sign bits pack in one shot.
+        import polars as pl
+
         ids = [str(i) for i in batch.column(self.id_column).to_pylist()]
-        hashes = [self.simhash64(t) for t in batch.column(self.text_column).to_pylist()]
+        toks = (
+            pl.from_arrow(batch.column(self.text_column).combine_chunks())
+            .fill_null("").str.to_lowercase().str.extract_all(r"\w+")
+        )
+        lens = toks.list.len().to_numpy()
+        df = pd.DataFrame({
+            "doc": np.repeat(np.arange(len(ids)), lens),
+            "tok": toks.explode().drop_nulls().to_pandas()
+            if int(lens.sum()) else pd.Series([], dtype=object),
+        })
+        acc = np.zeros((len(ids), 64), dtype=np.int64)
+        if len(df):
+            codes, uniques = pd.factorize(df["tok"])
+            digests = b"".join(
+                hashlib.blake2b(t.encode(), digest_size=8).digest()
+                for t in uniques
+            )
+            uniq_bits = np.unpackbits(
+                np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8),
+                axis=1,
+            ).astype(np.int64) * 2 - 1          # (U, 64) in ±1
+            # token rows are doc-contiguous (np.repeat order): one
+            # reduceat per nonempty doc beats np.add.at's slow scatter
+            nonempty = lens > 0
+            starts = np.concatenate(
+                ([0], np.cumsum(lens[nonempty])[:-1].astype(np.int64))
+            )
+            acc[nonempty] = np.add.reduceat(uniq_bits[codes], starts,
+                                            axis=0)
+        packed = np.packbits(acc > 0, axis=1).copy().view(">u8").ravel()
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(ids, type=pa.string()),
-                "simhash": pa.array(hashes, type=pa.uint64()),
+                "simhash": pa.array(packed.astype(np.uint64),
+                                    type=pa.uint64()),
             }
         )
 

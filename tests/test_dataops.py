@@ -1344,3 +1344,18 @@ def test_grouped_stddev_single_row_group_is_null():
     got = grouped_stddev(ds, ["k"], "x").to_pandas().set_index("k")
     assert pd.isna(got.loc[1, "stddev"])
     assert abs(got.loc[2, "stddev"] - 2 ** 0.5) < 1e-12
+
+
+def test_simhash_vectorized_matches_per_row_reference():
+    """The batch __call__ (polars tokenize + factorized blake2b +
+    reduceat) must stay bit-identical to the per-row simhash64
+    reference, including empty/null/unicode/underscore rows."""
+    h = dedup.SimHasher()
+    texts = ["alpha beta alpha", "", None, "héllo wörld", "under_score 42",
+             "spark table window " * 10]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    got = h(batch).column("simhash").to_pylist()
+    assert got == [h.simhash64(t or "") for t in texts]
