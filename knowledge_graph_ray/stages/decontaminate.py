@@ -39,6 +39,38 @@ def _grams(text: str, n: int) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
+def _gram_frame(texts: "pa.ChunkedArray | pa.Array", n: int) -> "pd.DataFrame":
+    """(doc_idx, gram) rows for a whole batch, vectorized: polars
+    tokenize + explode, then the n-gram is a str.cat of n shifted
+    token columns with a same-doc validity mask — no per-row Python
+    loop.  Grams are NOT deduped per doc (callers dedupe when their
+    semantics need it).  Matches _grams row-for-row."""
+    import pandas as pd
+    import polars as pl
+
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) \
+        else texts
+    toks = (
+        pl.from_arrow(arr).fill_null("").str.to_lowercase()
+        .str.extract_all(r"\w+")
+    )
+    lens = toks.list.len().to_numpy()
+    import numpy as np
+
+    doc = np.repeat(np.arange(len(arr)), lens)
+    s = toks.explode().drop_nulls().to_pandas()
+    if not len(s):
+        return pd.DataFrame({"doc": np.array([], dtype=np.int64),
+                             "gram": pd.Series([], dtype=object)})
+    parts = [s.shift(-k) for k in range(1, n)]
+    gram = s.str.cat(parts, sep=" ") if parts else s
+    doc_end = pd.Series(doc).shift(-(n - 1)) if n > 1 else pd.Series(doc)
+    valid = (doc_end == doc).to_numpy() if n > 1 \
+        else np.ones(len(doc), dtype=bool)
+    return pd.DataFrame({"doc": doc[valid],
+                         "gram": gram.to_numpy()[valid]})
+
+
 def collect_benchmark_grams(bench, n: int, text_column: str = "text"):
     """Distinct n-grams of the benchmark side as a driver set.
 
@@ -66,11 +98,15 @@ def drop_contaminated(train, bench, n: int = 5,
     bench_ref = ray.put(collect_benchmark_grams(bench, n, text_column))
 
     def keep_clean(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         bench_grams = ray.get(bench_ref)
-        mask = [
-            not any(g in bench_grams for g in _grams(text, n))
-            for text in batch.column(text_column).to_pylist()
+        gf = _gram_frame(batch.column(text_column), n)
+        hit_docs = gf["doc"].to_numpy()[
+            gf["gram"].isin(bench_grams).to_numpy()
         ]
+        mask = np.ones(len(batch), dtype=bool)
+        mask[np.unique(hit_docs)] = False
         return batch.filter(pa.array(mask, type=pa.bool_()))
 
     return train.map_batches(keep_clean, batch_format="pyarrow")
@@ -91,9 +127,12 @@ def contaminated_counts(train, bench, n: int = 5,
     def count_hits(batch: pa.Table) -> pa.Table:
         bench_grams = ray.get(bench_ref)  # zero-copy local object store read
         ids = batch.column(id_column)
-        counts = np.empty(len(batch), dtype=np.int64)
-        for i, text in enumerate(batch.column(text_column).to_pylist()):
-            counts[i] = sum(g in bench_grams for g in _grams(text, n))
+        gf = _gram_frame(batch.column(text_column), n) \
+            .drop_duplicates(["doc", "gram"])
+        hits = gf[gf["gram"].isin(bench_grams).to_numpy()]
+        counts = np.zeros(len(batch), dtype=np.int64)
+        hc = hits.groupby("doc").size()
+        counts[hc.index.to_numpy()] = hc.to_numpy()
         out = pa.table({
             id_column: ids,
             count_column: pa.array(counts, type=pa.int64()),

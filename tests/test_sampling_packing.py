@@ -337,3 +337,18 @@ def test_kfold_assign_balanced_and_deterministic():
     pd.testing.assert_series_equal(
         got.sort_values("id").fold.reset_index(drop=True),
         again.sort_values("id").fold.reset_index(drop=True))
+
+
+def test_gram_frame_matches_per_row_reference():
+    import pyarrow as pa
+
+    from knowledge_graph_ray.stages.decontaminate import _gram_frame, _grams
+
+    texts = ["a b c d", "", None, "x", "a b c d e f", "Hé wörld a b c"]
+    arr = pa.array(texts, type=pa.string())
+    for n in (1, 2, 3, 5):
+        gf = _gram_frame(arr, n).drop_duplicates(["doc", "gram"])
+        got = {(int(d), g) for d, g in gf.itertuples(index=False)}
+        want = {(i, g) for i, t in enumerate(texts)
+                for g in _grams(t or "", n)}
+        assert got == want, (n, got ^ want)
