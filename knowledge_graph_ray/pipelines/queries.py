@@ -6254,9 +6254,20 @@ def tpch_nation_trade_pairs(sf_dir: str):
     cust_nation = project(nation, {"n_nationkey": "c_nationkey",
                                    "n_name": "cust_nation"})
 
+    # snowflake -> star: fold each nation name into its tiny dimension
+    # first (two dimension-sized joins) so the lineitem stream passes
+    # THREE attaches instead of five
     n_nation = _pq_rows(f"{sf_dir}/nation.parquet")
+    supp_dim = size_adaptive_join(
+        supplier, supp_nation, on=["s_nationkey"], how="inner",
+        broadcast_max=BROADCAST_KEYS_MAX, right_size_hint=n_nation,
+    ).select_columns(["l_suppkey", "supp_nation"])
+    cust_dim = size_adaptive_join(
+        customer, cust_nation, on=["c_nationkey"], how="inner",
+        broadcast_max=BROADCAST_KEYS_MAX, right_size_hint=n_nation,
+    ).select_columns(["o_custkey", "cust_nation"])
     step = size_adaptive_join(line.map_batches(rev, batch_format="pyarrow"),
-                              supplier, on=["l_suppkey"], how="inner",
+                              supp_dim, on=["l_suppkey"], how="inner",
                               broadcast_max=BROADCAST_KEYS_MAX,
                               right_size_hint=_pq_rows(
                                   f"{sf_dir}/supplier.parquet"))
@@ -6264,16 +6275,10 @@ def tpch_nation_trade_pairs(sf_dir: str):
                               broadcast_max=BROADCAST_KEYS_MAX,
                               right_size_hint=_pq_rows(
                                   f"{sf_dir}/orders.parquet"))
-    step = size_adaptive_join(step, customer, on=["o_custkey"], how="inner",
+    step = size_adaptive_join(step, cust_dim, on=["o_custkey"], how="inner",
                               broadcast_max=BROADCAST_KEYS_MAX,
                               right_size_hint=_pq_rows(
                                   f"{sf_dir}/customer.parquet"))
-    step = size_adaptive_join(step, supp_nation, on=["s_nationkey"],
-                              how="inner", broadcast_max=BROADCAST_KEYS_MAX,
-                              right_size_hint=n_nation)
-    step = size_adaptive_join(step, cust_nation, on=["c_nationkey"],
-                              how="inner", broadcast_max=BROADCAST_KEYS_MAX,
-                              right_size_hint=n_nation)
     pairs = step.map_batches(
         lambda t: t.filter(pa.compute.less(t.column("supp_nation"),
                                            t.column("cust_nation"))),
