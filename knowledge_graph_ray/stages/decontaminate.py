@@ -52,7 +52,7 @@ def _gram_frame(texts: "pa.ChunkedArray | pa.Array", n: int) -> "pd.DataFrame":
         else texts
     toks = (
         pl.from_arrow(arr).fill_null("").str.to_lowercase()
-        .str.extract_all(r"\w+")
+        .str.extract_all(r"[\p{L}\p{N}_]+")  # rust-regex spelling of Python \w
     )
     lens = toks.list.len().to_numpy()
     import numpy as np

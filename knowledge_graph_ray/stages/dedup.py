@@ -575,7 +575,8 @@ class SimHasher:
         ids = [str(i) for i in batch.column(self.id_column).to_pylist()]
         toks = (
             pl.from_arrow(batch.column(self.text_column).combine_chunks())
-            .fill_null("").str.to_lowercase().str.extract_all(r"\w+")
+            .fill_null("").str.to_lowercase()
+            .str.extract_all(r"[\p{L}\p{N}_]+")  # rust-regex spelling of Python \w
         )
         lens = toks.list.len().to_numpy()
         df = pd.DataFrame({

@@ -86,3 +86,62 @@ def test_leaf_assignments_match_recursion_gates(n, ml, mc):
         for _, r in t.iterrows()
     }
     assert got == _reference_leaves(names, ml, mc)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(max_codepoint=0x2FF),
+                        max_size=60),
+                max_size=25),
+       st.integers(min_value=1, max_value=4))
+def test_gram_frame_matches_grams_reference(texts, n):
+    """Vectorized (doc, gram) explode == the per-row _grams sets, for
+    arbitrary unicode-ish text and any n."""
+    from knowledge_graph_ray.stages.decontaminate import _gram_frame, _grams
+
+    arr = pa.array(texts, type=pa.string())
+    gf = _gram_frame(arr, n).drop_duplicates(["doc", "gram"])
+    got = {(int(d), g) for d, g in gf.itertuples(index=False)}
+    want = {(i, g) for i, t in enumerate(texts) for g in _grams(t, n)}
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(max_codepoint=0x2FF),
+                        max_size=50),
+                max_size=20))
+def test_simhash_batch_matches_reference(texts):
+    """Vectorized SimHasher.__call__ == per-row simhash64, any input."""
+    from knowledge_graph_ray.stages.dedup import SimHasher
+
+    h = SimHasher()
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    got = h(batch).column("simhash").to_pylist()
+    assert got == [h.simhash64(t) for t in texts]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.floats(min_value=-100, max_value=100,
+                                   allow_nan=False, width=32),
+                         min_size=4, max_size=4),
+                min_size=1, max_size=40))
+def test_column_matrix_matches_per_row(vecs):
+    """Zero-copy Arrow matrix path == per-row conversion for uniform
+    list columns (list and fixed_size_list types)."""
+    from knowledge_graph_ray.stages.similarity import (
+        _as_matrix,
+        _column_matrix,
+    )
+
+    want = _as_matrix(vecs)
+    flat = pa.array(np.asarray(vecs, dtype=np.float64).ravel(),
+                    type=pa.float64())
+    for arr in (
+        pa.array(vecs, type=pa.list_(pa.float64())),
+        pa.FixedSizeListArray.from_arrays(flat, 4),
+    ):
+        got = _column_matrix(arr)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, rtol=0, atol=0)
