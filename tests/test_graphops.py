@@ -69,3 +69,31 @@ def test_bipartite_bfs_hops_alternates_and_excludes_visited():
     # hop1: s1,s2 -> 2; hop2: c2 (c1 visited) -> 1; hop3: s3 -> 1;
     # hop4: c3 -> 1 (c4/s9 unreachable)
     assert counts == [(1, 2), (2, 1), (3, 1), (4, 1)]
+
+
+def test_bipartite_bfs_hops_match_networkx_distances():
+    """Hop counts == number of nodes at exactly distance h from the
+    seed in the bipartite graph, over randomized edge sets."""
+    from knowledge_graph_ray.stages.graphops import bipartite_bfs_hops
+
+    rng = np.random.RandomState(17)
+    for trial in range(5):
+        n_edges = rng.randint(5, 40)
+        cs = rng.randint(0, 8, size=n_edges)
+        ss = rng.randint(100, 108, size=n_edges)
+        edges = rd.from_arrow(pa.table({
+            "c": pa.array(cs, type=pa.int64()),
+            "s": pa.array(ss, type=pa.int64()),
+        })).materialize()
+        seed_val = int(cs[0])
+        seed = rd.from_arrow(pa.table({
+            "c": pa.array([seed_val], type=pa.int64())}))
+        got = bipartite_bfs_hops(edges, seed, hops=4)
+
+        g = nx.Graph()
+        g.add_edges_from((("c", int(a)), ("s", int(b)))
+                         for a, b in zip(cs, ss))
+        dist = nx.single_source_shortest_path_length(g, ("c", seed_val))
+        for h in range(1, 5):
+            want = sum(1 for d in dist.values() if d == h)
+            assert got[h - 1] == (h, want), (trial, h, got, dist)
