@@ -145,23 +145,3 @@ def test_column_matrix_matches_per_row(vecs):
         got = _column_matrix(arr)
         assert got.shape == want.shape
         assert np.allclose(got, want, rtol=0, atol=0)
-
-
-@settings(max_examples=30, deadline=None)
-@given(st.lists(st.text(alphabet=st.characters(max_codepoint=0x2FF),
-                        max_size=80),
-                max_size=15))
-def test_text_analyzer_vectorized_matches_reference(texts):
-    """Vectorized TextAnalyzer == the per-row reference_rows across
-    all seven output columns."""
-    import pandas as pd
-
-    from knowledge_graph_ray.stages.textstats import TextAnalyzer
-
-    batch = pa.table({
-        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
-        "text": pa.array(texts, type=pa.string()),
-    })
-    a = TextAnalyzer()
-    pd.testing.assert_frame_equal(a(batch).to_pandas(),
-                                  a.reference_rows(batch).to_pandas())
