@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "documents_k_anonymity",
     "events_value_psi",
     "tpch_top_supplier",
+    "tpch_market_share",
 ]
 
 

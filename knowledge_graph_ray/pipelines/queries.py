@@ -6631,3 +6631,156 @@ JOIN supplier ON supplier.s_suppkey = rev.s_suppkey
 
 QUERIES["tpch_top_supplier"] = tpch_top_supplier
 ORACLE_SQL["tpch_top_supplier"] = TPCH_TOP_SUPPLIER_SQL
+
+
+def tpch_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one supplier nation's (NATION_3) share of a region's PROMO
+    part revenue per order year — the conditional-share-per-group join
+    DAG (numerator/denominator reported as separate cent sums, the
+    repo's standard anti-brittleness form for shares).
+
+    Scale shape: part-type and region predicates prune the tiny
+    dimensions BEFORE the fact stream attaches them; lineitem passes a
+    semi-join (promo parts), three size-adaptive attaches (star-folded
+    supplier nation, orders+year, region-filtered customers), and the
+    CASE collapses in a year-cardinality combiner groupby."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = rd.read_parquet(f"{sf_dir}/region.parquet",
+                             columns=["r_regionkey", "r_name"])
+    n_nation = _pq_rows(f"{sf_dir}/nation.parquet")
+
+    # customers restricted to the AMERICA region (tiny side, prune first)
+    america_nations = size_adaptive_join(
+        nation, project(region, {"r_regionkey": "n_regionkey",
+                                 "r_name": "r_name"}),
+        on=["n_regionkey"], how="inner", broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/region.parquet"),
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("r_name"), "AMERICA")),
+        batch_format="pyarrow",
+    ).select_columns(["n_nationkey"])
+    customer = project(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        {"c_custkey": "o_custkey", "c_nationkey": "n_nationkey"},
+    )
+    america_cust = size_adaptive_join(
+        customer, america_nations, on=["n_nationkey"], how="left_semi",
+        broadcast_max=BROADCAST_KEYS_MAX, right_size_hint=n_nation,
+    ).select_columns(["o_custkey"])
+
+    # supplier with nation name folded in (star pre-join)
+    supp_dim = size_adaptive_join(
+        project(rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_nationkey"]),
+                {"s_suppkey": "l_suppkey", "s_nationkey": "s_nationkey"}),
+        project(nation, {"n_nationkey": "s_nationkey",
+                         "n_name": "supp_nation"}),
+        on=["s_nationkey"], how="inner", broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=n_nation,
+    ).select_columns(["l_suppkey", "supp_nation"])
+
+    promo_parts = project(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_type"]).map_batches(
+            lambda t: t.filter(pc.equal(t.column("p_type"), "PROMO")),
+            batch_format="pyarrow",
+        ),
+        {"p_partkey": "l_partkey"},
+    )
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "l_partkey": batch.column("l_partkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "rev_cents": scaled_int_column(r, 100.0),
+        })
+
+    step = size_adaptive_join(
+        line.map_batches(rev, batch_format="pyarrow"), promo_parts,
+        on=["l_partkey"], how="left_semi",
+        broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/part.parquet"),
+    )
+    step = size_adaptive_join(step, supp_dim, on=["l_suppkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX,
+                              right_size_hint=_pq_rows(
+                                  f"{sf_dir}/supplier.parquet"))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def with_year(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch.column("o_orderdate"))
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_custkey": batch.column("o_custkey"),
+            "o_year": yr.cast(pa.int64()),
+        })
+
+    step = size_adaptive_join(
+        step, orders.map_batches(with_year, batch_format="pyarrow"),
+        on=["o_orderkey"], how="inner", broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/orders.parquet"),
+    )
+    step = size_adaptive_join(step, america_cust, on=["o_custkey"],
+                              how="left_semi",
+                              broadcast_max=BROADCAST_KEYS_MAX,
+                              right_size_hint=_pq_rows(
+                                  f"{sf_dir}/customer.parquet"))
+
+    def shares(batch: pa.Table) -> pa.Table:
+        is_target = pc.equal(batch.column("supp_nation"), "NATION_3") \
+            .cast(pa.int64())
+        return pa.table({
+            "o_year": batch.column("o_year"),
+            "target": pc.multiply(batch.column("rev_cents"), is_target),
+            "total": batch.column("rev_cents"),
+        })
+
+    return grouped_agg(
+        step.map_batches(shares, batch_format="pyarrow"),
+        ["o_year"],
+        [("target_cents", "target", "sum"), ("total_cents", "total", "sum")],
+    )
+
+
+TPCH_MARKET_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+                     THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                     * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS target_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS total_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+GROUP BY 1
+"""
+
+QUERIES["tpch_market_share"] = tpch_market_share
+ORACLE_SQL["tpch_market_share"] = TPCH_MARKET_SHARE_SQL
