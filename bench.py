@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "events_value_psi",
     "tpch_top_supplier",
     "tpch_market_share",
+    "events_daily_new_users",
+    "events_type_trigrams",
 ]
 
 

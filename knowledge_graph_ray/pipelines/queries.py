@@ -6784,3 +6784,144 @@ GROUP BY 1
 
 QUERIES["tpch_market_share"] = tpch_market_share
 ORACLE_SQL["tpch_market_share"] = TPCH_MARKET_SHARE_SQL
+
+
+def events_daily_new_users(sf_dir: str):
+    """Growth accounting: users first seen per day plus the cumulative
+    user count — the first-touch attribution shape.
+
+    Scale shape: first-seen day collapses to one (user, min day) row
+    per user through the combiner, the per-day counts are a second
+    day-cardinality combiner groupby, and the cumulative sum runs the
+    running_sum machinery over the DAY table (day-cardinality, not
+    events; a constant partition key is fine at that size)."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.ranking import running_sum
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000),
+            86_400,
+        ).cast(pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "day": d})
+
+    first = grouped_agg(
+        events.map_batches(days, batch_format="pyarrow"),
+        ["user_id"], [("day", "day", "min")],
+    )
+    per_day = grouped_agg(first.select_columns(["day"]), ["day"],
+                          [("new_users", None, "count")])
+
+    def with_g(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "g", pa.array([1] * len(batch), type=pa.int64())
+        )
+
+    out = running_sum(
+        per_day.map_batches(with_g, batch_format="pyarrow"),
+        key="g", order_cols=["day"], value_col="new_users",
+        out_col="cum_users",
+    )
+    return out.select_columns(["day", "new_users", "cum_users"])
+
+
+EVENTS_DAILY_NEW_USERS_SQL = """
+WITH f AS (
+  SELECT user_id,
+         min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+  FROM events GROUP BY user_id
+),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY day)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
+def events_type_trigrams(sf_dir: str):
+    """Top-25 three-step event-type journeys (adjacent per user in
+    time order) — the path-mining shape extending the pairwise
+    transition counts.
+
+    Scale shape: ONE shuffle on user_id; each bucket sorts its users'
+    events once and emits (t1, t2, t3) partial counts via two
+    vectorized within-user shifts; the global count groupby moves
+    (triple, bucket) partials and the final sort ranks the bounded
+    triple table."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_id",
+                                      "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "event_id": batch.column("event_id"),
+            "event_type": batch.column("event_type"),
+        })
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_s", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        same3 = pd.Series(u).shift(-2).to_numpy() == u
+        t1 = g["event_type"].to_numpy(dtype=object)
+        t2 = g["event_type"].shift(-1).to_numpy(dtype=object)
+        t3 = g["event_type"].shift(-2).to_numpy(dtype=object)
+        df = pd.DataFrame({"t1": t1[same3], "t2": t2[same3],
+                           "t3": t3[same3]})
+        counts = df.groupby(["t1", "t2", "t3"], sort=False).size()
+        idx = counts.index.to_frame(index=False)
+        return pa.Table.from_pydict({
+            "t1": pa.array(idx["t1"], type=pa.string()),
+            "t2": pa.array(idx["t2"], type=pa.string()),
+            "t3": pa.array(idx["t3"], type=pa.string()),
+            "n_partial": pa.array(counts.to_numpy(), type=pa.int64()),
+        })
+
+    partials = bucketed_bucket_map(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], bucket_body,
+        empty_schema=pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                                ("t3", pa.string()),
+                                ("n_partial", pa.int64())]),
+    )
+    return (
+        grouped_agg(partials, ["t1", "t2", "t3"],
+                    [("n", "n_partial", "sum")])
+        .sort(["n", "t1", "t2", "t3"],
+              descending=[True, False, False, False])
+        .limit(25)
+    )
+
+
+EVENTS_TYPE_TRIGRAMS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+)
+SELECT event_type AS t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM o WHERE t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 25
+"""
+
+QUERIES["events_daily_new_users"] = events_daily_new_users
+QUERIES["events_type_trigrams"] = events_type_trigrams
+ORACLE_SQL["events_daily_new_users"] = EVENTS_DAILY_NEW_USERS_SQL
+ORACLE_SQL["events_type_trigrams"] = EVENTS_TYPE_TRIGRAMS_SQL
