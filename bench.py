@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "tpch_market_share",
     "events_daily_new_users",
     "events_type_trigrams",
+    "events_weighted_median",
 ]
 
 

@@ -6925,3 +6925,71 @@ QUERIES["events_daily_new_users"] = events_daily_new_users
 QUERIES["events_type_trigrams"] = events_type_trigrams
 ORACLE_SQL["events_daily_new_users"] = EVENTS_DAILY_NEW_USERS_SQL
 ORACLE_SQL["events_type_trigrams"] = EVENTS_TYPE_TRIGRAMS_SQL
+
+
+def events_weighted_median(sf_dir: str):
+    """Importance-weighted median of cents per event type (weight =
+    1 + event_id % 5) — stages/sketches.grouped_weighted_quantile: the
+    distinct-pair combiner carries exact int64 weight sums and the
+    rank comparison is exact integer arithmetic, so the SQL oracle
+    writing the same ``2*cumw >= totw`` rule matches bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.stages.sketches import grouped_weighted_quantile
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+            "w": pc.add(
+                pc.subtract(
+                    batch.column("event_id"),
+                    pc.multiply(
+                        pc.divide(batch.column("event_id"), 5),
+                        pa.scalar(5, type=pa.int64()),
+                    ),
+                ),
+                pa.scalar(1, type=pa.int64()),
+            ).cast(pa.int64()),
+        })
+
+    out = grouped_weighted_quantile(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "cents", "w", q_num=1, q_den=2,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "wmedian_cents": batch.column("cents").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_WEIGHTED_MEDIAN_SQL = """
+WITH t AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         (event_id % 5) + 1 AS w
+  FROM events
+),
+pairs AS (
+  SELECT event_type, cents, CAST(sum(w) AS BIGINT) AS w
+  FROM t GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, cents,
+         sum(w) OVER (PARTITION BY event_type ORDER BY cents) AS cw,
+         sum(w) OVER (PARTITION BY event_type) AS tw
+  FROM pairs
+)
+SELECT event_type, CAST(min(cents) AS BIGINT) AS wmedian_cents
+FROM c WHERE 2 * cw >= tw
+GROUP BY event_type
+"""
+
+QUERIES["events_weighted_median"] = events_weighted_median
+ORACLE_SQL["events_weighted_median"] = EVENTS_WEIGHTED_MEDIAN_SQL

@@ -542,3 +542,57 @@ def frequent_items(ds, cols: list[str], min_share: float,
                                    pa.scalar(min_share * total)))
 
     return counted.map_batches(above, batch_format="pyarrow")
+
+
+def grouped_weighted_quantile(ds, group_col: str, value_col: str,
+                              weight_col: str, q_num: int = 1,
+                              q_den: int = 2, num_buckets: int = 16):
+    """-> Dataset[(group, value)] — the lower weighted quantile: the
+    smallest value whose cumulative weight reaches q_num/q_den of the
+    group's total weight (q=1/2 is the weighted median used for
+    importance-weighted corpus statistics).
+
+    Same scale shape as grouped_quantiles, with the count combiner
+    replaced by a weight-sum combiner: the shuffle moves one row per
+    DISTINCT (group, value) pair carrying its exact int64 weight sum.
+    The rank rule compares ``cumw * q_den >= q_num * totw`` in exact
+    integer arithmetic — no float boundary can flip the pick, so a SQL
+    oracle writing the same comparison matches exactly.  Weights must
+    be non-negative int64 (scale upstream); NULL values are dropped
+    like SQL quantiles; all-null groups disappear.
+    """
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    def drop_null(b: pa.Table) -> pa.Table:
+        col = b.column(value_col)
+        if col.null_count:
+            b = b.filter(col.is_valid())
+        return b
+
+    sums = grouped_agg(
+        ds.select_columns([group_col, value_col, weight_col])
+          .map_batches(drop_null, batch_format="pyarrow"),
+        [group_col, value_col],
+        [("w", weight_col, "sum")], num_buckets=num_buckets)
+
+    def per_group(bucket: pd.DataFrame) -> pa.Table:
+        rows = []
+        for g, grp in bucket.groupby(group_col, sort=False):
+            grp = grp.sort_values(value_col, kind="stable")
+            w = grp["w"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(w)
+            tot = int(cum[-1])
+            idx = int(np.searchsorted(cum * q_den, q_num * tot,
+                                      side="left"))
+            rows.append((g, float(grp[value_col].to_numpy()[idx])))
+        return pa.table({
+            group_col: pa.array([r[0] for r in rows], type=pa.string()),
+            value_col: pa.array([r[1] for r in rows], type=pa.float64()),
+        })
+
+    return bucketed_bucket_map(
+        sums, [group_col], per_group, num_buckets=num_buckets,
+        empty_schema=pa.schema([(group_col, pa.string()),
+                                (value_col, pa.float64())]),
+    )

@@ -1359,3 +1359,27 @@ def test_simhash_vectorized_matches_per_row_reference():
     })
     got = h(batch).column("simhash").to_pylist()
     assert got == [h.simhash64(t or "") for t in texts]
+
+
+def test_grouped_weighted_quantile_vs_brute_force():
+    from knowledge_graph_ray.stages.sketches import grouped_weighted_quantile
+
+    rng = np.random.RandomState(9)
+    n = 300
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=n),
+        "v": rng.randint(-50, 50, size=n).astype(np.int64),
+        "w": rng.randint(1, 6, size=n).astype(np.int64),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    for q_num, q_den in [(1, 2), (1, 4), (9, 10)]:
+        got = grouped_weighted_quantile(ds, "g", "v", "w",
+                                        q_num=q_num, q_den=q_den) \
+            .to_pandas().set_index("g")["v"]
+        for g, grp in df.groupby("g"):
+            grp = grp.sort_values("v")
+            pair = grp.groupby("v")["w"].sum()
+            cum = pair.cumsum()
+            tot = int(cum.iloc[-1])
+            want = pair.index[(cum * q_den >= q_num * tot)][0]
+            assert got[g] == want, (g, q_num, q_den)
