@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "events_daily_new_users",
     "events_type_trigrams",
     "events_weighted_median",
+    "contamination_provenance",
 ]
 
 

@@ -6993,3 +6993,66 @@ GROUP BY event_type
 
 QUERIES["events_weighted_median"] = events_weighted_median
 ORACLE_SQL["events_weighted_median"] = EVENTS_WEIGHTED_MEDIAN_SQL
+
+
+def contamination_provenance(sf_dir: str):
+    """Benchmark-contamination PROVENANCE: the actual shared 5-grams
+    per contaminated train doc (first 50 by doc, gram) — the audit
+    view behind decontaminate_documents' counts: which held-out text
+    leaked, not just how much.
+
+    Scale shape: same broadcast gram set as the counting query; the
+    vectorized _gram_frame explode runs once per batch and the hit
+    rows (doc, gram) stream to the bounded sorted limit."""
+    import ray
+
+    from knowledge_graph_ray.stages.decontaminate import (
+        _gram_frame,
+        collect_benchmark_grams,
+    )
+    from knowledge_graph_ray.stages.sampling import hash_split
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    labelled = hash_split(docs, "doc_id",
+                          {"train": 0.8, "val": 0.1, "test": 0.1}, seed=6969)
+    train = labelled.filter(expr="split == 'train'")
+    bench = labelled.filter(expr="split == 'test'")
+    bench_ref = ray.put(collect_benchmark_grams(bench, 5))
+
+    def hits(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        bench_grams = ray.get(bench_ref)
+        gf = _gram_frame(batch.column("text"), 5) \
+            .drop_duplicates(["doc", "gram"])
+        hit = gf[gf["gram"].isin(bench_grams).to_numpy()]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[hit["doc"].to_numpy()],
+                               type=pa.int64()),
+            "gram": pa.array(hit["gram"].to_numpy(dtype=object),
+                             type=pa.string()),
+        })
+
+    return (
+        train.map_batches(hits, batch_format="pyarrow")
+        .sort(["doc_id", "gram"])
+        .limit(50)
+    )
+
+
+CONTAMINATION_PROVENANCE_SQL = _decontaminate_sql().replace(
+    """SELECT t.doc_id, count(DISTINCT t.g) AS n_shared
+FROM grams t JOIN bench b ON t.g = b.g
+WHERE t.split = 'train'
+GROUP BY t.doc_id""",
+    """SELECT DISTINCT t.doc_id, t.g AS gram
+FROM grams t JOIN bench b ON t.g = b.g
+WHERE t.split = 'train'
+ORDER BY t.doc_id, gram
+LIMIT 50""",
+)
+
+QUERIES["contamination_provenance"] = contamination_provenance
+ORACLE_SQL["contamination_provenance"] = CONTAMINATION_PROVENANCE_SQL
