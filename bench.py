@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "events_type_trigrams",
     "events_weighted_median",
     "contamination_provenance",
+    "events_wow_change",
 ]
 
 

@@ -7056,3 +7056,68 @@ LIMIT 50""",
 
 QUERIES["contamination_provenance"] = contamination_provenance
 ORACLE_SQL["contamination_provenance"] = CONTAMINATION_PROVENANCE_SQL
+
+
+def events_wow_change(sf_dir: str):
+    """Week-over-week revenue delta per event type — the
+    period-over-period reporting shape: weekly cent sums through the
+    combiner (week-cardinality partials), then LAG over the WEEK
+    table attaches the previous period and the delta is a stateless
+    subtract."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.ranking import window_lag
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+
+    def weekly(batch: pa.Table) -> pa.Table:
+        wk = pc.divide(
+            pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000),
+            604_800,
+        ).cast(pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "week": wk,
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    per_week = grouped_agg(
+        events.map_batches(weekly, batch_format="pyarrow"),
+        ["event_type", "week"], [("week_cents", "cents", "sum")],
+    )
+    lagged = window_lag(per_week, key="event_type", order_cols=["week"],
+                        value_col="week_cents", out_col="prev_cents")
+
+    def delta(batch: pa.Table) -> pa.Table:
+        prev = batch.column("prev_cents").cast(pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "week": batch.column("week"),
+            "week_cents": batch.column("week_cents"),
+            "prev_cents": prev,
+            "delta_cents": pc.subtract(batch.column("week_cents"), prev),
+        })
+
+    return lagged.map_batches(delta, batch_format="pyarrow")
+
+
+EVENTS_WOW_CHANGE_SQL = """
+WITH w AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS week_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, week, week_cents,
+       lag(week_cents) OVER (PARTITION BY event_type ORDER BY week)
+         AS prev_cents,
+       week_cents - lag(week_cents) OVER (PARTITION BY event_type
+                                          ORDER BY week) AS delta_cents
+FROM w
+"""
+
+QUERIES["events_wow_change"] = events_wow_change
+ORACLE_SQL["events_wow_change"] = EVENTS_WOW_CHANGE_SQL
