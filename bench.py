@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "events_weighted_median",
     "contamination_provenance",
     "events_wow_change",
+    "events_session_sizes",
 ]
 
 

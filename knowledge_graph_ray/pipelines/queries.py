@@ -7121,3 +7121,48 @@ FROM w
 
 QUERIES["events_wow_change"] = events_wow_change
 ORACLE_SQL["events_wow_change"] = EVENTS_WOW_CHANGE_SQL
+
+
+def events_session_sizes(sf_dir: str):
+    """Session-length distribution (incl. the bounce bucket,
+    n_events = 1) — composes the sessionizer's per-session rows with
+    one size-cardinality count groupby; the bounce rate is
+    sizes[1] / total, left to the reader in exact counts."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.windows import sessionize
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+    sessions = sessionize(events, gap_seconds=1800,
+                          driver_threshold=500_000,
+                          size_hint=events.count())
+    return grouped_agg(sessions.select_columns(["n_events"]),
+                       ["n_events"], [("n_sessions", None, "count")])
+
+
+EVENTS_SESSION_SIZES_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts_s) > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sessions AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+sizes AS (
+  SELECT count(*) AS n_events FROM sessions GROUP BY user_id, sess_id
+)
+SELECT CAST(n_events AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM sizes GROUP BY n_events
+"""
+
+QUERIES["events_session_sizes"] = events_session_sizes
+ORACLE_SQL["events_session_sizes"] = EVENTS_SESSION_SIZES_SQL
