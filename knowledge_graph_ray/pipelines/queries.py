@@ -7166,3 +7166,317 @@ FROM sizes GROUP BY n_events
 
 QUERIES["events_session_sizes"] = events_session_sizes
 ORACLE_SQL["events_session_sizes"] = EVENTS_SESSION_SIZES_SQL
+
+
+def tpch_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: suppliers who were the sole late supplier on a
+    finished multi-supplier order (exists / not-exists over the same
+    order's other lineitems).  The driver tables lack
+    l_commitdate/l_receiptdate, so "late" is pinned as
+    l_shipdate > o_orderdate + 60 days — the same double-correlated
+    quantifier DAG over the available columns.
+
+    Scale shape: ONE orderkey exchange attaches o_orderdate
+    (size-adaptive: broadcast below the key ceiling, partitioned hash
+    join above), then lineitems collapse to (order, supplier,
+    any_late) partials through the combiner, order-level quantifiers
+    (n_supp >= 2, n_late == 1) are a second orderkey-cardinality
+    combiner pass, and the sole-late winners semi-join the qualifying
+    keys — every exchange moves keys + two small ints, never
+    lineitem payloads."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        filter=pads.field("o_orderstatus") == "F",
+    ).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t.column("o_orderkey"),
+            "o_date_us": t.column("o_orderdate").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    joined = size_adaptive_join(
+        line, orders, on=["l_orderkey"],
+        broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/orders.parquet"),
+    )
+
+    late_us = 60 * 86_400 * 1_000_000  # 60 days in timestamp[us] units
+
+    def flag(batch: pa.Table) -> pa.Table:
+        diff = pc.subtract(batch.column("l_shipdate").cast(pa.int64()),
+                           batch.column("o_date_us"))
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "l_suppkey": batch.column("l_suppkey"),
+            "late": pc.greater(diff, pa.scalar(late_us)).cast(pa.int64()),
+        })
+
+    per_supp = grouped_agg(
+        joined.map_batches(flag, batch_format="pyarrow"),
+        ["l_orderkey", "l_suppkey"], [("any_late", "late", "max")],
+    ).materialize()
+
+    per_order = grouped_agg(
+        per_supp, ["l_orderkey"],
+        [("n_supp", None, "count"), ("n_late", "any_late", "sum")],
+    )
+    qualifying = per_order.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t.column("n_supp"), pa.scalar(2)),
+                    pc.equal(t.column("n_late"), pa.scalar(1)))
+        ).select(["l_orderkey"]),
+        batch_format="pyarrow",
+    )
+    sole_late = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t.column("any_late"), pa.scalar(1)))
+                   .select(["l_orderkey", "l_suppkey"]),
+        batch_format="pyarrow",
+    )
+    waiting = size_adaptive_join(
+        sole_late, qualifying, on=["l_orderkey"], how="left_semi",
+        broadcast_max=BROADCAST_KEYS_MAX,
+    ).map_batches(
+        lambda t: pa.table({"s_suppkey": t.column("l_suppkey")}),
+        batch_format="pyarrow",
+    )
+    numwait = grouped_agg(waiting, ["s_suppkey"],
+                          [("numwait", None, "count")])
+    supplier = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_name"])
+    return size_adaptive_join(
+        numwait, supplier, on=["s_suppkey"],
+        broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/supplier.parquet"),
+    ).select_columns(["s_suppkey", "s_name", "numwait"])
+
+
+TPCH_WAITING_SUPPLIERS_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+ps AS (
+  SELECT l_orderkey, l_suppkey, max(late) AS any_late
+  FROM l GROUP BY 1, 2
+),
+o AS (
+  SELECT l_orderkey,
+         count(*) AS n_supp, sum(any_late) AS n_late
+  FROM ps GROUP BY 1
+),
+q AS (SELECT l_orderkey FROM o WHERE n_supp >= 2 AND n_late = 1)
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM ps
+JOIN q USING (l_orderkey)
+JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+WHERE ps.any_late = 1
+GROUP BY 1, 2
+"""
+
+QUERIES["tpch_waiting_suppliers"] = tpch_waiting_suppliers
+ORACLE_SQL["tpch_waiting_suppliers"] = TPCH_WAITING_SUPPLIERS_SQL
+
+
+def part_brand_copurchase(sf_dir: str):
+    """Market-basket co-purchase: unordered brand pairs bought in the
+    same order, with exact supports (n_both, per-brand order counts,
+    n_orders) — lift/confidence left to the reader in exact integers
+    (the repo's standard anti-brittleness form for ratios).
+
+    Scale shape: ONE broadcast attaches p_brand to lineitems (part is
+    the small side), ONE orderkey shuffle co-locates each order's
+    lines, and the bucket body runs the incidence-matmul trick from
+    ``term_cooccurrence_pmi`` (orders x brands 0/1 matrix, C = M^T M)
+    with LOCAL brand factorization — per-bucket output is bounded at
+    k^2 pair partials (k = brand cardinality, ~25), so the final
+    groupby moves O(buckets * k^2) tiny rows no matter how many
+    lineitems flow through.  Diagonal entries carry the per-brand
+    marginals, so supports ride the same exchange."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"])
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: pa.table({"l_partkey": t.column("p_partkey"),
+                            "p_brand": t.column("p_brand")}),
+        batch_format="pyarrow",
+    )
+    ob = size_adaptive_join(
+        line, part, on=["l_partkey"],
+        broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/part.parquet"),
+    ).select_columns(["l_orderkey", "p_brand"])
+
+    pair_schema = pa.schema([("brand_a", pa.string()),
+                             ("brand_b", pa.string()),
+                             ("n", pa.int64())])
+
+    def bucket_pairs(bucket: pd.DataFrame) -> pa.Table:
+        dd = bucket.drop_duplicates(["l_orderkey", "p_brand"])
+        brands, binv = np.unique(dd["p_brand"].to_numpy(), return_inverse=True)
+        rows = pd.factorize(dd["l_orderkey"])[0]
+        m = np.zeros((rows.max() + 1, len(brands)), dtype=np.float64)
+        m[rows, binv] = 1.0
+        c = m.T @ m
+        # upper triangle INCLUDING the diagonal: diagonal rows are the
+        # per-brand order-count marginals riding the same exchange
+        ai, bi = np.triu_indices(len(brands), k=0)
+        n = c[ai, bi]
+        nz = n > 0
+        return pa.Table.from_pydict({
+            "brand_a": pa.array(brands[ai[nz]], type=pa.string()),
+            "brand_b": pa.array(brands[bi[nz]], type=pa.string()),
+            "n": pa.array(n[nz].astype(np.int64)),
+        }, schema=pair_schema)
+
+    partials = bucketed_bucket_map(ob, ["l_orderkey"], bucket_pairs,
+                                   num_buckets=16,
+                                   empty_schema=pair_schema)
+    agg = grouped_agg(partials, ["brand_a", "brand_b"],
+                      [("n", "n", "sum")]).materialize()
+
+    # bounded driver pull: one row per brand (k ~ 25)
+    marg_pdf = agg.map_batches(
+        lambda t: t.filter(pc_equal_cols(t, "brand_a", "brand_b")),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_map = dict(zip(marg_pdf["brand_a"], marg_pdf["n"].astype(int)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.less(batch.column("brand_a"), batch.column("brand_b"))
+        t = batch.filter(keep)
+        ba = t.column("brand_a").to_pylist()
+        bb = t.column("brand_b").to_pylist()
+        return pa.table({
+            "brand_a": t.column("brand_a"),
+            "brand_b": t.column("brand_b"),
+            "n_both": t.column("n"),
+            "n_a": pa.array([n_map[b] for b in ba], type=pa.int64()),
+            "n_b": pa.array([n_map[b] for b in bb], type=pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pc_equal_cols(t: pa.Table, a: str, b: str):
+    import pyarrow.compute as pc
+
+    return pc.equal(t.column(a), t.column(b))
+
+
+PART_BRAND_COPURCHASE_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+),
+bc AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY 1)
+SELECT brand_a, brand_b, n_both, ba.n AS n_a, bb.n AS n_b
+FROM pairs
+JOIN bc ba ON ba.p_brand = brand_a
+JOIN bc bb ON bb.p_brand = brand_b
+"""
+
+QUERIES["part_brand_copurchase"] = part_brand_copurchase
+ORACLE_SQL["part_brand_copurchase"] = PART_BRAND_COPURCHASE_SQL
+
+
+def events_value_scd(sf_dir: str):
+    """SCD2 interval construction — the dimension-snapshot build shape:
+    collapse each user's event stream to the rows where the tracked
+    attribute (the value decile bucket) CHANGED, each carrying
+    [valid_from, valid_to) with an open current interval (valid_to
+    null).  Ties on ts break on event_id on both sides.
+
+    Scale shape: ONE user_id shuffle, then the bucket body is fully
+    vectorized pandas (groupby-shift change detection + groupby-shift
+    lead for the interval close) — no per-row Python, output is
+    change-cardinality (<= input)."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_id", "ts", "value"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()),
+        ("valid_from", pa.timestamp("us")),
+        ("valid_to", pa.timestamp("us")),
+        ("val_bucket", pa.int64()),
+    ])
+
+    def body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.sort_values(["user_id", "ts", "event_id"],
+                                kind="mergesort")
+        df["val_bucket"] = np.floor(df["value"].to_numpy() / 10.0).astype(np.int64)
+        g = df.groupby("user_id", sort=False)
+        chg = df["val_bucket"].ne(g["val_bucket"].shift()) | (
+            g.cumcount() == 0
+        )
+        ch = df[chg].copy()
+        ch["valid_to"] = ch.groupby("user_id", sort=False)["ts"].shift(-1)
+        return pa.Table.from_pydict({
+            "user_id": pa.array(ch["user_id"].to_numpy(), type=pa.int64()),
+            "valid_from": pa.Array.from_pandas(ch["ts"], type=pa.timestamp("us")),
+            "valid_to": pa.Array.from_pandas(ch["valid_to"], type=pa.timestamp("us")),
+            "val_bucket": pa.array(ch["val_bucket"].to_numpy(), type=pa.int64()),
+        }, schema=out_schema)
+
+    return bucketed_bucket_map(events, ["user_id"], body,
+                               num_buckets=16, empty_schema=out_schema)
+
+
+EVENTS_VALUE_SCD_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value / 10) AS BIGINT) AS val_bucket
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN val_bucket IS DISTINCT FROM
+                      lag(val_bucket) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                 THEN 1 ELSE 0 END AS chg
+  FROM e
+),
+changes AS (
+  SELECT user_id, event_id, ts, val_bucket FROM flagged WHERE chg = 1
+)
+SELECT user_id, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to,
+       val_bucket
+FROM changes
+"""
+
+QUERIES["events_value_scd"] = events_value_scd
+ORACLE_SQL["events_value_scd"] = EVENTS_VALUE_SCD_SQL
