@@ -7480,3 +7480,61 @@ FROM changes
 
 QUERIES["events_value_scd"] = events_value_scd
 ORACLE_SQL["events_value_scd"] = EVENTS_VALUE_SCD_SQL
+
+
+def _skyline2d_pandas(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2D skyline (minimize p_retailprice, maximize p_size);
+    point B is dominated when some A has price <= and size >= with at
+    least one strict.  Equal (price, size) duplicates co-survive.
+    Vectorized: one sort + per-price-group max + exclusive prefix max
+    over cheaper groups."""
+    import numpy as np
+
+    if not len(df):
+        return df
+    df = df.sort_values(["p_retailprice", "p_size"],
+                        ascending=[True, False], kind="mergesort")
+    price = df["p_retailprice"].to_numpy()
+    size = df["p_size"].to_numpy(dtype=np.float64)
+    new_price = np.r_[True, price[1:] != price[:-1]]
+    gid = np.cumsum(new_price) - 1
+    group_max = size[new_price]  # sorted desc within a price run
+    prev_max = np.r_[-np.inf, np.maximum.accumulate(group_max)[:-1]]
+    keep = (size == group_max[gid]) & (size > prev_max[gid])
+    return df[keep]
+
+
+def part_price_size_skyline(sf_dir: str):
+    """Pareto-frontier (skyline) query: parts not dominated on
+    (cheaper price, larger size).  The distributed skyline algorithm:
+    each block computes its LOCAL skyline (the union of local
+    skylines is a superset of the global one — dominance is
+    transitive within any subset), candidates collapse to one block,
+    and the same exact kernel runs once more.  Candidate volume is
+    the sum of per-block frontier sizes (O(log n) expected per block
+    on continuous data), so the final pass is bounded regardless of
+    input size."""
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local(batch: pd.DataFrame) -> pd.DataFrame:
+        return _skyline2d_pandas(batch)
+
+    candidates = part.map_batches(local, batch_format="pandas")
+    return candidates.repartition(1).map_batches(
+        _skyline2d_pandas, batch_format="pandas", batch_size=None,
+    )
+
+
+PART_PRICE_SIZE_SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+"""
+
+QUERIES["part_price_size_skyline"] = part_price_size_skyline
+ORACLE_SQL["part_price_size_skyline"] = PART_PRICE_SIZE_SKYLINE_SQL
