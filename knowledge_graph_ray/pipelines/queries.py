@@ -7538,3 +7538,157 @@ WHERE NOT EXISTS (
 
 QUERIES["part_price_size_skyline"] = part_price_size_skyline
 ORACLE_SQL["part_price_size_skyline"] = PART_PRICE_SIZE_SKYLINE_SQL
+
+
+def events_peak_concurrency(sf_dir: str):
+    """Sweep-line peak concurrency: the maximum number of user
+    sessions simultaneously open (gap-based sessions, 1800s; touching
+    sessions count as concurrent — starts order before ends on ties).
+
+    Scale shape: sessionize is ONE user_id shuffle; endpoint deltas
+    (+1/-1) then need a GLOBAL ordered prefix sum — the canonical
+    single-hot-key window — so this query runs the documented skew
+    escape hatch ``running_sum_salted``: range-salted slices compute
+    local cumsums and a tiny salts-table of exclusive offsets
+    broadcasts back, no single task ever holds the whole timeline.
+    The peak is a constant-key max combiner over the running column."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.ranking import running_sum_salted
+    from knowledge_graph_ray.stages.windows import sessionize
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
+    sessions = sessionize(events, gap_seconds=1800,
+                          driver_threshold=500_000,
+                          size_hint=events.count())
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ones = pa.array([1] * n, type=pa.int64())
+        neg = pa.array([-1] * n, type=pa.int64())
+        g = pa.array([1] * (2 * n), type=pa.int64())
+        t = pa.concat_arrays([
+            batch.column("session_start").combine_chunks(),
+            batch.column("session_end").combine_chunks(),
+        ])
+        d = pa.concat_arrays([ones, neg])
+        # neg_d orders starts (+1) before ends (-1) on tied timestamps
+        return pa.table({"g": g, "t": t, "d": d,
+                         "neg_d": pc.negate(d)})
+
+    pts = sessions.map_batches(endpoints, batch_format="pyarrow")
+    runs = running_sum_salted(pts, key="g", order_cols=["t", "neg_d"],
+                              value_col="d", out_col="running")
+    peak = grouped_agg(runs.select_columns(["g", "running"]), ["g"],
+                       [("peak", "running", "max")])
+    return peak.select_columns(["peak"])
+
+
+EVENTS_PEAK_CONCURRENCY_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts_s) > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+s AS (
+  SELECT min(ts_s) AS session_start, max(ts_s) AS session_end
+  FROM sess GROUP BY user_id, sess_id
+),
+pts AS (
+  SELECT session_start AS t, 1 AS d FROM s
+  UNION ALL
+  SELECT session_end AS t, -1 AS d FROM s
+),
+r AS (
+  SELECT sum(d) OVER (ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING) AS run
+  FROM pts
+)
+SELECT CAST(max(run) AS BIGINT) AS peak FROM r
+"""
+
+QUERIES["events_peak_concurrency"] = events_peak_concurrency
+ORACLE_SQL["events_peak_concurrency"] = EVENTS_PEAK_CONCURRENCY_SQL
+
+
+def events_time_weighted_value(sf_dir: str):
+    """Time-weighted value per user — the sensor/metering aggregation
+    shape: each reading holds until the next one, so its weight is the
+    gap (seconds) to the user's next event; the final open reading
+    carries no weight.  Reported as exact integer sufficient stats
+    (tw_cents = sum(cents x gap_s), total_s = sum(gap_s)) — the
+    weighted mean is tw_cents / total_s, left to the reader.
+
+    Scale shape: ONE user_id shuffle; the bucket body is a vectorized
+    sort + groupby-shift lead + in-bucket groupby-sum, so the exchange
+    output is user-cardinality sufficient stats, never raw events."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_id", "ts", "value"])
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()),
+        ("tw_cents", pa.int64()),
+        ("total_s", pa.int64()),
+    ])
+
+    def body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.sort_values(["user_id", "ts", "event_id"],
+                                kind="mergesort")
+        ts_s = (df["ts"].astype("int64").to_numpy() // 1_000_000)
+        v = df["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+        df = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                           "ts_s": ts_s, "cents": cents})
+        nxt = df.groupby("user_id", sort=False)["ts_s"].shift(-1)
+        gap = (nxt - df["ts_s"])
+        keep = gap.notna()
+        sub = pd.DataFrame({
+            "user_id": df["user_id"][keep],
+            "w": df["cents"][keep].to_numpy() * gap[keep].to_numpy(dtype=np.int64),
+            "g": gap[keep].to_numpy(dtype=np.int64),
+        })
+        agg = sub.groupby("user_id", sort=False, as_index=False).agg(
+            tw_cents=("w", "sum"), total_s=("g", "sum"))
+        return pa.Table.from_pydict({
+            "user_id": pa.array(agg["user_id"].astype("int64")),
+            "tw_cents": pa.array(agg["tw_cents"].astype("int64")),
+            "total_s": pa.array(agg["total_s"].astype("int64")),
+        }, schema=out_schema)
+
+    return bucketed_bucket_map(events, ["user_id"], body,
+                               num_buckets=16, empty_schema=out_schema)
+
+
+EVENTS_TIME_WEIGHTED_VALUE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         lead(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents * (nxt - ts_s)) AS BIGINT) AS tw_cents,
+       CAST(sum(nxt - ts_s) AS BIGINT) AS total_s
+FROM g WHERE nxt IS NOT NULL
+GROUP BY 1
+"""
+
+QUERIES["events_time_weighted_value"] = events_time_weighted_value
+ORACLE_SQL["events_time_weighted_value"] = EVENTS_TIME_WEIGHTED_VALUE_SQL
