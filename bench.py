@@ -147,6 +147,13 @@ BENCH_QUERIES = [
     "contamination_provenance",
     "events_wow_change",
     "events_session_sizes",
+    # round-5 coda (appended to keep earlier per-query comparisons aligned)
+    "tpch_waiting_suppliers",
+    "part_brand_copurchase",
+    "events_value_scd",
+    "part_price_size_skyline",
+    "events_peak_concurrency",
+    "events_time_weighted_value",
 ]
 
 

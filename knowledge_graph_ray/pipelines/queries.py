@@ -7692,3 +7692,201 @@ GROUP BY 1
 
 QUERIES["events_time_weighted_value"] = events_time_weighted_value
 ORACLE_SQL["events_time_weighted_value"] = EVENTS_TIME_WEIGHTED_VALUE_SQL
+
+
+def events_session_attribution(sf_dir: str):
+    """First-touch attribution: every event's value is credited to the
+    CHANNEL (event_type) that opened its session (gap 1800s) — the
+    marketing-attribution shape composing sessionization, an ordered
+    first_value, and a channel rollup.
+
+    Scale shape: ONE user_id shuffle; the bucket body segments
+    sessions vectorized, takes the ordered-first channel per session,
+    and pre-aggregates to channel-cardinality partials INSIDE the
+    bucket, so the final combiner moves O(buckets x channels) rows."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+
+    partial_schema = pa.schema([
+        ("channel", pa.string()),
+        ("cents", pa.int64()),
+        ("n", pa.int64()),
+    ])
+
+    def body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.sort_values(["user_id", "ts", "event_id"],
+                                kind="mergesort")
+        ts_s = df["ts"].astype("int64").to_numpy() // 1_000_000
+        codes, _ = pd.factorize(df["user_id"], use_na_sentinel=False)
+        n = len(df)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (codes[1:] != codes[:-1]) | ((ts_s[1:] - ts_s[:-1]) > 1800)
+        sid = np.cumsum(brk)
+        v = df["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+        sess = pd.DataFrame({"sid": sid,
+                             "channel": df["event_type"].to_numpy(),
+                             "cents": cents})
+        per_sess = sess.groupby("sid", sort=False).agg(
+            channel=("channel", "first"), cents=("cents", "sum"))
+        out = per_sess.groupby("channel", sort=False, as_index=False).agg(
+            cents=("cents", "sum"), n=("cents", "size"))
+        return pa.Table.from_pydict({
+            "channel": pa.array(out["channel"], type=pa.string()),
+            "cents": pa.array(out["cents"].astype("int64")),
+            "n": pa.array(out["n"].astype("int64")),
+        }, schema=partial_schema)
+
+    partials = bucketed_bucket_map(events, ["user_id"], body,
+                                   num_buckets=16,
+                                   empty_schema=partial_schema)
+    return grouped_agg(partials, ["channel"],
+                       [("attributed_cents", "cents", "sum"),
+                        ("n_sessions", "n", "sum")])
+
+
+EVENTS_SESSION_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts_s, event_id) > 1800
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                                ORDER BY ts_s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+attr AS (
+  SELECT user_id, sess_id,
+         first(event_type ORDER BY ts_s, event_id) AS channel,
+         sum(cents) AS cents
+  FROM sess GROUP BY 1, 2
+)
+SELECT channel, CAST(sum(cents) AS BIGINT) AS attributed_cents,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM attr GROUP BY 1
+"""
+
+QUERIES["events_session_attribution"] = events_session_attribution
+ORACLE_SQL["events_session_attribution"] = EVENTS_SESSION_ATTRIBUTION_SQL
+
+
+def dedup_group_representatives(sf_dir: str):
+    """Canonical-document selection: for every near-duplicate group
+    (same edges + components as ``dedup_groups``), keep ONE
+    representative — the longest document, ties to the smaller
+    doc_id — plus the group size.  This is the step a training-data
+    pipeline runs after dup-group labeling: drop all but the best
+    copy.
+
+    Scale shape: components move only (name, component) label pairs;
+    the n_chars attach is a size-adaptive join (documents' id+length
+    columns only, text never ships); the argmax-per-group is ONE
+    component shuffle with a vectorized sort + groupby-first body."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+    from knowledge_graph_ray.stages.dedup import (
+        duplicate_groups,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), threshold=0.04, ngram=2, partition_column="source"
+    )
+    groups = duplicate_groups(pairs, driver_threshold=0)
+
+    lengths = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "n_chars"]).map_batches(
+        lambda t: pa.table({
+            "name": t.column("doc_id").cast(pa.string()),
+            "n_chars": t.column("n_chars"),
+        }),
+        batch_format="pyarrow",
+    )
+    labeled = size_adaptive_join(
+        groups, lengths, on=["name"],
+        broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/documents.parquet"),
+    )
+
+    out_schema = pa.schema([
+        ("component", pa.string()),
+        ("rep", pa.string()),
+        ("group_size", pa.int64()),
+    ])
+
+    def body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.sort_values(["component", "n_chars", "name"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        g = df.groupby("component", sort=False, as_index=False).agg(
+            rep=("name", "first"), group_size=("name", "size"))
+        return pa.Table.from_pydict({
+            "component": pa.array(g["component"], type=pa.string()),
+            "rep": pa.array(g["rep"], type=pa.string()),
+            "group_size": pa.array(g["group_size"].astype("int64")),
+        }, schema=out_schema)
+
+    return bucketed_bucket_map(labeled, ["component"], body,
+                               num_buckets=16, empty_schema=out_schema)
+
+
+DEDUP_GROUP_REPRESENTATIVES_SQL = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id, source,
+         list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bgs
+  FROM toks
+),
+bgx AS (SELECT doc_id, source, unnest(bgs) AS g FROM bg),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+  FROM bgx a JOIN bgx b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+edges AS (
+  SELECT CAST(least(da, db) AS VARCHAR) AS u, CAST(greatest(da, db) AS VARCHAR) AS v
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.04
+),
+edges_bi AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges_bi e ON e.u = r.node
+),
+comp AS (SELECT node AS name, min(lbl) AS component FROM reach GROUP BY node)
+SELECT component,
+       first(comp.name ORDER BY d.n_chars DESC, comp.name) AS rep,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM comp JOIN documents d ON CAST(d.doc_id AS VARCHAR) = comp.name
+GROUP BY component
+"""
+
+QUERIES["dedup_group_representatives"] = dedup_group_representatives
+ORACLE_SQL["dedup_group_representatives"] = DEDUP_GROUP_REPRESENTATIVES_SQL
