@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "part_price_size_skyline",
     "events_peak_concurrency",
     "events_time_weighted_value",
+    "events_session_attribution",
+    "dedup_group_representatives",
 ]
 
 
