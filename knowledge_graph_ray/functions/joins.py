@@ -79,9 +79,13 @@ def hash_join(
     """left ⨝ right on key columns ``on`` -> Dataset.
 
     Output columns: all left columns, then right's non-key columns
-    ('inner'/'left_outer'); left columns only ('left_semi'/'left_anti').
+    ('inner'/'left_outer'/'full_outer'); left columns only
+    ('left_semi'/'left_anti').  'full_outer' keeps unmatched rows from
+    BOTH sides (key columns coalesced, the other side's payload null).
     """
-    assert how in ("inner", "left_outer", "left_semi", "left_anti"), how
+    assert how in (
+        "inner", "left_outer", "full_outer", "left_semi", "left_anti",
+    ), how
     on = list(on)
     filter_only = how in ("left_semi", "left_anti")
     # probe-free schema resolution (see functions/dsschema.py); reuse the
@@ -147,9 +151,10 @@ def hash_join(
             merged = lhs[mask] if how == "left_semi" else lhs[~mask]
         else:
             rhs = rhs[on + right_payload]
-            merged = lhs.merge(
-                rhs, on=on, how="left" if how == "left_outer" else "inner"
+            pd_how = {"left_outer": "left", "full_outer": "outer"}.get(
+                how, "inner"
             )
+            merged = lhs.merge(rhs, on=on, how=pd_how)
         return pa.Table.from_arrays(
             [_to_arrow_col(merged[f.name], f) for f in out_fields],
             schema=out_schema,

@@ -7890,3 +7890,317 @@ GROUP BY component
 
 QUERIES["dedup_group_representatives"] = dedup_group_representatives
 ORACLE_SQL["dedup_group_representatives"] = DEDUP_GROUP_REPRESENTATIVES_SQL
+
+
+def tpch_daily_order_ship_recon(sf_dir: str):
+    """Two-fact-table reconciliation: orders placed vs lineitems shipped
+    per day, FULL OUTER joined so gap days on either side survive with
+    the other side's measures zeroed — the audit shape that catches
+    "we shipped on a day with no bookings" and vice versa.
+
+    Scale shape: both fact scans collapse to day-cardinality partial
+    aggregates through the combiner BEFORE the full_outer hash_join
+    moves anything; the join shuffles only ~2.5k day rows however large
+    the fact tables grow."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join
+
+    def day_of(col: pa.ChunkedArray) -> pa.ChunkedArray:
+        return pc.divide(
+            pc.divide(col.cast(pa.int64()), 1_000_000), 86_400
+        ).cast(pa.int64())
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": day_of(batch.column("o_orderdate")),
+            "o_totalprice": batch.column("o_totalprice"),
+        })
+
+    o_daily = grouped_agg(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+        .map_batches(o_prep, batch_format="pyarrow"),
+        ["day"],
+        [("n_orders", None, "count"), ("order_value", "o_totalprice", "sum")],
+    )
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({
+            "day": day_of(batch.column("l_shipdate")),
+            "rev": rev,
+        })
+
+    s_daily = grouped_agg(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_shipdate", "l_extendedprice",
+                                 "l_discount"])
+        .map_batches(l_prep, batch_format="pyarrow"),
+        ["day"],
+        [("n_ship_lines", None, "count"), ("ship_value", "rev", "sum")],
+    )
+
+    joined = hash_join(o_daily, s_daily, on=["day"], how="full_outer")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        zero_i = pa.scalar(0, type=pa.int64())
+        return pa.table({
+            "day": batch.column("day"),
+            "n_orders": pc.coalesce(batch.column("n_orders"), zero_i),
+            "order_value_cents": scaled_int_column(
+                pc.coalesce(batch.column("order_value"), pa.scalar(0.0)),
+                100.0),
+            "n_ship_lines": pc.coalesce(batch.column("n_ship_lines"),
+                                        zero_i),
+            # e4 scale: rev has exactly 4 decimals, so the scaled sum is
+            # integer-valued and rounding never lands on a .5 tie (cents
+            # scaling hit half-cent ties that flip with float sum order)
+            "ship_value_e4": scaled_int_column(
+                pc.coalesce(batch.column("ship_value"), pa.scalar(0.0)),
+                10_000.0),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
+TPCH_DAILY_ORDER_SHIP_RECON_SQL = """
+WITH o AS (
+  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+         count(*) AS n_orders,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS order_value_cents
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400 AS day,
+         count(*) AS n_ship_lines,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+              AS BIGINT) AS ship_value_e4
+  FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(o.day, s.day) AS day,
+       COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+       COALESCE(order_value_cents, CAST(0 AS BIGINT)) AS order_value_cents,
+       COALESCE(n_ship_lines, CAST(0 AS BIGINT)) AS n_ship_lines,
+       COALESCE(ship_value_e4, CAST(0 AS BIGINT)) AS ship_value_e4
+FROM o FULL OUTER JOIN s ON o.day = s.day
+ORDER BY 1
+"""
+
+QUERIES["tpch_daily_order_ship_recon"] = tpch_daily_order_ship_recon
+ORACLE_SQL["tpch_daily_order_ship_recon"] = TPCH_DAILY_ORDER_SHIP_RECON_SQL
+
+
+def events_zscore_outliers(sf_dir: str):
+    """Per-type z-score outlier counts (|value - mean| > 2 sd) — the
+    statistical outlier-filtering shape an LLM-data quality pipeline
+    runs before training.
+
+    Scale shape: pass 1 collapses the fact scan to exact integer
+    sufficient statistics (n, sum cents, sum cents^2) per type through
+    the combiner; the tiny per-type stats table is broadcast once via
+    ray.put and pass 2 flags outliers vectorized per batch, emitting
+    per-type partial counts — no fact-table shuffle at all.  Exactness:
+    mean/variance are derived from EXACT integer sums with the same
+    IEEE expression order as the oracle SQL, so the boundary compare is
+    bit-identical."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = scaled_int_column(batch.column("value"), 100.0)
+        sq = pc.multiply(cents, cents)
+        return pa.table({"event_type": batch.column("event_type"),
+                         "cents": cents, "sq": sq})
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    stats = grouped_agg(prepped, ["event_type"],
+                        [("n", None, "count"), ("s", "cents", "sum"),
+                         ("q", "sq", "sum")]).to_pandas()
+    # per-type mean/var from exact ints; type cardinality is a bounded
+    # enum (the pivot/PSI queries rely on the same bound)
+    lut = {}
+    for _, r in stats.iterrows():
+        n, s_d, q_d = int(r["n"]), float(r["s"]), float(r["q"])
+        mean = s_d / n
+        var = (q_d - (s_d * s_d) / n) / (n - 1) if n > 1 else 0.0
+        lut[r["event_type"]] = (mean, var)
+    lut_ref = ray.put(lut)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        # vectorize the lookup: factorize types against their uniques
+        uniq, inv = np.unique(types, return_inverse=True)
+        mean_v = np.array([table[t][0] for t in uniq])[inv]
+        var_v = np.array([table[t][1] for t in uniq])[inv]
+        d = cents.astype(np.float64) - mean_v
+        out = (d * d) > (4.0 * var_v)
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "is_out": pa.array(out.astype(np.int64)),
+        })
+
+    flagged = prepped.map_batches(flag, batch_format="pyarrow")
+    return grouped_agg(flagged, ["event_type"],
+                       [("n_events", "one", "sum"),
+                        ("n_outliers", "is_out", "sum")])
+
+
+EVENTS_ZSCORE_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(cents) AS DOUBLE) AS sd,
+         CAST(sum(cents * cents) AS DOUBLE) AS qd
+  FROM e GROUP BY event_type
+),
+p AS (
+  SELECT event_type, sd / n AS mean,
+         (qd - (sd * sd) / n) / (n - 1) AS var
+  FROM s
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN (CAST(cents AS DOUBLE) - mean)
+                          * (CAST(cents AS DOUBLE) - mean) > 4.0 * var
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM e JOIN p USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+def documents_number_extract(sf_dir: str):
+    """First-number regex extraction per document, aggregated per
+    source — the structured-field-harvest shape (RE2 semantics shared
+    by pyarrow and the oracle; 6-digit cap keeps the BIGINT sum exact).
+
+    Scale shape: stateless vectorized extract_regex per batch, partial
+    per-source counts through the combiner; only (source, partial)
+    rows shuffle."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("text"),
+                             r"(?P<num>[0-9]{1,6})")
+        num_str = pc.struct_field(m, "num")
+        valid = pc.is_valid(num_str)
+        num = pc.if_else(valid, pc.cast(num_str, pa.int64()),
+                         pa.scalar(0, type=pa.int64()))
+        return pa.table({
+            "source": batch.column("source"),
+            "one": pa.array([1] * len(batch), type=pa.int64()),
+            "has_num": valid.cast(pa.int64()),
+            "num": num,
+        })
+
+    return grouped_agg(docs.map_batches(extract, batch_format="pyarrow"),
+                       ["source"],
+                       [("n_docs", "one", "sum"),
+                        ("n_with_number", "has_num", "sum"),
+                        ("sum_first_number", "num", "sum")])
+
+
+DOCUMENTS_NUMBER_EXTRACT_SQL = """
+WITH x AS (
+  SELECT source, NULLIF(regexp_extract(text, '[0-9]{1,6}'), '') AS num
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(num) AS BIGINT) AS n_with_number,
+       CAST(COALESCE(sum(CAST(num AS BIGINT)), 0) AS BIGINT)
+         AS sum_first_number
+FROM x GROUP BY source
+"""
+
+
+def events_rolling_median(sf_dir: str):
+    """Rolling MEDIAN over a 5-row frame per user (ROWS BETWEEN 4
+    PRECEDING AND CURRENT ROW) — the order-statistic window the
+    prefix-sum machinery can't express; robust smoothing for noisy
+    metric streams.
+
+    Scale shape: ONE shuffle on user_id; each bucket sorts its users'
+    events once and runs pandas' C rolling-median kernel per user.
+    Values are exact cents ints, the median interpolation (mean of two
+    middle ints) is exact in binary — bit-identical to the oracle."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts",
+                                      "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_s", "event_id"], kind="stable")
+        med = (g.groupby("user_id", sort=False)["cents"]
+                .rolling(5, min_periods=1).median()
+                .reset_index(level=0, drop=True))
+        return pa.Table.from_pydict({
+            "user_id": pa.array(g["user_id"], type=pa.int64()),
+            "ts_s": pa.array(g["ts_s"], type=pa.int64()),
+            "event_id": pa.array(g["event_id"], type=pa.int64()),
+            "cents": pa.array(g["cents"], type=pa.int64()),
+            "roll_med": pa.array(med, type=pa.float64()),
+        })
+
+    return bucketed_bucket_map(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], bucket_body,
+        empty_schema=pa.schema([
+            ("user_id", pa.int64()), ("ts_s", pa.int64()),
+            ("event_id", pa.int64()), ("cents", pa.int64()),
+            ("roll_med", pa.float64()),
+        ]),
+    )
+
+
+EVENTS_ROLLING_MEDIAN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts_s, event_id, cents,
+       median(cents) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         AS roll_med
+FROM e
+"""
+
+QUERIES["events_zscore_outliers"] = events_zscore_outliers
+ORACLE_SQL["events_zscore_outliers"] = EVENTS_ZSCORE_OUTLIERS_SQL
+QUERIES["documents_number_extract"] = documents_number_extract
+ORACLE_SQL["documents_number_extract"] = DOCUMENTS_NUMBER_EXTRACT_SQL
+QUERIES["events_rolling_median"] = events_rolling_median
+ORACLE_SQL["events_rolling_median"] = EVENTS_ROLLING_MEDIAN_SQL

@@ -91,7 +91,7 @@ def test_read_documents_parquet(tmp_path):
     assert set(ds.schema().names) == {"doc_id", "spans"}
 
 
-@pytest.mark.parametrize("how", ["inner", "left_outer"])
+@pytest.mark.parametrize("how", ["inner", "left_outer", "full_outer"])
 def test_hash_join_matches_pandas(how):
     rng = np.random.RandomState(0)
     left = pd.DataFrame(
@@ -103,7 +103,8 @@ def test_hash_join_matches_pandas(how):
     got = hash_join(
         rd.from_pandas(left), rd.from_pandas(right), on=["k"], how=how, num_partitions=8
     ).to_pandas()
-    expected = left.merge(right, on="k", how="left" if how == "left_outer" else "inner")
+    pd_how = {"left_outer": "left", "full_outer": "outer"}.get(how, "inner")
+    expected = left.merge(right, on="k", how=pd_how)
     assert len(got) == len(expected)
     g = got.sort_values(["k", "x"]).reset_index(drop=True)
     e = expected.sort_values(["k", "x"]).reset_index(drop=True)
