@@ -8204,3 +8204,105 @@ QUERIES["documents_number_extract"] = documents_number_extract
 ORACLE_SQL["documents_number_extract"] = DOCUMENTS_NUMBER_EXTRACT_SQL
 QUERIES["events_rolling_median"] = events_rolling_median
 ORACLE_SQL["events_rolling_median"] = EVENTS_ROLLING_MEDIAN_SQL
+
+
+def events_quantile_sketch_bound(sf_dir: str):
+    """KMV quantile-sketch accuracy under the SQL gate (the
+    hll_bound/sketch_recall pattern): per event_type, emit the EXACT
+    p50/p90 only when the bottom-k sample estimate's true rank sits
+    within 3 percentage points of the target quantile — a driver-level
+    rank-error floor for the mergeable quantile sketch.
+
+    Scale shape: the estimate path shuffles at most k=4096 rows per
+    (type, block) partial; the rank check is a second zero-shuffle scan
+    against the broadcast estimates; the exact side is the bounded
+    value-histogram walk the exact-quantile query already uses.  A
+    group with <= k rows is sampled completely, so the gate is exact at
+    small scale and statistical (±3sigma) at large scale."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.sketches import (
+        grouped_kmv_quantiles,
+        grouped_quantiles,
+    )
+
+    qs = [0.5, 0.9]
+    eps = 0.03
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "event_id",
+                                      "value"]).materialize()
+
+    est = grouped_kmv_quantiles(events, "event_type", "event_id",
+                                "value", qs=qs).to_pandas()
+    # {type: [est_q50, est_q90]} — bounded by the event_type enum
+    lut = {}
+    for _, r in est.iterrows():
+        lut.setdefault(r["event_type"], {})[round(r["q"], 2)] = r["est"]
+    lut_ref = ray.put(lut)
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(types, return_inverse=True)
+        e50 = np.array([table[t][0.5] for t in uniq])[inv]
+        e90 = np.array([table[t][0.9] for t in uniq])[inv]
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "lt50": pa.array((vals < e50).astype(np.int64)),
+            "le50": pa.array((vals <= e50).astype(np.int64)),
+            "lt90": pa.array((vals < e90).astype(np.int64)),
+            "le90": pa.array((vals <= e90).astype(np.int64)),
+        })
+
+    ranks = grouped_agg(
+        events.map_batches(rank_partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("n", "one", "sum"), ("lt50", "lt50", "sum"),
+         ("le50", "le50", "sum"), ("lt90", "lt90", "sum"),
+         ("le90", "le90", "sum")],
+    ).to_pandas()
+    passing = set()
+    for _, r in ranks.iterrows():
+        n = float(r["n"])
+        ok = True
+        for q, lt, le in [(0.5, r["lt50"], r["le50"]),
+                          (0.9, r["lt90"], r["le90"])]:
+            if not (le / n >= q - eps and lt / n <= q + eps):
+                ok = False
+        if ok:
+            passing.add(r["event_type"])
+    passing_ref = ray.put(passing)
+
+    exact = grouped_quantiles(events, "event_type", "value", qs=qs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = ray.get(passing_ref)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        mask = pa.array([t in keep for t in types], type=pa.bool_())
+        b = batch.filter(mask)
+        return pa.Table.from_pydict({
+            "event_type": b.column("event_type"),
+            "q_e2": scaled_int_column(b.column("q"), 100.0),
+            "value_cents": scaled_int_column(b.column("value"), 100.0),
+        })
+
+    return exact.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_QUANTILE_SKETCH_BOUND_SQL = """
+SELECT event_type, CAST(50 AS BIGINT) AS q_e2,
+       CAST(round(quantile_disc(value, 0.5) * 100) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+UNION ALL
+SELECT event_type, CAST(90 AS BIGINT),
+       CAST(round(quantile_disc(value, 0.9) * 100) AS BIGINT)
+FROM events GROUP BY event_type
+"""
+
+QUERIES["events_quantile_sketch_bound"] = events_quantile_sketch_bound
+ORACLE_SQL["events_quantile_sketch_bound"] = EVENTS_QUANTILE_SKETCH_BOUND_SQL

@@ -1383,3 +1383,35 @@ def test_grouped_weighted_quantile_vs_brute_force():
             tot = int(cum.iloc[-1])
             want = pair.index[(cum * q_den >= q_num * tot)][0]
             assert got[g] == want, (g, q_num, q_den)
+
+
+def test_kmv_quantile_sketch_rank_error_and_small_group_exactness():
+    """Bottom-k quantile sketch: exact when the group fits in k; rank
+    error within 5 points (3 sigma at k=1024) on a 20k-row skewed
+    group."""
+    import numpy as np
+
+    from knowledge_graph_ray.stages.sketches import grouped_kmv_quantiles
+
+    rng = np.random.RandomState(7)
+    small_vals = np.sort(rng.lognormal(3.0, 1.0, 100))
+    big_vals = rng.lognormal(3.0, 1.5, 20_000)
+    df = pd.DataFrame({
+        "g": ["small"] * 100 + ["big"] * 20_000,
+        "rid": np.arange(20_100, dtype=np.int64),
+        "v": np.concatenate([small_vals, big_vals]),
+    })
+    out = grouped_kmv_quantiles(
+        rd.from_pandas(df).repartition(8), "g", "rid", "v",
+        qs=[0.5, 0.9], k=1024,
+    ).to_pandas()
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        grp = df[df["g"] == r["g"]]["v"].to_numpy()
+        if r["g"] == "small":
+            # complete sample -> exact discrete quantile
+            idx = max(int(np.ceil(r["q"] * len(grp))) - 1, 0)
+            assert r["est"] == np.sort(grp)[idx], r
+        else:
+            rank = (grp <= r["est"]).mean()
+            assert abs(rank - r["q"]) < 0.05, (r["q"], rank)
