@@ -156,6 +156,12 @@ BENCH_QUERIES = [
     "events_time_weighted_value",
     "events_session_attribution",
     "dedup_group_representatives",
+    # round-5 coda 2 (appended; earlier per-query comparisons stay aligned)
+    "tpch_daily_order_ship_recon",
+    "events_zscore_outliers",
+    "documents_number_extract",
+    "events_rolling_median",
+    "events_quantile_sketch_bound",
 ]
 
 

@@ -7795,10 +7795,13 @@ def dedup_group_representatives(sf_dir: str):
     pipeline runs after dup-group labeling: drop all but the best
     copy.
 
-    Scale shape: components move only (name, component) label pairs;
-    the n_chars attach is a size-adaptive join (documents' id+length
-    columns only, text never ships); the argmax-per-group is ONE
-    component shuffle with a vectorized sort + groupby-first body."""
+    Scale shape: components move only (name, component) label pairs
+    (size-adaptive: driver union-find below 100k edges, star
+    contraction above — the distributed path is what ``dedup_groups``
+    itself pins with driver_threshold=0); the n_chars attach is a
+    size-adaptive join (documents' id+length columns only, text never
+    ships); the argmax-per-group is ONE component shuffle with a
+    vectorized sort + groupby-first body."""
     import numpy as np
 
     from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
@@ -7811,7 +7814,10 @@ def dedup_group_representatives(sf_dir: str):
     pairs = ngram_jaccard_pairs(
         _docs(sf_dir), threshold=0.04, ngram=2, partition_column="source"
     )
-    groups = duplicate_groups(pairs, driver_threshold=0)
+    # 1M-edge driver budget (16 bytes/labeled pair = ~16MB): the
+    # distributed star-contraction regime engages above it and is
+    # separately pinned by dedup_groups (driver_threshold=0)
+    groups = duplicate_groups(pairs, driver_threshold=1_000_000)
 
     lengths = rd.read_parquet(f"{sf_dir}/documents.parquet",
                               columns=["doc_id", "n_chars"]).map_batches(

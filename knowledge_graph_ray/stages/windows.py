@@ -436,3 +436,89 @@ def interval_join_count(intervals, points, by: str, start_col: str,
         empty_schema=out_schema, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def global_trailing_distinct(ds, order_col: str, user_col: str,
+                             id_cols: list[str], window: int,
+                             block: int | None = None):
+    """Distinct ``user_col`` count over a GLOBAL trailing window
+    (``RANGE BETWEEN window-1 PRECEDING AND CURRENT ROW`` with no
+    partition key) — the sliding-distinct window that neither the
+    per-key range kit nor a prefix sum can express (distinct does not
+    sum).
+
+    Algorithm (interval stabbing): an event j with previous same-user
+    time p_j is the FIRST of its user inside the window of query time t
+    iff ``max(ts_j, p_j + window) <= t <= ts_j + window - 1``; the
+    distinct count at t is therefore the number of stabbed intervals,
+    i.e. ``count(lo <= t) - count(hi < t)`` — two vectorized
+    searchsorteds over the sorted interval endpoints, no per-row loop.
+
+    Scale shape: time is range-partitioned into blocks; each event is
+    shipped to its own block, and events in a block's final ``window``
+    seconds are replicated once into the NEXT block as halo rows
+    (bounded <= window/block duplication).  A halo row older than the
+    block's window start cannot exist, so per-block ``p_j`` recovered
+    from block+halo alone is exact for every OWNED query time.  One
+    shuffle total; each block's body is O(n log n) numpy."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if block is None:
+        block = 4 * window
+    assert block >= window
+
+    def route(batch: pa.Table) -> pa.Table:
+        ts = batch.column(order_col)
+        blk = pc.divide(ts, block).cast(pa.int64())
+        own = batch.append_column("_blk", blk).append_column(
+            "_owned", pa.array([True] * len(batch), type=pa.bool_()))
+        # rows in the last `window-1` seconds also serve the next block
+        off = pc.subtract(ts, pc.multiply(blk, block))
+        halo_mask = pc.greater_equal(off, pa.scalar(block - (window - 1),
+                                                    type=pa.int64()))
+        halo = batch.filter(halo_mask)
+        if len(halo):
+            hblk = pc.add(
+                pc.divide(halo.column(order_col), block).cast(pa.int64()),
+                pa.scalar(1, type=pa.int64()))
+            halo = halo.append_column("_blk", hblk).append_column(
+                "_owned", pa.array([False] * len(halo), type=pa.bool_()))
+            return pa.concat_tables([own, halo])
+        return own
+
+    routed = ds.map_batches(route, batch_format="pyarrow")
+
+    out_fields = [(c, pa.int64()) for c in id_cols] + [
+        (order_col, pa.int64()), ("trailing_users", pa.int64())]
+
+    def body(g: pd.DataFrame) -> pa.Table:
+        ts = g[order_col].to_numpy(np.int64)
+        u = g[user_col].to_numpy()
+        owned = g["_owned"].to_numpy(bool)
+        order = np.lexsort((ts, u))
+        ts_u = ts[order]
+        prev = np.full(len(g), np.iinfo(np.int64).min // 4, dtype=np.int64)
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        if len(g) > 1:
+            same[1:] = u[order][1:] == u[order][:-1]
+        prev_sorted = np.where(same, np.concatenate(([0], ts_u[:-1])),
+                               prev[0])
+        prev[order] = prev_sorted
+        lo = np.maximum(ts, prev + window)
+        hi = ts + window - 1
+        lo_s = np.sort(lo)
+        hi_s = np.sort(hi)
+        t_q = ts[owned]
+        d = (np.searchsorted(lo_s, t_q, side="right")
+             - np.searchsorted(hi_s, t_q, side="left"))
+        cols = {c: pa.array(g[c].to_numpy(np.int64)[owned],
+                            type=pa.int64()) for c in id_cols}
+        cols[order_col] = pa.array(t_q, type=pa.int64())
+        cols["trailing_users"] = pa.array(d.astype(np.int64),
+                                          type=pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    del out_fields  # schema carried by the emitted tables
+    return routed.groupby("_blk").map_groups(body, batch_format="pandas")
