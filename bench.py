@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "documents_number_extract",
     "events_rolling_median",
     "events_quantile_sketch_bound",
+    "events_trailing_distinct_users",
 ]
 
 

@@ -8312,3 +8312,55 @@ FROM events GROUP BY event_type
 
 QUERIES["events_quantile_sketch_bound"] = events_quantile_sketch_bound
 ORACLE_SQL["events_quantile_sketch_bound"] = EVENTS_QUANTILE_SKETCH_BOUND_SQL
+
+
+def events_trailing_distinct_users(sf_dir: str):
+    """Distinct users in the GLOBAL trailing hour, per event — the
+    concurrency/reach metric (count(DISTINCT) OVER an unpartitioned
+    RANGE frame) that neither the per-key range kit nor the salted
+    prefix sum can express, because distinct does not sum.
+
+    Scale shape (stages/windows.global_trailing_distinct): time is
+    range-partitioned into 4h blocks with a <=25% one-block halo
+    replication; each event becomes a stab interval
+    [max(ts, prev_same_user_ts + W), ts + W - 1] and the per-block body
+    answers every owned query time with two vectorized searchsorteds —
+    ONE shuffle, no per-row loop, no global sort."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.stages.windows import global_trailing_distinct
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+        })
+
+    return global_trailing_distinct(
+        events.map_batches(prep, batch_format="pyarrow"),
+        order_col="ts_s", user_col="user_id", id_cols=["event_id"],
+        window=3600,
+    )
+
+
+EVENTS_TRAILING_DISTINCT_USERS_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+)
+SELECT event_id, ts_s,
+       CAST(count(DISTINCT user_id) OVER (
+            ORDER BY ts_s RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS trailing_users
+FROM e
+"""
+
+QUERIES["events_trailing_distinct_users"] = events_trailing_distinct_users
+ORACLE_SQL["events_trailing_distinct_users"] = (
+    EVENTS_TRAILING_DISTINCT_USERS_SQL
+)

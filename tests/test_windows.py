@@ -218,3 +218,34 @@ def test_interval_join_null_keys_never_match():
     )
     # SQL equality join: NULL = NULL never matches -> count 0, row kept
     assert got.n.tolist() == [0, 1]
+
+
+def test_global_trailing_distinct_matches_bruteforce():
+    """Interval-stabbing sliding distinct: exact vs brute force across
+    halo-block boundaries, input order shuffled."""
+    import numpy as np
+
+    from knowledge_graph_ray.stages.windows import global_trailing_distinct
+
+    rng = np.random.RandomState(3)
+    n, W = 2000, 100
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 25, n).astype(np.int64),
+        "ts_s": np.sort(rng.randint(0, 1200, n)).astype(np.int64),
+    })
+    shuffled = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    got = (
+        global_trailing_distinct(
+            rd.from_pandas(shuffled).repartition(6), "ts_s", "user_id",
+            ["event_id"], window=W, block=3 * W,
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    ts, u = df["ts_s"].to_numpy(), df["user_id"].to_numpy()
+    want = np.array([
+        len(np.unique(u[(ts >= ts[i] - W + 1) & (ts <= ts[i])]))
+        for i in range(n)
+    ])
+    assert len(got) == n
+    assert (got["trailing_users"].to_numpy() == want).all()
