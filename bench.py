@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "events_rolling_median",
     "events_quantile_sketch_bound",
     "events_trailing_distinct_users",
+    "documents_union_by_name",
 ]
 
 

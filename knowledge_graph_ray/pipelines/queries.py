@@ -8364,3 +8364,70 @@ QUERIES["events_trailing_distinct_users"] = events_trailing_distinct_users
 ORACLE_SQL["events_trailing_distinct_users"] = (
     EVENTS_TRAILING_DISTINCT_USERS_SQL
 )
+
+
+def documents_union_by_name(sf_dir: str):
+    """Schema-drift ingestion: an old crawl generation without the
+    ``source`` column unioned with the current generation, aligned BY
+    NAME (sources/io.union_by_name — Ray's ``union`` alone requires
+    exact schema agreement), then counted per (lang, source) with the
+    old generation surfacing as '(missing)'.
+
+    Scale shape: alignment is a stateless per-batch projection (typed
+    null fill + column reorder, zero-copy for present columns); the
+    union itself is streaming; only (lang, source, partial) rows
+    shuffle."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.sources.io import union_by_name
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+
+    # opaque filter+projection per branch: twin branches of one
+    # upstream must not let a fused Project drop the column difference
+    # (see functions/joins.project)
+    def gen_branch(parity: int, cols: list[str]):
+        def body(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(batch.column("doc_id"),
+                                pa.scalar(1, type=pa.int64())),
+                pa.scalar(parity, type=pa.int64()),
+            )
+            return batch.filter(keep).select(cols)
+
+        return docs.map_batches(body, batch_format="pyarrow")
+
+    old_gen = gen_branch(0, ["doc_id", "lang"])
+    new_gen = gen_branch(1, ["doc_id", "lang", "source"])
+    unioned = union_by_name(old_gen, new_gen)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        src = pc.coalesce(batch.column("source"), pa.scalar("(missing)"))
+        return pa.table({
+            "lang": batch.column("lang"),
+            "source": src,
+            "one": pa.array([1] * len(batch), type=pa.int64()),
+        })
+
+    return grouped_agg(unioned.map_batches(prep, batch_format="pyarrow"),
+                       ["lang", "source"], [("n_docs", "one", "sum")])
+
+
+DOCUMENTS_UNION_BY_NAME_SQL = """
+WITH a AS (
+  SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+  FROM documents WHERE doc_id % 2 = 0
+),
+b AS (
+  SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT lang, COALESCE(source, '(missing)') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM u GROUP BY 1, 2
+"""
+
+QUERIES["documents_union_by_name"] = documents_union_by_name
+ORACLE_SQL["documents_union_by_name"] = DOCUMENTS_UNION_BY_NAME_SQL

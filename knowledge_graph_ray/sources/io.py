@@ -16,6 +16,8 @@ from __future__ import annotations
 import json
 import os
 
+import pyarrow as pa
+
 
 def read_documents(path: str, columns: list[str] | None = None):
     """Read an interleaved-document table (directory or file).
@@ -135,3 +137,63 @@ def read_text_directory(path: str, encoding: str = "utf-8",
         )
 
     return ds.map_batches(to_docs, batch_format="pyarrow")
+
+
+def union_by_name(*datasets, strict: bool = False):
+    """Schema-drift-tolerant union: align every input to the UNION of
+    all column names (missing columns filled with typed nulls, column
+    order normalized), then stream ``ds.union``.
+
+    Ray Data's ``union`` requires block schemas to agree exactly; real
+    ingestion rarely does — months of crawl output add and reorder
+    columns.  This is the ``UNION ALL BY NAME`` verb (reference
+    pipelines concat pandas frames, which align by name implicitly).
+
+    ``strict=True`` raises on type conflicts between same-named
+    columns; the default widens via Arrow's unify semantics only when
+    the types differ, else keeps the first-seen type.  Schema
+    resolution uses the probe-free plan walk (functions/dsschema) —
+    no input executes just to be aligned."""
+    from knowledge_graph_ray.functions.dsschema import dataset_schema
+
+    assert datasets, "union_by_name needs at least one dataset"
+    resolved = []
+    fields: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        sch, ds = dataset_schema(ds)
+        resolved.append((sch, ds))
+        for f in sch:
+            if f.name not in fields:
+                fields[f.name] = f.type
+            elif fields[f.name] != f.type:
+                if strict:
+                    raise TypeError(
+                        f"union_by_name type conflict on {f.name!r}: "
+                        f"{fields[f.name]} vs {f.type}"
+                    )
+                # widen: let Arrow pick the common type via a unify cast
+                fields[f.name] = pa.unify_schemas(
+                    [pa.schema([(f.name, fields[f.name])]),
+                     pa.schema([(f.name, f.type)])],
+                    promote_options="permissive",
+                ).field(f.name).type
+    target = pa.schema(sorted(fields.items()))
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in batch.schema.names:
+                col = batch.column(f.name)
+                if col.type != f.type:
+                    col = col.cast(f.type)
+            else:
+                col = pa.nulls(len(batch), f.type)
+            cols.append(col)
+        return pa.Table.from_arrays(cols, schema=target)
+
+    aligned = [ds.map_batches(align, batch_format="pyarrow")
+               for _, ds in resolved]
+    out = aligned[0]
+    for ds in aligned[1:]:
+        out = out.union(ds)
+    return out

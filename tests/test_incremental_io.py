@@ -490,3 +490,23 @@ def test_size_adaptive_join_many_to_many_and_empty_left():
         out = size_adaptive_join(l_empty, r, on=["k"], how="inner",
                                  broadcast_max=bm).to_pandas()
         assert len(out) == 0
+
+
+def test_union_by_name_aligns_and_widens():
+    from knowledge_graph_ray.sources.io import union_by_name
+
+    a = rd.from_items([{"x": 1, "y": "a"}, {"x": 2, "y": "b"}])
+    b = rd.from_items([{"y": "c", "z": 3.5}])  # reordered + drifted
+    out = union_by_name(a, b).to_pandas().sort_values("y").reset_index(drop=True)
+    assert sorted(out.columns) == ["x", "y", "z"]
+    assert out["y"].tolist() == ["a", "b", "c"]
+    assert out["x"].isna().tolist() == [False, False, True]
+    assert out["z"].isna().tolist() == [True, True, False]
+
+    # strict mode raises on a type conflict; permissive widens
+    import pytest as _pytest
+    c = rd.from_items([{"x": 1.5, "y": "d"}])
+    with _pytest.raises(TypeError):
+        union_by_name(a, c, strict=True)
+    widened = union_by_name(a, c).to_pandas()
+    assert widened["x"].dtype.kind == "f"
