@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "events_quantile_sketch_bound",
     "events_trailing_distinct_users",
     "documents_union_by_name",
+    "events_equidepth_histogram",
 ]
 
 

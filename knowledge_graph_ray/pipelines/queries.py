@@ -8431,3 +8431,86 @@ FROM u GROUP BY 1, 2
 
 QUERIES["documents_union_by_name"] = documents_union_by_name
 ORACLE_SQL["documents_union_by_name"] = DOCUMENTS_UNION_BY_NAME_SQL
+
+
+def events_equidepth_histogram(sf_dir: str):
+    """Equi-depth (quartile-bucket) histogram per event type — the
+    optimizer-statistics primitive: exact discrete quantile edges, then
+    per-bucket counts.  Complements the fixed-width
+    events_value_histogram.
+
+    Scale shape: edges come from the bounded value-histogram quantile
+    walk (shuffle = distinct (type, cents) pairs); the tiny edge table
+    broadcasts via ray.put and bucket assignment is a zero-shuffle
+    vectorized scan emitting (type, bucket) partials."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow").materialize()
+    edges = grouped_quantiles(prepped, "event_type", "cents",
+                              qs=[0.25, 0.5, 0.75]).to_pandas()
+    lut = {}
+    for _, r in edges.iterrows():
+        lut.setdefault(r["event_type"], {})[round(float(r["q"]), 2)] = int(
+            r["cents"]
+        )
+    lut_ref = ray.put(lut)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = batch.column("cents").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(types, return_inverse=True)
+        q1 = np.array([table[t][0.25] for t in uniq], dtype=np.int64)[inv]
+        q2 = np.array([table[t][0.5] for t in uniq], dtype=np.int64)[inv]
+        q3 = np.array([table[t][0.75] for t in uniq], dtype=np.int64)[inv]
+        bucket = ((cents > q1).astype(np.int64)
+                  + (cents > q2).astype(np.int64)
+                  + (cents > q3).astype(np.int64))
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+
+    return grouped_agg(
+        prepped.map_batches(bucketize, batch_format="pyarrow"),
+        ["event_type", "bucket"], [("n", "one", "sum")],
+    )
+
+
+EVENTS_EQUIDEPTH_HISTOGRAM_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         quantile_disc(cents, 0.25) AS q1,
+         quantile_disc(cents, 0.50) AS q2,
+         quantile_disc(cents, 0.75) AS q3
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(CASE WHEN cents <= q1 THEN 0 WHEN cents <= q2 THEN 1
+                 WHEN cents <= q3 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM e JOIN q USING (event_type)
+GROUP BY 1, 2
+"""
+
+QUERIES["events_equidepth_histogram"] = events_equidepth_histogram
+ORACLE_SQL["events_equidepth_histogram"] = EVENTS_EQUIDEPTH_HISTOGRAM_SQL
