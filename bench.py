@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     "events_trailing_distinct_users",
     "documents_union_by_name",
     "events_equidepth_histogram",
+    "events_dau_wau",
+    "tpch_reorder_intervals",
 ]
 
 

@@ -8514,3 +8514,205 @@ GROUP BY 1, 2
 
 QUERIES["events_equidepth_histogram"] = events_equidepth_histogram
 ORACLE_SQL["events_equidepth_histogram"] = EVENTS_EQUIDEPTH_HISTOGRAM_SQL
+
+
+def events_dau_wau(sf_dir: str):
+    """DAU / WAU stickiness per day — the product-analytics headline
+    metric: daily distinct users over trailing-7-day distinct users.
+
+    Scale shape: the fact scan collapses to distinct (user, day) pairs
+    through the combiner; DAU is a day-cardinality groupby of the
+    pairs; WAU reuses ``global_trailing_distinct`` at day granularity
+    (window=7), so the trailing distinct never re-scans users — then
+    one tiny day-table join.  The ratio divides two exact ints."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join
+    from knowledge_graph_ray.stages.windows import global_trailing_distinct
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000),
+            86_400,
+        ).cast(pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "day": d})
+
+    pairs = grouped_agg(
+        events.map_batches(days, batch_format="pyarrow"),
+        ["user_id", "day"], [("n", None, "count")],
+    ).select_columns(["user_id", "day"]).materialize()
+
+    dau = grouped_agg(pairs.select_columns(["day"]), ["day"],
+                      [("dau", None, "count")])
+    wau_rows = global_trailing_distinct(pairs, order_col="day",
+                                        user_col="user_id", id_cols=[],
+                                        window=7)
+    # every pair of one day carries the same trailing count; reduce
+    wau = grouped_agg(wau_rows, ["day"], [("wau", "trailing_users", "max")])
+
+    joined = hash_join(dau, wau, on=["day"], how="inner",
+                       num_partitions=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dau_c = batch.column("dau").cast(pa.int64())
+        wau_c = batch.column("wau").cast(pa.int64())
+        ratio = pc.divide(dau_c.cast(pa.float64()),
+                          wau_c.cast(pa.float64()))
+        return pa.table({"day": batch.column("day"), "dau": dau_c,
+                         "wau": wau_c, "stickiness": ratio})
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
+EVENTS_DAU_WAU_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM p GROUP BY day),
+w AS (
+  SELECT DISTINCT day,
+         CAST(count(DISTINCT user_id) OVER (
+              ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS wau
+  FROM p
+)
+SELECT day, dau, wau, CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)
+         AS stickiness
+FROM d JOIN w USING (day)
+ORDER BY day
+"""
+
+
+def tpch_reorder_intervals(sf_dir: str):
+    """Repeat-purchase cadence: per market segment, the count, mean and
+    exact median of day gaps between a customer's consecutive orders —
+    the retention-cadence shape.
+
+    Scale shape: ONE shuffle on o_custkey for the per-customer lag
+    (vectorized shift inside the bucket body), a size-adaptive segment
+    join (customer key+segment only), then the bounded value-histogram
+    median walk per segment; the mean divides exact integer sums."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.divide(batch.column("o_orderdate").cast(pa.int64()),
+                      1_000_000),
+            86_400,
+        ).cast(pa.int64())
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "o_orderkey": batch.column("o_orderkey"),
+            "day": d,
+        })
+
+    def gaps_body(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "day", "o_orderkey"],
+                          kind="mergesort")
+        cust = g["o_custkey"].to_numpy()
+        day = g["day"].to_numpy()
+        import numpy as np
+
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        if len(g) > 1:
+            same[1:] = cust[1:] == cust[:-1]
+        gap = day - np.concatenate(([0], day[:-1]))
+        keep = same
+        return pa.Table.from_pydict({
+            "o_custkey": pa.array(cust[keep], type=pa.int64()),
+            "gap_days": pa.array(gap[keep], type=pa.int64()),
+        })
+
+    gaps = bucketed_bucket_map(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"], gaps_body,
+        empty_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("gap_days", pa.int64())]),
+    )
+
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+    seg = customer.map_batches(
+        lambda t: pa.table({"o_custkey": t.column("c_custkey"),
+                            "c_mktsegment": t.column("c_mktsegment")}),
+        batch_format="pyarrow",
+    )
+    labeled = size_adaptive_join(
+        gaps, seg, on=["o_custkey"], broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/customer.parquet"),
+    ).materialize()
+
+    stats = grouped_agg(labeled, ["c_mktsegment"],
+                        [("n_gaps", None, "count"),
+                         ("sum_gap", "gap_days", "sum")])
+    med = grouped_quantiles(labeled, "c_mktsegment", "gap_days",
+                            qs=[0.5])
+
+    def med_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "med_gap_days": batch.column("gap_days").cast(pa.int64()),
+        })
+
+    from knowledge_graph_ray.functions.joins import hash_join
+
+    joined = hash_join(stats,
+                       med.map_batches(med_prep, batch_format="pyarrow"),
+                       on=["c_mktsegment"], num_partitions=4)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_gaps").cast(pa.int64())
+        s = batch.column("sum_gap").cast(pa.int64())
+        avg = pc.divide(s.cast(pa.float64()), n.cast(pa.float64()))
+        return pa.table({
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "n_gaps": n,
+            "avg_gap_days": avg,
+            "med_gap_days": batch.column("med_gap_days"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+TPCH_REORDER_INTERVALS_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+         lag(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400,
+                      o_orderkey) AS prev_day
+  FROM orders
+),
+g AS (
+  SELECT o_custkey, day - prev_day AS gap_days
+  FROM o WHERE prev_day IS NOT NULL
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_days) AS DOUBLE) / count(*) AS avg_gap_days,
+       CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS med_gap_days
+FROM g JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+QUERIES["events_dau_wau"] = events_dau_wau
+ORACLE_SQL["events_dau_wau"] = EVENTS_DAU_WAU_SQL
+QUERIES["tpch_reorder_intervals"] = tpch_reorder_intervals
+ORACLE_SQL["tpch_reorder_intervals"] = TPCH_REORDER_INTERVALS_SQL
