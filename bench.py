@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "events_equidepth_histogram",
     "events_dau_wau",
     "tpch_reorder_intervals",
+    "customer_name_onechar_variants",
 ]
 
 

@@ -127,3 +127,64 @@ def char_jaccard_pairs(ds, id_col: str, text_col: str,
         num_buckets=num_buckets, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def hamming1_pairs(ds, text_col: str):
+    """Same-length single-substitution pairs via the SymSpell/FastSS
+    positional-deletion join: each string emits one (variant, pos) row
+    per deleted position; two strings share a (variant, pos) key iff
+    they are identical EXCEPT at that position — so the join IS the
+    exact hamming-1 verdict, no post-verification DP needed.
+
+    -> Dataset[(diff_pos, n_pairs)]: pair counts by the 1-based
+    position of the differing character.
+
+    Scale shape: candidate generation is a stateless vectorized
+    explode (length x rows variant rows, each shorter than the
+    input); ONE shuffle on the variant hash; group sizes are bounded
+    by the alphabet (all members differ only at one fixed position),
+    so the within-group pair product cannot blow up the way a naive
+    length/prefix block can."""
+    import pyarrow.compute as pc
+
+    def variants(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas()
+        lens = s.str.len()
+        max_len = int(lens.max()) if len(s) else 0
+        outs = []
+        for p in range(1, max_len + 1):
+            m = lens >= p
+            sub = s[m]
+            outs.append(pd.DataFrame({
+                "var": sub.str.slice(0, p - 1) + sub.str.slice(p),
+                "p": np.full(m.sum(), p, dtype=np.int64),
+                "name": sub,
+            }))
+        if not outs:
+            return pa.table({"var": pa.array([], type=pa.string()),
+                             "p": pa.array([], type=pa.int64()),
+                             "name": pa.array([], type=pa.string())})
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    exploded = ds.map_batches(variants, batch_format="pyarrow")
+
+    def pair_body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket[["var", "p", "name"]]
+        m = df.merge(df, on=["var", "p"])
+        m = m[m["name_x"] < m["name_y"]]
+        counts = m.groupby("p", sort=False).size()
+        return pa.Table.from_pydict({
+            "diff_pos": pa.array(counts.index.to_numpy(np.int64)),
+            "n_partial": pa.array(counts.to_numpy(np.int64)),
+        })
+
+    partials = bucketed_bucket_map(
+        exploded, ["var", "p"], pair_body,
+        empty_schema=pa.schema([("diff_pos", pa.int64()),
+                                ("n_partial", pa.int64())]),
+    )
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    return grouped_agg(partials, ["diff_pos"],
+                       [("n_pairs", "n_partial", "sum")])

@@ -95,3 +95,16 @@ def test_char_jaccard_handles_empty_and_singleton_blocks():
                               text_col="name", block_cols=["blk"],
                               threshold=0.1).to_pandas()
     assert len(got2) == 0
+
+
+def test_hamming1_pairs_positions_and_counts():
+    from knowledge_graph_ray.stages.fuzzy import hamming1_pairs
+
+    names = ["abcd", "abce", "xbcd", "abcd_long", "zzzz", "abzd"]
+    # hamming-1 pairs: (abcd,abce)@4 (abcd,xbcd)@1 (abcd,abzd)@3
+    # (different lengths / distance>1 never pair)
+    ds = rd.from_items([{"c_name": n} for n in names]).repartition(3)
+    got = (hamming1_pairs(ds, "c_name").to_pandas()
+           .sort_values("diff_pos").reset_index(drop=True))
+    assert got["diff_pos"].tolist() == [1, 3, 4]
+    assert got["n_pairs"].tolist() == [1, 1, 1]
