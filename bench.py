@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "events_dau_wau",
     "tpch_reorder_intervals",
     "customer_name_onechar_variants",
+    "tpch_order_total_audit",
 ]
 
 

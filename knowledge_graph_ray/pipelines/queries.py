@@ -8751,3 +8751,110 @@ QUERIES["customer_name_onechar_variants"] = customer_name_onechar_variants
 ORACLE_SQL["customer_name_onechar_variants"] = (
     CUSTOMER_NAME_ONECHAR_VARIANTS_SQL
 )
+
+
+def tpch_order_total_audit(sf_dir: str):
+    """Value-consistency audit between two fact tables: per order,
+    o_totalprice vs the sum of its lineitems' charges
+    (extendedprice x (1-discount) x (1+tax)), classified EXACTLY on
+    e6-scaled integers — match / over / under / no_lines — with the
+    max absolute discrepancy per class.  The cross-table invariant
+    check a warehouse runs after every load.
+
+    Scale shape: lineitem collapses to per-order e6-integer partial
+    sums through the combiner before the single orderkey shuffle
+    (left_outer hash_join keeps line-less orders); classification is a
+    stateless vectorized scan emitting 4-row partials."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join
+
+    lines = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_extendedprice",
+                                     "l_discount", "l_tax"])
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        charge = pc.multiply(
+            pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            ),
+            pc.add(pa.scalar(1.0), batch.column("l_tax")),
+        )
+        return pa.table({
+            "o_orderkey": batch.column("l_orderkey"),
+            "charge_e6": scaled_int_column(charge, 1_000_000.0),
+        })
+
+    per_order = grouped_agg(
+        lines.map_batches(l_prep, batch_format="pyarrow"),
+        ["o_orderkey"], [("line_e6", "charge_e6", "sum")],
+    )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "total_e6": scaled_int_column(batch.column("o_totalprice"),
+                                          1_000_000.0),
+        })
+
+    joined = hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        per_order, on=["o_orderkey"], how="left_outer",
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        total = batch.column("total_e6").to_numpy(zero_copy_only=False)
+        line = batch.column("line_e6").to_pandas()
+        has = (~line.isna()).to_numpy()
+        linev = line.fillna(0).to_numpy(np.int64)
+        diff = total - linev
+        cat = np.where(~has, "no_lines",
+                       np.where(diff == 0, "match",
+                                np.where(diff > 0, "over", "under")))
+        absd = np.where(has, np.abs(diff), 0)
+        return pa.table({
+            "category": pa.array(cat.astype(object), type=pa.string()),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "abs_diff_e6": pa.array(absd.astype(np.int64)),
+        })
+
+    return grouped_agg(
+        joined.map_batches(classify, batch_format="pyarrow"),
+        ["category"],
+        [("n_orders", "one", "sum"), ("max_abs_diff_e6", "abs_diff_e6",
+                                      "max")],
+    )
+
+
+TPCH_ORDER_TOTAL_AUDIT_SQL = """
+WITH l AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 1000000) AS BIGINT)) AS line_e6
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT CAST(round(o_totalprice * 1000000) AS BIGINT) AS total_e6,
+         line_e6
+  FROM orders LEFT JOIN l USING (o_orderkey)
+)
+SELECT CASE WHEN line_e6 IS NULL THEN 'no_lines'
+            WHEN total_e6 = line_e6 THEN 'match'
+            WHEN total_e6 > line_e6 THEN 'over' ELSE 'under' END
+         AS category,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(CASE WHEN line_e6 IS NULL THEN 0
+                     ELSE abs(total_e6 - line_e6) END) AS BIGINT)
+         AS max_abs_diff_e6
+FROM j GROUP BY 1
+"""
+
+QUERIES["tpch_order_total_audit"] = tpch_order_total_audit
+ORACLE_SQL["tpch_order_total_audit"] = TPCH_ORDER_TOTAL_AUDIT_SQL
