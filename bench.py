@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "tpch_reorder_intervals",
     "customer_name_onechar_variants",
     "tpch_order_total_audit",
+    "events_user_skew_profile",
 ]
 
 

@@ -8858,3 +8858,67 @@ FROM j GROUP BY 1
 
 QUERIES["tpch_order_total_audit"] = tpch_order_total_audit
 ORACLE_SQL["tpch_order_total_audit"] = TPCH_ORDER_TOTAL_AUDIT_SQL
+
+
+def events_user_skew_profile(sf_dir: str):
+    """Key-skew profiler over user_id — the shuffle-planning diagnostic
+    this engine's own salted/skew-join escape hatches are gated on:
+    key count, row count, p50/p99/max group size, and the heaviest
+    key's share of all rows.
+
+    Scale shape: per-key sizes collapse through the count combiner;
+    the size DISTRIBUTION stats reuse the bounded value-histogram walk
+    (shuffle = distinct size values) and a constant-key combiner
+    grand total — the profile never materializes the key table on the
+    driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+    sizes = grouped_agg(events, ["user_id"],
+                        [("sz", None, "count")]).materialize()
+
+    def add_const(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "g", pa.array(np.zeros(len(b), dtype=np.int8)))
+
+    keyed = sizes.map_batches(add_const, batch_format="pyarrow")
+    totals = grouped_agg(keyed, ["g"],
+                         [("n_keys", None, "count"), ("n_rows", "sz", "sum"),
+                          ("max_size", "sz", "max")])
+    quants = grouped_quantiles(keyed, "g", "sz", qs=[0.5, 0.99])
+
+    tot = totals.to_pandas().iloc[0]
+    qd = quants.to_pandas()
+    p50 = int(qd.loc[np.isclose(qd["q"], 0.5), "sz"].iloc[0])
+    p99 = int(qd.loc[np.isclose(qd["q"], 0.99), "sz"].iloc[0])
+    n_rows = int(tot["n_rows"])
+    max_size = int(tot["max_size"])
+    return pa.table({
+        "n_keys": pa.array([int(tot["n_keys"])], type=pa.int64()),
+        "n_rows": pa.array([n_rows], type=pa.int64()),
+        "p50_size": pa.array([p50], type=pa.int64()),
+        "p99_size": pa.array([p99], type=pa.int64()),
+        "max_size": pa.array([max_size], type=pa.int64()),
+        "top1_share": pa.array([float(max_size) / float(n_rows)],
+                               type=pa.float64()),
+    })
+
+
+EVENTS_USER_SKEW_PROFILE_SQL = """
+WITH g AS (SELECT user_id, count(*) AS sz FROM events GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(quantile_disc(sz, 0.5) AS BIGINT) AS p50_size,
+       CAST(quantile_disc(sz, 0.99) AS BIGINT) AS p99_size,
+       CAST(max(sz) AS BIGINT) AS max_size,
+       CAST(max(sz) AS DOUBLE) / CAST(sum(sz) AS DOUBLE) AS top1_share
+FROM g
+"""
+
+QUERIES["events_user_skew_profile"] = events_user_skew_profile
+ORACLE_SQL["events_user_skew_profile"] = EVENTS_USER_SKEW_PROFILE_SQL
