@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "customer_name_onechar_variants",
     "tpch_order_total_audit",
     "events_user_skew_profile",
+    "tpch_exact_median_charge",
 ]
 
 

@@ -8922,3 +8922,50 @@ FROM g
 
 QUERIES["events_user_skew_profile"] = events_user_skew_profile
 ORACLE_SQL["events_user_skew_profile"] = EVENTS_USER_SKEW_PROFILE_SQL
+
+
+def tpch_exact_median_charge(sf_dir: str):
+    """EXACT median of the discounted line charge — a mostly-UNIQUE
+    value space (e4-scaled 6-digit prices), where the value-histogram
+    quantile walk would shuffle nearly one distinct value per row.
+    Uses stages/sketches.exact_kth_value: sample-guided distributed
+    selection (KMV sample brackets the target rank, one exact
+    count+collect pass validates it; retries widen, never wrong).
+
+    The 100k bracket_cap makes sf0.1 exercise the true two-pass
+    selection path while smaller SFs take the single-collect fast
+    path — both regimes driver-oracled."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.stages.sketches import exact_kth_value
+
+    lines = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice", "l_discount"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        charge = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"charge_e4": scaled_int_column(charge, 10_000.0)})
+
+    prepped = lines.map_batches(prep, batch_format="pyarrow").materialize()
+    n = prepped.count()
+    k = (n + 1) // 2  # ceil(0.5 * n): quantile_disc rank
+    med = exact_kth_value(prepped, "charge_e4", k, bracket_cap=100_000)
+    return pa.table({
+        "n": pa.array([n], type=pa.int64()),
+        "median_charge_e4": pa.array([med], type=pa.int64()),
+    })
+
+
+TPCH_EXACT_MEDIAN_CHARGE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(
+            CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                 AS BIGINT), 0.5) AS BIGINT) AS median_charge_e4
+FROM lineitem
+"""
+
+QUERIES["tpch_exact_median_charge"] = tpch_exact_median_charge
+ORACLE_SQL["tpch_exact_median_charge"] = TPCH_EXACT_MEDIAN_CHARGE_SQL

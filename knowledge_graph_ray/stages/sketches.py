@@ -646,3 +646,117 @@ def grouped_kmv_quantiles(ds, group_col: str, id_col: str, value_col: str,
     return partials.groupby(group_col).map_groups(
         per_group, batch_format="pandas"
     )
+
+
+def exact_kth_value(ds, value_col: str, k: int,
+                    sample_k: int = 8192,
+                    bracket_cap: int = 2_000_000) -> int:
+    """EXACT k-th smallest (1-indexed) of an UNBOUNDED-cardinality
+    integer column — the distributed selection that replaces the
+    value-histogram quantile walk when the distinct-value space is too
+    wide to shuffle (mostly-unique prices at 100TB).
+
+    Iterative sample-guided narrowing: each round draws a bottom-k
+    (KMV) uniform sample of the current value range, brackets the
+    target rank with a +-5-sigma rank margin, then one exact combiner
+    pass counts below/inside the bracket (nothing is collected yet).
+    The rank verdict either selects (bracket small enough to pull,
+    <= bracket_cap rows), narrows the bounds to the side holding the
+    rank, or — under pathological duplication — collapses the bounds
+    to a single value and returns it.  Never wrong: every decision is
+    validated by exact counts; the sample only steers.
+
+    Passes per round: 1 sample + 1 count (+1 final collect); rounds
+    are O(log) with geometric range shrink — no global sort, no wide
+    shuffle, driver pull bounded by bracket_cap."""
+    import pyarrow.compute as pc
+
+    def in_range_view(blo: int, bhi: int):
+        def body(b: pa.Table) -> pa.Table:
+            v = b.column(value_col)
+            keep = pc.and_(pc.greater_equal(v, pa.scalar(blo)),
+                           pc.less_equal(v, pa.scalar(bhi)))
+            return pa.table({"v": v.filter(keep)})
+
+        return ds.map_batches(body, batch_format="pyarrow")
+
+    def kmv_sample(view) -> np.ndarray:
+        def partial(b: pa.Table) -> pa.Table:
+            vals = b.column("v").to_pandas().dropna()
+            # stable per-value siphash salted by an in-block counter so
+            # duplicates spread across slots; residual cross-block
+            # collisions only bias the SAMPLE — every decision below is
+            # validated by exact counts
+            h = pd.util.hash_pandas_object(vals.reset_index(drop=True),
+                                           index=False).to_numpy()
+            salt = np.arange(len(vals), dtype=np.uint64)
+            h = h ^ (salt * np.uint64(0x9E3779B97F4A7C15))
+            out = pd.DataFrame({"_h": h, "v": vals.to_numpy()})
+            out = out.nsmallest(min(sample_k, len(out)), "_h")
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        samp = view.map_batches(partial, batch_format="pyarrow").to_pandas()
+        samp = samp.nsmallest(min(sample_k, len(samp)), "_h")
+        return np.sort(samp["v"].to_numpy())
+
+    def count_below_in(view, a_lo: int, a_hi: int) -> tuple[int, int]:
+        def body(b: pa.Table) -> pa.Table:
+            v = b.column("v")
+            below = pc.sum(pc.less(v, pa.scalar(a_lo))).as_py() or 0
+            inb = pc.sum(pc.and_(pc.greater_equal(v, pa.scalar(a_lo)),
+                                 pc.less_equal(v, pa.scalar(a_hi)))
+                         ).as_py() or 0
+            return pa.table({"below": pa.array([below], type=pa.int64()),
+                             "inb": pa.array([inb], type=pa.int64())})
+
+        parts = view.map_batches(body, batch_format="pyarrow").to_pandas()
+        return int(parts["below"].sum()), int(parts["inb"].sum())
+
+    def collect(view, a_lo: int, a_hi: int) -> np.ndarray:
+        def body(b: pa.Table) -> pa.Table:
+            v = b.column("v")
+            keep = pc.and_(pc.greater_equal(v, pa.scalar(a_lo)),
+                           pc.less_equal(v, pa.scalar(a_hi)))
+            return pa.table({"v": v.filter(keep)})
+
+        return view.map_batches(
+            body, batch_format="pyarrow").to_pandas()["v"].to_numpy()
+
+    n = ds.count()
+    assert 1 <= k <= n, (k, n)
+    blo, bhi = -(1 << 62), 1 << 62
+    k_rem, n_range = k, n
+    while True:
+        view = in_range_view(blo, bhi)
+        if n_range <= bracket_cap:
+            vals = collect(view, blo, bhi)
+            return int(np.partition(vals, k_rem - 1)[k_rem - 1])
+        svals = kmv_sample(view)
+        m = len(svals)
+        p = k_rem / n_range
+        sigma = np.sqrt(max(p * (1 - p), 1e-12) / m)
+        margin = 5 * sigma
+        lo_i = max(int(np.floor((p - margin) * m)) - 1, 0)
+        hi_i = min(int(np.ceil((p + margin) * m)), m - 1)
+        a_lo, a_hi = int(svals[lo_i]), int(svals[hi_i])
+        if lo_i == 0:
+            a_lo = blo  # rank can sit below the smallest sampled value
+        if hi_i == m - 1:
+            a_hi = bhi
+        c_lo, c_in = count_below_in(view, a_lo, a_hi)
+        if k_rem - 1 < c_lo:
+            bhi, n_range = a_lo - 1, c_lo
+        elif k_rem - 1 >= c_lo + c_in:
+            blo = a_hi + 1
+            k_rem -= c_lo + c_in
+            n_range -= c_lo + c_in
+        elif c_in <= bracket_cap:
+            vals = collect(view, a_lo, a_hi)
+            return int(np.partition(vals, k_rem - 1 - c_lo)[
+                k_rem - 1 - c_lo])
+        elif a_lo == a_hi:
+            return a_lo  # duplication plateau: the k-th IS this value
+        else:
+            blo, bhi = a_lo, a_hi
+            k_rem -= c_lo
+            n_range = c_in

@@ -1415,3 +1415,25 @@ def test_kmv_quantile_sketch_rank_error_and_small_group_exactness():
         else:
             rank = (grp <= r["est"]).mean()
             assert abs(rank - r["q"]) < 0.05, (r["q"], rank)
+
+
+def test_exact_kth_value_bracket_path_matches_numpy():
+    """Selection with a tight bracket_cap so the sample-guided two-pass
+    path (not the small-data collect) is what's exercised."""
+    import numpy as np
+
+    from knowledge_graph_ray.stages.sketches import exact_kth_value
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(-10**9, 10**9, 60_000).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    srt = np.sort(vals)
+    for k in [1, 7, 30_000, 59_999, 60_000]:
+        got = exact_kth_value(ds, "v", k, sample_k=2048, bracket_cap=5_000)
+        assert got == srt[k - 1], (k, got, srt[k - 1])
+
+    # heavy duplication still selects exactly
+    dup = np.repeat(np.arange(50, dtype=np.int64), 1200)
+    dds = rd.from_pandas(pd.DataFrame({"v": dup})).repartition(4)
+    assert exact_kth_value(dds, "v", 30_000, sample_k=1024,
+                           bracket_cap=5_000) == np.sort(dup)[29_999]
