@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "tpch_order_total_audit",
     "events_user_skew_profile",
     "tpch_exact_median_charge",
+    "events_click_view_intersect_all",
+    "events_click_view_except_all",
 ]
 
 

@@ -611,3 +611,60 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
         )
 
     return left.map_batches(body, batch_format="pyarrow")
+
+
+def _key_counts(ds, on: list[str], count_col: str):
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    return grouped_agg(ds.select_columns(on), on,
+                       [(count_col, None, "count")])
+
+
+def _repeat_keys(batch: pa.Table, on: list[str], times_col: str) -> pa.Table:
+    import numpy as np
+
+    times = batch.column(times_col).to_numpy(zero_copy_only=False)
+    times = np.clip(times, 0, None).astype(np.int64)
+    idx = np.repeat(np.arange(len(batch), dtype=np.int64), times)
+    taken = batch.select(on).take(pa.array(idx))
+    return taken
+
+
+def intersect_all(left, right, on: list[str]):
+    """SQL INTERSECT ALL (bag semantics): each key row appears
+    min(multiplicity_left, multiplicity_right) times — the DISTINCT
+    variant is ``intersect_distinct``.
+
+    Scale shape: both sides collapse to (key, count) through the count
+    combiner before the one key shuffle; replication happens on the
+    already-bounded joined key table (vectorized np.repeat)."""
+    import pyarrow.compute as pc
+
+    ca = _key_counts(left, on, "_na")
+    cb = _key_counts(right, on, "_nb")
+    j = hash_join(ca, cb, on=on, how="inner")
+
+    def body(batch: pa.Table) -> pa.Table:
+        m = pc.min_element_wise(batch.column("_na"), batch.column("_nb"))
+        return _repeat_keys(batch.append_column("_m", m), on, "_m")
+
+    return j.map_batches(body, batch_format="pyarrow")
+
+
+def except_all(left, right, on: list[str]):
+    """SQL EXCEPT ALL (bag semantics): each key row appears
+    max(multiplicity_left - multiplicity_right, 0) times."""
+    import pyarrow.compute as pc
+
+    ca = _key_counts(left, on, "_na")
+    cb = _key_counts(right, on, "_nb")
+    j = hash_join(ca, cb, on=on, how="left_outer")
+
+    def body(batch: pa.Table) -> pa.Table:
+        nb = pc.coalesce(batch.column("_nb"),
+                         pa.scalar(0, type=pa.int64()))
+        m = pc.subtract(batch.column("_na").cast(pa.int64()),
+                        nb.cast(pa.int64()))
+        return _repeat_keys(batch.append_column("_m", m), on, "_m")
+
+    return j.map_batches(body, batch_format="pyarrow")

@@ -8969,3 +8969,59 @@ FROM lineitem
 
 QUERIES["tpch_exact_median_charge"] = tpch_exact_median_charge
 ORACLE_SQL["tpch_exact_median_charge"] = TPCH_EXACT_MEDIAN_CHARGE_SQL
+
+
+def events_click_view_intersect_all(sf_dir: str):
+    """SQL INTERSECT ALL (bag semantics): each user id appears
+    min(#clicks, #views) times — functions/joins.intersect_all; the
+    DISTINCT variants are intersect_event_users/except_event_users.
+
+    Scale shape: both sides collapse to (user, count) through the
+    count combiner before the single key shuffle; row replication
+    happens on the bounded joined key table."""
+    from knowledge_graph_ray.functions.joins import intersect_all, project
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+    clicks = project(events.filter(expr="event_type == 'click'"),
+                     ["user_id"])
+    views = project(events.filter(expr="event_type == 'view'"),
+                    ["user_id"])
+    return intersect_all(clicks, views, ["user_id"])
+
+
+EVENTS_CLICK_VIEW_INTERSECT_ALL_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+def events_click_view_except_all(sf_dir: str):
+    """SQL EXCEPT ALL (bag semantics): each user id appears
+    max(#clicks - #views, 0) times — functions/joins.except_all."""
+    from knowledge_graph_ray.functions.joins import except_all, project
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+    clicks = project(events.filter(expr="event_type == 'click'"),
+                     ["user_id"])
+    views = project(events.filter(expr="event_type == 'view'"),
+                    ["user_id"])
+    return except_all(clicks, views, ["user_id"])
+
+
+EVENTS_CLICK_VIEW_EXCEPT_ALL_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+QUERIES["events_click_view_intersect_all"] = events_click_view_intersect_all
+ORACLE_SQL["events_click_view_intersect_all"] = (
+    EVENTS_CLICK_VIEW_INTERSECT_ALL_SQL
+)
+QUERIES["events_click_view_except_all"] = events_click_view_except_all
+ORACLE_SQL["events_click_view_except_all"] = (
+    EVENTS_CLICK_VIEW_EXCEPT_ALL_SQL
+)
