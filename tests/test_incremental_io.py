@@ -510,3 +510,33 @@ def test_union_by_name_aligns_and_widens():
         union_by_name(a, c, strict=True)
     widened = union_by_name(a, c).to_pandas()
     assert widened["x"].dtype.kind == "f"
+
+
+def test_bag_set_ops_and_full_outer_edge_cases():
+    from knowledge_graph_ray.functions.joins import (
+        except_all,
+        hash_join,
+        intersect_all,
+    )
+
+    left = rd.from_items([{"k": 1}, {"k": 1}, {"k": 1}, {"k": 2}])
+    right = rd.from_items([{"k": 1}, {"k": 3}])
+    ia = intersect_all(left, right, ["k"]).to_pandas()["k"].tolist()
+    assert sorted(ia) == [1]  # min(3,1)=1 copy
+    ea = except_all(left, right, ["k"]).to_pandas()["k"].tolist()
+    assert sorted(ea) == [1, 1, 2]  # 3-1 copies of 1, 1-0 of 2
+
+    # disjoint keys: intersect empty, except keeps all of left
+    disjoint = rd.from_items([{"k": 9}])
+    assert intersect_all(left, disjoint, ["k"]).count() == 0
+    assert except_all(left, disjoint, ["k"]).count() == 4
+
+    # full_outer where one bucket holds only right rows
+    l2 = rd.from_items([{"k": 1, "x": 10}])
+    r2 = rd.from_items([{"k": 2, "y": 20}, {"k": 3, "y": 30}])
+    fo = hash_join(l2, r2, on=["k"], how="full_outer",
+                   num_partitions=4).to_pandas()
+    assert len(fo) == 3
+    assert fo.loc[fo["k"] == 1, "y"].isna().all()
+    assert fo.loc[fo["k"] == 2, "x"].isna().all()
+    assert int(fo.loc[fo["k"] == 3, "y"].iloc[0]) == 30
