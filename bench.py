@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "tpch_exact_median_charge",
     "events_click_view_intersect_all",
     "events_click_view_except_all",
+    "events_linear_attribution",
 ]
 
 

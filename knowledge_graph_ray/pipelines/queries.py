@@ -9025,3 +9025,114 @@ QUERIES["events_click_view_except_all"] = events_click_view_except_all
 ORACLE_SQL["events_click_view_except_all"] = (
     EVENTS_CLICK_VIEW_EXCEPT_ALL_SQL
 )
+
+
+def events_linear_attribution(sf_dir: str):
+    """Linear multi-touch attribution: each session's value is split
+    EQUALLY across the session's distinct channels (event types) — the
+    companion to first-touch `events_session_attribution`.
+
+    Scale shape: ONE user_id shuffle; the bucket body sessionizes
+    vectorized, builds (session, distinct channel) rows, divides the
+    exact session cent sum by the channel count (e4-scaled round — a
+    .5 tie is impossible while channel counts stay below 2^5, proven in
+    the docstring of the oracle), and pre-aggregates to
+    channel-cardinality partials inside the bucket."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+
+    partial_schema = pa.schema([
+        ("channel", pa.string()),
+        ("n_partial", pa.int64()),
+        ("credit_partial", pa.int64()),
+    ])
+
+    def body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.sort_values(["user_id", "ts", "event_id"],
+                                kind="mergesort")
+        ts_s = df["ts"].astype("int64").to_numpy() // 1_000_000
+        codes, _ = pd.factorize(df["user_id"], use_na_sentinel=False)
+        n = len(df)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (codes[1:] != codes[:-1]) | \
+                ((ts_s[1:] - ts_s[:-1]) > 1800)
+        sid = np.cumsum(brk)
+        v = df["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5),
+                         np.ceil(v - 0.5)).astype(np.int64)
+        rows = pd.DataFrame({"sid": sid,
+                             "channel": df["event_type"].to_numpy(),
+                             "cents": cents})
+        per_sess = rows.groupby("sid", sort=False).agg(
+            sess_cents=("cents", "sum"))
+        k = rows.groupby("sid", sort=False)["channel"].nunique()
+        per_sess["k"] = k
+        chan = rows[["sid", "channel"]].drop_duplicates()
+        chan = chan.merge(per_sess, left_on="sid", right_index=True)
+        x = chan["sess_cents"].to_numpy(np.float64) * 10_000.0 \
+            / chan["k"].to_numpy(np.float64)
+        credit = np.where(x >= 0, np.floor(x + 0.5),
+                          np.ceil(x - 0.5)).astype(np.int64)
+        out = pd.DataFrame({"channel": chan["channel"].to_numpy(),
+                            "credit": credit})
+        agg = out.groupby("channel", sort=False, as_index=False).agg(
+            n_partial=("credit", "size"),
+            credit_partial=("credit", "sum"))
+        return pa.Table.from_pydict({
+            "channel": pa.array(agg["channel"], type=pa.string()),
+            "n_partial": pa.array(agg["n_partial"].to_numpy(np.int64)),
+            "credit_partial": pa.array(
+                agg["credit_partial"].to_numpy(np.int64)),
+        })
+
+    partials = bucketed_bucket_map(events, ["user_id"], body,
+                                   empty_schema=partial_schema)
+    return grouped_agg(partials, ["channel"],
+                       [("n_touches", "n_partial", "sum"),
+                        ("credit_e4", "credit_partial", "sum")])
+
+
+EVENTS_LINEAR_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > 1800
+            THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+s2 AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+sess AS (
+  SELECT user_id, sid, sum(cents) AS sess_cents,
+         count(DISTINCT event_type) AS k
+  FROM s2 GROUP BY 1, 2
+),
+chan AS (SELECT DISTINCT user_id, sid, event_type FROM s2),
+credit AS (
+  SELECT event_type,
+         CAST(round(CAST(sess_cents AS DOUBLE) * 10000 / k) AS BIGINT)
+           AS c_e4
+  FROM chan JOIN sess USING (user_id, sid)
+)
+SELECT event_type AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(c_e4) AS BIGINT) AS credit_e4
+FROM credit GROUP BY 1
+"""
+
+QUERIES["events_linear_attribution"] = events_linear_attribution
+ORACLE_SQL["events_linear_attribution"] = EVENTS_LINEAR_ATTRIBUTION_SQL
