@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "events_click_view_intersect_all",
     "events_click_view_except_all",
     "events_linear_attribution",
+    "events_longest_streak",
 ]
 
 

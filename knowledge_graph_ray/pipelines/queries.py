@@ -9136,3 +9136,87 @@ FROM credit GROUP BY 1
 
 QUERIES["events_linear_attribution"] = events_linear_attribution
 ORACLE_SQL["events_linear_attribution"] = EVENTS_LINEAR_ATTRIBUTION_SQL
+
+
+def events_longest_streak(sf_dir: str):
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days, reported as a distribution (streak length -> user count) —
+    the engagement-streak shape.
+
+    Scale shape: the fact scan collapses to distinct (user, day) pairs
+    through the combiner; ONE user shuffle; the bucket body finds run
+    breaks with a vectorized diff (day step != 1 or user change), run
+    lengths by cumsum segmentation, per-user max, then
+    streak-cardinality partials."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000),
+            86_400,
+        ).cast(pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "day": d})
+
+    pairs = grouped_agg(
+        events.map_batches(days, batch_format="pyarrow"),
+        ["user_id", "day"], [("n", None, "count")],
+    ).select_columns(["user_id", "day"])
+
+    def body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.sort_values(["user_id", "day"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        d = df["day"].to_numpy(np.int64)
+        n = len(df)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (u[1:] != u[:-1]) | ((d[1:] - d[:-1]) != 1)
+        run_id = np.cumsum(brk)
+        runs = pd.DataFrame({"u": u, "run": run_id})
+        run_len = runs.groupby("run", sort=False).agg(
+            u=("u", "first"), ln=("run", "size"))
+        best = run_len.groupby("u", sort=False)["ln"].max()
+        dist = best.value_counts()
+        return pa.Table.from_pydict({
+            "streak_days": pa.array(dist.index.to_numpy(np.int64)),
+            "n_partial": pa.array(dist.to_numpy(np.int64)),
+        })
+
+    partials = bucketed_bucket_map(
+        pairs, ["user_id"], body,
+        empty_schema=pa.schema([("streak_days", pa.int64()),
+                                ("n_partial", pa.int64())]),
+    )
+    return grouped_agg(partials, ["streak_days"],
+                       [("n_users", "n_partial", "sum")])
+
+
+EVENTS_LONGEST_STREAK_SQL = """
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM p
+),
+runs AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS ln
+  FROM r GROUP BY user_id, island
+),
+best AS (SELECT user_id, max(ln) AS streak_days FROM runs GROUP BY user_id)
+SELECT streak_days, CAST(count(*) AS BIGINT) AS n_users
+FROM best GROUP BY streak_days
+"""
+
+QUERIES["events_longest_streak"] = events_longest_streak
+ORACLE_SQL["events_longest_streak"] = EVENTS_LONGEST_STREAK_SQL
