@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "events_click_view_except_all",
     "events_linear_attribution",
     "events_longest_streak",
+    "events_signup_to_purchase_latency",
+    "events_top_types_with_other",
 ]
 
 

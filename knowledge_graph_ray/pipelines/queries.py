@@ -9220,3 +9220,154 @@ FROM best GROUP BY streak_days
 
 QUERIES["events_longest_streak"] = events_longest_streak
 ORACLE_SQL["events_longest_streak"] = EVENTS_LONGEST_STREAK_SQL
+
+
+def events_signup_to_purchase_latency(sf_dir: str):
+    """Funnel latency: among users whose first purchase happens at or
+    after their first signup, the count and exact median of the
+    signup-to-purchase delay in seconds — the conversion-latency
+    reporting shape.
+
+    Scale shape: the fact scan collapses to (user, first signup,
+    first purchase) through min combiners; the delay table is
+    user-cardinality; the median is the bounded histogram walk over
+    distinct delay values."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "ts_s": ts_s.cast(pa.int64()),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+
+    def first_of(t: str, col: str):
+        flt = prepped.filter(expr=f"event_type == '{t}'")
+        agg = grouped_agg(flt, ["user_id"], [(col, "ts_s", "min")])
+        return agg
+
+    signups = first_of("signup", "signup_s")
+    purchases = first_of("purchase", "purchase_s")
+    j = hash_join(signups, purchases, on=["user_id"], how="inner")
+
+    def delay(batch: pa.Table) -> pa.Table:
+        d = pc.subtract(batch.column("purchase_s").cast(pa.int64()),
+                        batch.column("signup_s").cast(pa.int64()))
+        keep = pc.greater_equal(d, pa.scalar(0, type=pa.int64()))
+        t = batch.append_column("delay_s", d).filter(keep)
+        return pa.table({
+            "g": pa.array([1] * len(t), type=pa.int8()),
+            "delay_s": t.column("delay_s"),
+        })
+
+    delays = j.map_batches(delay, batch_format="pyarrow").materialize()
+    n = delays.count()
+    med = grouped_quantiles(delays, "g", "delay_s", qs=[0.5]).to_pandas()
+    return pa.table({
+        "n_converted": pa.array([n], type=pa.int64()),
+        "median_delay_s": pa.array([int(med["delay_s"].iloc[0])],
+                                   type=pa.int64()),
+    })
+
+
+EVENTS_SIGNUP_TO_PURCHASE_LATENCY_SQL = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'
+             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS signup_s,
+         min(CASE WHEN event_type = 'purchase'
+             THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS purchase_s
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT purchase_s - signup_s AS delay_s
+  FROM f
+  WHERE signup_s IS NOT NULL AND purchase_s IS NOT NULL
+    AND purchase_s >= signup_s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(delay_s, 0.5) AS BIGINT) AS median_delay_s
+FROM d
+"""
+
+
+def events_top_types_with_other(sf_dir: str):
+    """Top-3 event types by total value with everything else rolled
+    into an 'OTHER' bucket — the standard reporting rollup that keeps
+    dashboards bounded however wide the category space grows.
+
+    Scale shape: type totals collapse through the combiner to a
+    type-cardinality table; the top-3 cut happens on that bounded
+    table and the final re-aggregate moves <= 4 rows."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "cents": scaled_int_column(batch.column("value"), 100.0),
+        })
+
+    totals = grouped_agg(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        [("cents", "cents", "sum"), ("n", None, "count")],
+    ).to_pandas()  # bounded: one row per event type
+    totals = totals.sort_values(["cents", "event_type"],
+                                ascending=[False, True])
+    top = set(totals.head(3)["event_type"])
+    totals["bucket"] = [
+        t if t in top else "OTHER" for t in totals["event_type"]
+    ]
+    out = totals.groupby("bucket", as_index=False).agg(
+        total_cents=("cents", "sum"), n_events=("n", "sum"))
+    return pa.Table.from_pydict({
+        "bucket": pa.array(out["bucket"], type=pa.string()),
+        "total_cents": pa.array(out["total_cents"].to_numpy(),
+                                type=pa.int64()),
+        "n_events": pa.array(out["n_events"].to_numpy(),
+                             type=pa.int64()),
+    })
+
+
+EVENTS_TOP_TYPES_WITH_OTHER_SQL = """
+WITH t AS (
+  SELECT event_type,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+         count(*) AS n
+  FROM events GROUP BY event_type
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY cents DESC, event_type) AS rk
+  FROM t
+)
+SELECT CASE WHEN rk <= 3 THEN event_type ELSE 'OTHER' END AS bucket,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM r GROUP BY 1
+"""
+
+QUERIES["events_signup_to_purchase_latency"] = (
+    events_signup_to_purchase_latency
+)
+ORACLE_SQL["events_signup_to_purchase_latency"] = (
+    EVENTS_SIGNUP_TO_PURCHASE_LATENCY_SQL
+)
+QUERIES["events_top_types_with_other"] = events_top_types_with_other
+ORACLE_SQL["events_top_types_with_other"] = (
+    EVENTS_TOP_TYPES_WITH_OTHER_SQL
+)
