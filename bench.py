@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "events_longest_streak",
     "events_signup_to_purchase_latency",
     "events_top_types_with_other",
+    "tpch_benford_digits",
+    "join_revenue_hhi_by_nation",
 ]
 
 

@@ -9371,3 +9371,176 @@ QUERIES["events_top_types_with_other"] = events_top_types_with_other
 ORACLE_SQL["events_top_types_with_other"] = (
     EVENTS_TOP_TYPES_WITH_OTHER_SQL
 )
+
+
+def tpch_benford_digits(sf_dir: str):
+    """Benford's-law first-digit audit over order totals — the fraud
+    screening shape: count of orders by the leading significant digit
+    of o_totalprice (exact: leading digit of the cent-scaled integer,
+    no float log10 at power boundaries).
+
+    Scale shape: stateless vectorized digit extraction, 9-row partials
+    per batch through the combiner."""
+    import numpy as np
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_totalprice"])
+
+    def digits(batch: pa.Table) -> pa.Table:
+        cents = scaled_int_column(batch.column("o_totalprice"), 100.0)
+        c = cents.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.abs(c)
+        # strip trailing magnitude: repeated //10 until < 10, vectorized
+        # over the bounded digit count (int64 -> at most 19 steps)
+        d = c.copy()
+        for _ in range(19):
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        return pa.table({
+            "digit": pa.array(d, type=pa.int64()),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+
+    return grouped_agg(orders.map_batches(digits, batch_format="pyarrow"),
+                       ["digit"], [("n_orders", "one", "sum")])
+
+
+TPCH_BENFORD_DIGITS_SQL = """
+WITH c AS (
+  SELECT abs(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+)
+SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY 1
+"""
+
+
+def join_revenue_hhi_by_nation(sf_dir: str):
+    """Herfindahl-Hirschman market concentration per supplier nation:
+    HHI_e18 = sum over suppliers of (e9-scaled revenue share)^2 — ALL
+    integer arithmetic.  Normalizing shares BEFORE squaring bounds the
+    sum at 1e18 regardless of data scale (raw cent-square sums overflow
+    int64 already at sf1), so the metric stays exact at 100TB.
+
+    Scale shape: lineitem collapses to (supplier, cents) through the
+    combiner; nation totals are a second nation-cardinality combiner
+    broadcast back via hash_join over the tiny supplier table; squares
+    ride one more nation-cardinality combiner."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import (
+        hash_join,
+        project,
+        size_adaptive_join,
+    )
+    lines = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_suppkey", "l_extendedprice",
+                                     "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({
+            "l_suppkey": batch.column("l_suppkey"),
+            "cents": scaled_int_column(r, 100.0),
+        })
+
+    per_supp = grouped_agg(
+        lines.map_batches(rev, batch_format="pyarrow"),
+        ["l_suppkey"], [("cents", "cents", "sum")],
+    )
+
+    supplier = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_suppkey", "s_nationkey"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    supp_dim = size_adaptive_join(
+        project(supplier, {"s_suppkey": "l_suppkey",
+                           "s_nationkey": "n_nationkey"}),
+        project(nation, {"n_nationkey": "n_nationkey",
+                         "n_name": "nation"}),
+        on=["n_nationkey"], broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/nation.parquet"),
+    ).select_columns(["l_suppkey", "nation"])
+
+    labeled = size_adaptive_join(
+        per_supp, supp_dim, on=["l_suppkey"],
+        broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/supplier.parquet"),
+    ).materialize()
+
+    totals = grouped_agg(labeled.select_columns(["nation", "cents"]),
+                         ["nation"], [("total_cents", "cents", "sum")])
+    with_tot = hash_join(labeled, totals, on=["nation"],
+                         num_partitions=8)
+
+    def shares(batch: pa.Table) -> pa.Table:
+        share = pc.divide(
+            pc.multiply(batch.column("cents").cast(pa.float64()),
+                        pa.scalar(1e9)),
+            batch.column("total_cents").cast(pa.float64()),
+        )
+        share_e9 = scaled_int_column(share, 1.0)
+        return pa.table({
+            "nation": batch.column("nation"),
+            "sq": pc.multiply(share_e9, share_e9),
+            "cents": batch.column("cents"),
+        })
+
+    agg = grouped_agg(
+        with_tot.map_batches(shares, batch_format="pyarrow"),
+        ["nation"],
+        [("n_suppliers", None, "count"), ("total_cents", "cents", "sum"),
+         ("hhi_e18", "sq", "sum")],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch.column("nation"),
+            "n_suppliers": batch.column("n_suppliers").cast(pa.int64()),
+            "total_cents": batch.column("total_cents").cast(pa.int64()),
+            "hhi_e18": batch.column("hhi_e18").cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+JOIN_REVENUE_HHI_BY_NATION_SQL = """
+WITH s AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS cents
+  FROM lineitem GROUP BY l_suppkey
+),
+lbl AS (
+  SELECT n_name AS nation, cents
+  FROM s JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+),
+t AS (SELECT nation, sum(cents) AS total_cents FROM lbl GROUP BY nation),
+sh AS (
+  SELECT lbl.nation, cents,
+         CAST(round(CAST(cents AS DOUBLE) * 1e9
+                    / CAST(total_cents AS DOUBLE)) AS BIGINT) AS share_e9
+  FROM lbl JOIN t USING (nation)
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(share_e9 * share_e9) AS BIGINT) AS hhi_e18
+FROM sh GROUP BY nation
+"""
+
+
+QUERIES["tpch_benford_digits"] = tpch_benford_digits
+ORACLE_SQL["tpch_benford_digits"] = TPCH_BENFORD_DIGITS_SQL
+QUERIES["join_revenue_hhi_by_nation"] = join_revenue_hhi_by_nation
+ORACLE_SQL["join_revenue_hhi_by_nation"] = JOIN_REVENUE_HHI_BY_NATION_SQL
