@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "events_top_types_with_other",
     "tpch_benford_digits",
     "join_revenue_hhi_by_nation",
+    "tpch_rfm_segments",
+    "tpch_pareto_customers",
 ]
 
 

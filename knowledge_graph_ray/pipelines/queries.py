@@ -9544,3 +9544,217 @@ QUERIES["tpch_benford_digits"] = tpch_benford_digits
 ORACLE_SQL["tpch_benford_digits"] = TPCH_BENFORD_DIGITS_SQL
 QUERIES["join_revenue_hhi_by_nation"] = join_revenue_hhi_by_nation
 ORACLE_SQL["join_revenue_hhi_by_nation"] = JOIN_REVENUE_HHI_BY_NATION_SQL
+
+
+def tpch_rfm_segments(sf_dir: str):
+    """RFM segmentation: each ordering customer labeled with
+    recency/frequency/monetary QUINTILES (edges = exact discrete
+    20/40/60/80 percentiles of the customer-metric table), reported as
+    segment counts — the classic CRM partition.
+
+    Scale shape: orders collapse to customer-cardinality (recency max,
+    frequency count, monetary cent sum) through one combiner; the nine
+    quintile edges come from three bounded histogram walks and
+    broadcast as scalars; labeling is a stateless vectorized scan over
+    the customer table emitting <=125 partial rows per batch."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.divide(batch.column("o_orderdate").cast(pa.int64()),
+                      1_000_000),
+            86_400,
+        ).cast(pa.int64())
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "day": day,
+            "cents": scaled_int_column(batch.column("o_totalprice"),
+                                       100.0),
+        })
+
+    cust = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("recency", "day", "max"), ("frequency", None, "count"),
+         ("monetary", "cents", "sum")],
+    ).materialize()
+
+    def add_g(b: pa.Table) -> pa.Table:
+        return b.append_column("g", pa.array(
+            np.zeros(len(b), dtype=np.int8)))
+
+    keyed = cust.map_batches(add_g, batch_format="pyarrow")
+    edges = {}
+    for metric in ["recency", "frequency", "monetary"]:
+        qd = grouped_quantiles(keyed, "g", metric,
+                               qs=[0.2, 0.4, 0.6, 0.8]).to_pandas()
+        qd = qd.sort_values("q")
+        edges[metric] = qd[metric].to_numpy(np.int64)
+
+    def label(batch: pa.Table) -> pa.Table:
+        out = {}
+        for metric, col in [("recency", "r_q"), ("frequency", "f_q"),
+                            ("monetary", "m_q")]:
+            v = batch.column(metric).to_numpy(zero_copy_only=False)
+            e = edges[metric]
+            q = (1 + (v > e[0]).astype(np.int64)
+                 + (v > e[1]).astype(np.int64)
+                 + (v > e[2]).astype(np.int64)
+                 + (v > e[3]).astype(np.int64))
+            out[col] = pa.array(q, type=pa.int64())
+        out["one"] = pa.array(np.ones(len(batch), dtype=np.int64))
+        return pa.table(out)
+
+    return grouped_agg(
+        cust.map_batches(label, batch_format="pyarrow"),
+        ["r_q", "f_q", "m_q"], [("n_customers", "one", "sum")],
+    )
+
+
+TPCH_RFM_SEGMENTS_SQL = """
+WITH m AS (
+  SELECT o_custkey,
+         max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+           AS recency,
+         count(*) AS frequency,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+e AS (
+  SELECT quantile_disc(recency, 0.2) AS r1, quantile_disc(recency, 0.4) AS r2,
+         quantile_disc(recency, 0.6) AS r3, quantile_disc(recency, 0.8) AS r4,
+         quantile_disc(frequency, 0.2) AS f1, quantile_disc(frequency, 0.4) AS f2,
+         quantile_disc(frequency, 0.6) AS f3, quantile_disc(frequency, 0.8) AS f4,
+         quantile_disc(monetary, 0.2) AS m1, quantile_disc(monetary, 0.4) AS m2,
+         quantile_disc(monetary, 0.6) AS m3, quantile_disc(monetary, 0.8) AS m4
+  FROM m
+)
+SELECT CAST(1 + CAST(recency > r1 AS INT) + CAST(recency > r2 AS INT)
+              + CAST(recency > r3 AS INT) + CAST(recency > r4 AS INT) AS BIGINT) AS r_q,
+       CAST(1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+              + CAST(frequency > f3 AS INT) + CAST(frequency > f4 AS INT) AS BIGINT) AS f_q,
+       CAST(1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+              + CAST(monetary > m3 AS INT) + CAST(monetary > m4 AS INT) AS BIGINT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM m, e
+GROUP BY 1, 2, 3
+"""
+
+
+def tpch_pareto_customers(sf_dir: str):
+    """Pareto 80/20 coverage: the revenue threshold above which
+    customers jointly carry >= 80% of all revenue, with how many
+    customers that is and their exact revenue share — computed through
+    the weighted-quantile walk (weights = the revenues themselves, the
+    ascending 20% cut), all comparisons in exact integer arithmetic.
+
+    Scale shape: orders collapse to customer-cardinality cent sums;
+    the weighted quantile moves one row per DISTINCT revenue value;
+    the final count/sum is one more bounded combiner pass."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.sketches import (
+        grouped_weighted_quantile,
+    )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "cents": scaled_int_column(batch.column("o_totalprice"),
+                                       100.0),
+        })
+
+    cust = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"], [("rev", "cents", "sum")],
+    ).materialize()
+
+    def add_g(b: pa.Table) -> pa.Table:
+        # string group key: the weighted-quantile walk emits string keys
+        return b.append_column("g", pa.array(["all"] * len(b),
+                                             type=pa.string()))
+
+    keyed = cust.map_batches(add_g, batch_format="pyarrow")
+
+    def add_w(b: pa.Table) -> pa.Table:
+        return b.append_column("w", b.column("rev"))
+
+    # ascending weighted 20% cut: smallest revenue whose cumulative
+    # revenue reaches 1/5 of the total — everything ABOVE it is the
+    # "top" mass carrying >= 80%
+    thr = int(
+        grouped_weighted_quantile(
+            keyed.map_batches(add_w, batch_format="pyarrow"),
+            "g", "rev", "w", q_num=1, q_den=5)
+        .to_pandas()["rev"].iloc[0]
+    )
+
+    def split(batch: pa.Table) -> pa.Table:
+        top = pc.greater(batch.column("rev"),
+                         pa.scalar(thr, type=pa.int64()))
+        t = top.cast(pa.int64())
+        return pa.table({
+            "g": batch.column("g"),
+            "is_top": t,
+            "top_rev": pc.multiply(batch.column("rev").cast(pa.int64()),
+                                   t),
+            "rev": batch.column("rev"),
+        })
+
+    agg = grouped_agg(
+        keyed.map_batches(split, batch_format="pyarrow"),
+        ["g"],
+        [("n_customers", None, "count"), ("n_top", "is_top", "sum"),
+         ("top_cents", "top_rev", "sum"), ("total_cents", "rev", "sum")],
+    ).to_pandas().iloc[0]
+    return pa.table({
+        "threshold_cents": pa.array([thr], type=pa.int64()),
+        "n_customers": pa.array([int(agg["n_customers"])],
+                                type=pa.int64()),
+        "n_top": pa.array([int(agg["n_top"])], type=pa.int64()),
+        "top_cents": pa.array([int(agg["top_cents"])], type=pa.int64()),
+        "total_cents": pa.array([int(agg["total_cents"])],
+                                type=pa.int64()),
+    })
+
+
+TPCH_PARETO_CUSTOMERS_SQL = """
+WITH c AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY o_custkey
+),
+w AS (
+  SELECT rev,
+         sum(rev) OVER (ORDER BY rev ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(rev) OVER () AS totw
+  FROM c
+),
+t AS (SELECT min(rev) AS thr FROM w WHERE cumw * 5 >= totw)
+SELECT CAST(thr AS BIGINT) AS threshold_cents,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_customers,
+       CAST((SELECT count(*) FROM c, t WHERE rev > thr) AS BIGINT)
+         AS n_top,
+       CAST((SELECT COALESCE(sum(rev), 0) FROM c, t WHERE rev > thr)
+            AS BIGINT) AS top_cents,
+       CAST((SELECT sum(rev) FROM c) AS BIGINT) AS total_cents
+FROM t
+"""
+
+QUERIES["tpch_rfm_segments"] = tpch_rfm_segments
+ORACLE_SQL["tpch_rfm_segments"] = TPCH_RFM_SEGMENTS_SQL
+QUERIES["tpch_pareto_customers"] = tpch_pareto_customers
+ORACLE_SQL["tpch_pareto_customers"] = TPCH_PARETO_CUSTOMERS_SQL
