@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "join_revenue_hhi_by_nation",
     "tpch_rfm_segments",
     "tpch_pareto_customers",
+    "events_session_conversion",
 ]
 
 

@@ -9758,3 +9758,114 @@ QUERIES["tpch_rfm_segments"] = tpch_rfm_segments
 ORACLE_SQL["tpch_rfm_segments"] = TPCH_RFM_SEGMENTS_SQL
 QUERIES["tpch_pareto_customers"] = tpch_pareto_customers
 ORACLE_SQL["tpch_pareto_customers"] = TPCH_PARETO_CUSTOMERS_SQL
+
+
+def events_session_conversion(sf_dir: str):
+    """Conversion rate by ENTRY channel: sessions grouped by the
+    channel that opened them, with how many contained a purchase — the
+    funnel-efficiency companion to first-touch attribution (same
+    session machinery, a per-session ANY flag instead of a value
+    rollup).
+
+    Scale shape: ONE user shuffle; the bucket body sessionizes
+    vectorized, takes the ordered-first channel and a purchase ANY per
+    session, and pre-aggregates to channel-cardinality partials; the
+    rate is one exact-int division."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    partial_schema = pa.schema([
+        ("channel", pa.string()),
+        ("n_partial", pa.int64()),
+        ("conv_partial", pa.int64()),
+    ])
+
+    def body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.sort_values(["user_id", "ts", "event_id"],
+                                kind="mergesort")
+        ts_s = df["ts"].astype("int64").to_numpy() // 1_000_000
+        codes, _ = pd.factorize(df["user_id"], use_na_sentinel=False)
+        n = len(df)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (codes[1:] != codes[:-1]) | \
+                ((ts_s[1:] - ts_s[:-1]) > 1800)
+        sid = np.cumsum(brk)
+        rows = pd.DataFrame({
+            "sid": sid,
+            "channel": df["event_type"].to_numpy(),
+            "is_purchase": (df["event_type"] == "purchase")
+            .to_numpy().astype(np.int64),
+        })
+        per_sess = rows.groupby("sid", sort=False).agg(
+            channel=("channel", "first"),
+            conv=("is_purchase", "max"))
+        agg = per_sess.groupby("channel", sort=False, as_index=False).agg(
+            n_partial=("conv", "size"), conv_partial=("conv", "sum"))
+        return pa.Table.from_pydict({
+            "channel": pa.array(agg["channel"], type=pa.string()),
+            "n_partial": pa.array(agg["n_partial"].to_numpy(np.int64)),
+            "conv_partial": pa.array(
+                agg["conv_partial"].to_numpy(np.int64)),
+        })
+
+    partials = bucketed_bucket_map(events, ["user_id"], body,
+                                   empty_schema=partial_schema)
+    agg = grouped_agg(partials, ["channel"],
+                      [("n_sessions", "n_partial", "sum"),
+                       ("n_converted", "conv_partial", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_sessions").cast(pa.int64())
+        c = batch.column("n_converted").cast(pa.int64())
+        return pa.table({
+            "channel": batch.column("channel"),
+            "n_sessions": n,
+            "n_converted": c,
+            "cvr": pc.divide(c.cast(pa.float64()), n.cast(pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_SESSION_CONVERSION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_type
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > 1800
+            THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+s2 AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+),
+sess AS (
+  SELECT user_id, sid,
+         first(event_type ORDER BY ts_s, event_id) AS channel,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS conv
+  FROM s2 GROUP BY user_id, sid
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_converted,
+       CAST(sum(conv) AS DOUBLE) / count(*) AS cvr
+FROM sess GROUP BY channel
+"""
+
+QUERIES["events_session_conversion"] = events_session_conversion
+ORACLE_SQL["events_session_conversion"] = EVENTS_SESSION_CONVERSION_SQL
