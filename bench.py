@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "tpch_rfm_segments",
     "tpch_pareto_customers",
     "events_session_conversion",
+    "dedup_rate_by_source",
 ]
 
 

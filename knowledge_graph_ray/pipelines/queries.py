@@ -9869,3 +9869,105 @@ FROM sess GROUP BY channel
 
 QUERIES["events_session_conversion"] = events_session_conversion
 ORACLE_SQL["events_session_conversion"] = EVENTS_SESSION_CONVERSION_SQL
+
+
+def dedup_rate_by_source(sf_dir: str):
+    """Duplication-rate provenance: per source, how many near-duplicate
+    pairs (same n-gram Jaccard gate as dedup_ngram_jaccard) and how
+    many distinct documents are entangled in them — the per-provider
+    quality report a crawl pipeline uses to drop or re-weight feeds.
+
+    Scale shape: pair generation is the existing blocked Jaccard path
+    (no all-pairs step); the source attach is one size-adaptive join of
+    doc ids only; the doc-level distinct collapses through a
+    (source, doc) combiner before the final count."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import (
+        project,
+        size_adaptive_join,
+    )
+    from knowledge_graph_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), threshold=0.04, ngram=2, partition_column="source"
+    ).materialize()
+
+    src = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source"]).map_batches(
+        lambda t: pa.table({
+            "a": pc.cast(t.column("doc_id"), pa.string()),
+            "source": t.column("source"),
+        }),
+        batch_format="pyarrow",
+    )
+    labeled = size_adaptive_join(
+        pairs, src, on=["a"], broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/documents.parquet"),
+    ).materialize()
+
+    pair_counts = grouped_agg(labeled, ["source"],
+                              [("n_dup_pairs", None, "count")])
+
+    def explode_docs(batch: pa.Table) -> pa.Table:
+        # each pair contributes both endpoints under its (shared) source
+        src = batch.column("source").combine_chunks()
+        return pa.table({
+            "source": pa.chunked_array([src, src]),
+            "doc": pa.chunked_array(
+                [batch.column("a").combine_chunks(),
+                 batch.column("b").combine_chunks()]),
+        })
+
+    docs_in_dups = grouped_agg(
+        grouped_agg(
+            labeled.map_batches(explode_docs, batch_format="pyarrow"),
+            ["source", "doc"], [("n", None, "count")],
+        ).select_columns(["source"]),
+        ["source"], [("n_dup_docs", None, "count")],
+    )
+
+    from knowledge_graph_ray.functions.joins import hash_join
+
+    return hash_join(pair_counts, docs_in_dups, on=["source"],
+                     num_partitions=4)
+
+
+DEDUP_RATE_BY_SOURCE_SQL = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+              FROM documents),
+bg AS (
+  SELECT doc_id, source,
+         list_distinct([ws[i] || ' ' || ws[i+1]
+                        for i in range(1, len(ws))]) AS bgs
+  FROM toks
+),
+bgx AS (SELECT doc_id, source, unnest(bgs) AS g FROM bg),
+inter AS (
+  SELECT a.source AS source, a.doc_id AS da, b.doc_id AS db,
+         count(*) AS n_inter
+  FROM bgx a JOIN bgx b ON a.source = b.source AND a.g = b.g
+                        AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+),
+sizes AS (SELECT doc_id, len(bgs) AS n FROM bg),
+p AS (
+  SELECT source, da, db
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.04
+),
+d AS (
+  SELECT source, da AS doc FROM p UNION SELECT source, db FROM p
+)
+SELECT source,
+       (SELECT CAST(count(*) AS BIGINT) FROM p p2
+        WHERE p2.source = d.source) AS n_dup_pairs,
+       CAST(count(*) AS BIGINT) AS n_dup_docs
+FROM d GROUP BY source
+"""
+
+QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
+ORACLE_SQL["dedup_rate_by_source"] = DEDUP_RATE_BY_SOURCE_SQL
