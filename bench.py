@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "tpch_pareto_customers",
     "events_session_conversion",
     "dedup_rate_by_source",
+    "orders_priority_drift",
 ]
 
 

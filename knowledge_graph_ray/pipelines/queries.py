@@ -9971,3 +9971,102 @@ FROM d GROUP BY source
 
 QUERIES["dedup_rate_by_source"] = dedup_rate_by_source
 ORACLE_SQL["dedup_rate_by_source"] = DEDUP_RATE_BY_SOURCE_SQL
+
+
+def orders_priority_drift(sf_dir: str):
+    """Categorical drift monitor: order-priority mix in the EARLY half
+    of the date range vs the LATE half, with per-class e6-integer share
+    drift — the categorical companion to the value-based PSI monitor
+    (events_value_psi).  All arithmetic exact: shares are rounded
+    e6 integers against exact half totals.
+
+    Scale shape: one streaming pass bins each order into (half,
+    priority) partials; the drift math runs on the bounded class
+    table."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_orderpriority"])
+
+    def day_prep(batch: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.divide(batch.column("o_orderdate").cast(pa.int64()),
+                      1_000_000),
+            86_400,
+        ).cast(pa.int64())
+        return pa.table({"day": d,
+                         "prio": batch.column("o_orderpriority")})
+
+    prepped = orders.map_batches(day_prep,
+                                 batch_format="pyarrow").materialize()
+    bounds = grouped_agg(
+        prepped.map_batches(
+            lambda t: t.append_column(
+                "g", pa.array(["all"] * len(t), type=pa.string())),
+            batch_format="pyarrow"),
+        ["g"], [("lo", "day", "min"), ("hi", "day", "max")],
+    ).to_pandas().iloc[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+
+    def halves(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch.column("day"),
+                          pa.scalar(mid, type=pa.int64()))
+        return pa.table({
+            "prio": batch.column("prio"),
+            "early": pc.if_else(late, pa.scalar(0, type=pa.int64()),
+                                pa.scalar(1, type=pa.int64())),
+            "late": late.cast(pa.int64()),
+        })
+
+    counts = grouped_agg(
+        prepped.map_batches(halves, batch_format="pyarrow"),
+        ["prio"],
+        [("n_early", "early", "sum"), ("n_late", "late", "sum")],
+    ).to_pandas()  # bounded: one row per priority class
+    te, tl = int(counts["n_early"].sum()), int(counts["n_late"].sum())
+    ne = counts["n_early"].to_numpy(np.float64)
+    nl = counts["n_late"].to_numpy(np.float64)
+    se = np.floor(ne * 1e6 / te + 0.5).astype(np.int64)
+    sl = np.floor(nl * 1e6 / tl + 0.5).astype(np.int64)
+    return pa.table({
+        "prio": pa.array(counts["prio"], type=pa.string()),
+        "n_early": pa.array(counts["n_early"].to_numpy(np.int64)),
+        "n_late": pa.array(counts["n_late"].to_numpy(np.int64)),
+        "share_early_e6": pa.array(se),
+        "share_late_e6": pa.array(sl),
+        "drift_e6": pa.array(np.abs(se - sl)),
+    })
+
+
+ORDERS_PRIORITY_DRIFT_SQL = """
+WITH d AS (
+  SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+         o_orderpriority AS prio
+  FROM orders
+),
+b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM d),
+c AS (
+  SELECT prio,
+         sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS n_early,
+         sum(CASE WHEN day > mid THEN 1 ELSE 0 END) AS n_late
+  FROM d, b GROUP BY prio
+),
+t AS (SELECT sum(n_early) AS te, sum(n_late) AS tl FROM c)
+SELECT prio,
+       CAST(n_early AS BIGINT) AS n_early,
+       CAST(n_late AS BIGINT) AS n_late,
+       CAST(floor(CAST(n_early AS DOUBLE) * 1e6 / te + 0.5) AS BIGINT)
+         AS share_early_e6,
+       CAST(floor(CAST(n_late AS DOUBLE) * 1e6 / tl + 0.5) AS BIGINT)
+         AS share_late_e6,
+       CAST(abs(floor(CAST(n_early AS DOUBLE) * 1e6 / te + 0.5)
+              - floor(CAST(n_late AS DOUBLE) * 1e6 / tl + 0.5))
+            AS BIGINT) AS drift_e6
+FROM c, t
+"""
+
+QUERIES["orders_priority_drift"] = orders_priority_drift
+ORACLE_SQL["orders_priority_drift"] = ORDERS_PRIORITY_DRIFT_SQL
