@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "events_session_conversion",
     "dedup_rate_by_source",
     "orders_priority_drift",
+    "tpch_order_to_ship_latency",
 ]
 
 

@@ -10070,3 +10070,102 @@ FROM c, t
 
 QUERIES["orders_priority_drift"] = orders_priority_drift
 ORACLE_SQL["orders_priority_drift"] = ORDERS_PRIORITY_DRIFT_SQL
+
+
+def tpch_order_to_ship_latency(sf_dir: str):
+    """Operational SLA: days from order placement to FIRST line
+    shipment, exact p50/p90 per order priority — the fulfilment
+    latency report.
+
+    Scale shape: lineitem collapses to per-order min shipdate through
+    the combiner before the one orderkey exchange; the per-priority
+    percentiles run the bounded histogram walk over distinct latency
+    values."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    lines = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_shipdate"])
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.divide(batch.column("l_shipdate").cast(pa.int64()),
+                      1_000_000),
+            86_400,
+        ).cast(pa.int64())
+        return pa.table({"o_orderkey": batch.column("l_orderkey"),
+                         "ship_day": d})
+
+    first_ship = grouped_agg(
+        lines.map_batches(l_prep, batch_format="pyarrow"),
+        ["o_orderkey"], [("ship_day", "ship_day", "min")],
+    )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        d = pc.divide(
+            pc.divide(batch.column("o_orderdate").cast(pa.int64()),
+                      1_000_000),
+            86_400,
+        ).cast(pa.int64())
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "order_day": d,
+            "prio": batch.column("o_orderpriority"),
+        })
+
+    joined = hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        first_ship, on=["o_orderkey"], how="inner",
+    )
+
+    def latency(batch: pa.Table) -> pa.Table:
+        lat = pc.subtract(batch.column("ship_day").cast(pa.int64()),
+                          batch.column("order_day").cast(pa.int64()))
+        return pa.table({"prio": batch.column("prio"),
+                         "latency_days": lat})
+
+    lat = joined.map_batches(latency, batch_format="pyarrow")
+    q = grouped_quantiles(lat, "prio", "latency_days", qs=[0.5, 0.9])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "prio": batch.column("prio"),
+            "q_e2": scaled_int_column(batch.column("q"), 100.0),
+            "latency_days": batch.column("latency_days")
+            .cast(pa.int64()),
+        })
+
+    return q.map_batches(finish, batch_format="pyarrow")
+
+
+TPCH_ORDER_TO_SHIP_LATENCY_SQL = """
+WITH f AS (
+  SELECT l_orderkey,
+         min(CAST(floor(epoch(l_shipdate)) AS BIGINT) // 86400)
+           AS ship_day
+  FROM lineitem GROUP BY l_orderkey
+),
+l AS (
+  SELECT o_orderpriority AS prio,
+         ship_day - CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+           AS latency_days
+  FROM orders JOIN f ON o_orderkey = l_orderkey
+)
+SELECT prio, CAST(50 AS BIGINT) AS q_e2,
+       CAST(quantile_disc(latency_days, 0.5) AS BIGINT) AS latency_days
+FROM l GROUP BY prio
+UNION ALL
+SELECT prio, CAST(90 AS BIGINT),
+       CAST(quantile_disc(latency_days, 0.9) AS BIGINT)
+FROM l GROUP BY prio
+"""
+
+QUERIES["tpch_order_to_ship_latency"] = tpch_order_to_ship_latency
+ORACLE_SQL["tpch_order_to_ship_latency"] = TPCH_ORDER_TO_SHIP_LATENCY_SQL
