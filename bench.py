@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "dedup_rate_by_source",
     "orders_priority_drift",
     "tpch_order_to_ship_latency",
+    "tpch_nation_share_of_region",
 ]
 
 

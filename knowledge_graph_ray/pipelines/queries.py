@@ -10169,3 +10169,120 @@ FROM l GROUP BY prio
 
 QUERIES["tpch_order_to_ship_latency"] = tpch_order_to_ship_latency
 ORACLE_SQL["tpch_order_to_ship_latency"] = TPCH_ORDER_TO_SHIP_LATENCY_SQL
+
+
+def tpch_nation_share_of_region(sf_dir: str):
+    """Percent-of-parent reporting: each nation's customer revenue and
+    its share of the region total — the two-level rollup join every
+    BI layer ships.
+
+    Scale shape: orders collapse to customer-cardinality then
+    nation-cardinality cent sums through combiners (customer dimension
+    attaches size-adaptively, keys only); region totals re-aggregate
+    the bounded nation table; the share is one exact-int division."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import (
+        hash_join,
+        project,
+        size_adaptive_join,
+    )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "cents": scaled_int_column(batch.column("o_totalprice"),
+                                       100.0),
+        })
+
+    per_cust = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"], [("cents", "cents", "sum")],
+    )
+
+    customer = project(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        {"c_custkey": "o_custkey", "c_nationkey": "n_nationkey"},
+    )
+    nation = project(
+        rd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name",
+                                 "n_regionkey"]),
+        {"n_nationkey": "n_nationkey", "n_name": "nation",
+         "n_regionkey": "r_regionkey"},
+    )
+    region = project(
+        rd.read_parquet(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]),
+        {"r_regionkey": "r_regionkey", "r_name": "region"},
+    )
+
+    labeled = size_adaptive_join(
+        per_cust, customer, on=["o_custkey"],
+        broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/customer.parquet"),
+    )
+    labeled = size_adaptive_join(
+        labeled, nation, on=["n_nationkey"],
+        broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/nation.parquet"),
+    )
+    labeled = size_adaptive_join(
+        labeled, region, on=["r_regionkey"],
+        broadcast_max=BROADCAST_KEYS_MAX,
+        right_size_hint=_pq_rows(f"{sf_dir}/region.parquet"),
+    )
+
+    per_nation = grouped_agg(labeled, ["region", "nation"],
+                             [("nation_cents", "cents", "sum")])
+    per_region = grouped_agg(
+        per_nation.select_columns(["region", "nation_cents"]),
+        ["region"], [("region_cents", "nation_cents", "sum")],
+    )
+    joined = hash_join(per_nation, per_region, on=["region"],
+                       num_partitions=4)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("nation_cents").cast(pa.int64())
+        r = batch.column("region_cents").cast(pa.int64())
+        return pa.table({
+            "region": batch.column("region"),
+            "nation": batch.column("nation"),
+            "nation_cents": n,
+            "region_cents": r,
+            "share": pc.divide(n.cast(pa.float64()),
+                               r.cast(pa.float64())),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+TPCH_NATION_SHARE_OF_REGION_SQL = """
+WITH n AS (
+  SELECT r_name AS region, n_name AS nation,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS nation_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+r AS (SELECT region, sum(nation_cents) AS region_cents FROM n
+      GROUP BY region)
+SELECT region, nation,
+       CAST(nation_cents AS BIGINT) AS nation_cents,
+       CAST(region_cents AS BIGINT) AS region_cents,
+       CAST(nation_cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+         AS share
+FROM n JOIN r USING (region)
+"""
+
+QUERIES["tpch_nation_share_of_region"] = tpch_nation_share_of_region
+ORACLE_SQL["tpch_nation_share_of_region"] = (
+    TPCH_NATION_SHARE_OF_REGION_SQL
+)

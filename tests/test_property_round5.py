@@ -172,3 +172,29 @@ def test_skyline_kernel_matches_bruteforce(points):
         if not dominated:
             want.add(i)
     assert got == want
+
+
+def test_bag_set_ops_match_counter_semantics():
+    """intersect_all/except_all vs collections.Counter bag semantics on
+    randomized multisets (property-style, fixed seeds, through Ray)."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.joins import except_all, intersect_all
+
+    rng = np.random.RandomState(42)
+    for trial in range(3):
+        left = rng.randint(0, 12, 150).tolist()
+        right = rng.randint(0, 15, 90).tolist()
+        lds = rd.from_items([{"k": int(k)} for k in left]).repartition(4)
+        rds = rd.from_items([{"k": int(k)} for k in right]).repartition(3)
+        ca, cb = Counter(left), Counter(right)
+        want_inter = sorted((ca & cb).elements())
+        want_except = sorted((ca - cb).elements())
+        got_inter = sorted(intersect_all(lds, rds, ["k"])
+                           .to_pandas()["k"].tolist())
+        got_except = sorted(except_all(lds, rds, ["k"])
+                            .to_pandas()["k"].tolist())
+        assert got_inter == want_inter, trial
+        assert got_except == want_except, trial
