@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "orders_priority_drift",
     "tpch_order_to_ship_latency",
     "tpch_nation_share_of_region",
+    "events_purchase_by_prior_type",
 ]
 
 

@@ -10286,3 +10286,102 @@ QUERIES["tpch_nation_share_of_region"] = tpch_nation_share_of_region
 ORACLE_SQL["tpch_nation_share_of_region"] = (
     TPCH_NATION_SHARE_OF_REGION_SQL
 )
+
+
+def events_purchase_by_prior_type(sf_dir: str):
+    """Behavioral conditioning: purchase count and exact average value
+    grouped by the event type that IMMEDIATELY preceded the purchase in
+    the same user's stream ('(none)' when the purchase opens it) —
+    "what precedes high-value purchases".
+
+    Scale shape: ONE user shuffle; the bucket body sorts once, shifts
+    for the prior type, filters purchases, and emits
+    prior-type-cardinality partials with exact cent sums; the mean is
+    one exact-int division."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+
+    partial_schema = pa.schema([
+        ("prior_type", pa.string()),
+        ("n_partial", pa.int64()),
+        ("cents_partial", pa.int64()),
+    ])
+
+    def body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.sort_values(["user_id", "ts", "event_id"],
+                                kind="mergesort")
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(dtype=object)
+        prior = np.empty(len(df), dtype=object)
+        prior[0] = "(none)"
+        if len(df) > 1:
+            same = u[1:] == u[:-1]
+            prior[1:] = np.where(same, et[:-1], "(none)")
+        v = df["value"].to_numpy(dtype=np.float64) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5),
+                         np.ceil(v - 0.5)).astype(np.int64)
+        mask = et == "purchase"
+        out = pd.DataFrame({"prior_type": prior[mask],
+                            "cents": cents[mask]})
+        agg = out.groupby("prior_type", sort=False, as_index=False).agg(
+            n_partial=("cents", "size"),
+            cents_partial=("cents", "sum"))
+        return pa.Table.from_pydict({
+            "prior_type": pa.array(agg["prior_type"], type=pa.string()),
+            "n_partial": pa.array(agg["n_partial"].to_numpy(np.int64)),
+            "cents_partial": pa.array(
+                agg["cents_partial"].to_numpy(np.int64)),
+        })
+
+    partials = bucketed_bucket_map(events, ["user_id"], body,
+                                   empty_schema=partial_schema)
+    agg = grouped_agg(partials, ["prior_type"],
+                      [("n_purchases", "n_partial", "sum"),
+                       ("cents", "cents_partial", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_purchases").cast(pa.int64())
+        c = batch.column("cents").cast(pa.int64())
+        return pa.table({
+            "prior_type": batch.column("prior_type"),
+            "n_purchases": n,
+            "total_cents": c,
+            "avg_cents": pc.divide(c.cast(pa.float64()),
+                                   n.cast(pa.float64())),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_PURCHASE_BY_PRIOR_TYPE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+o AS (
+  SELECT *, COALESCE(lag(event_type) OVER (
+              PARTITION BY user_id ORDER BY ts_s, event_id),
+            '(none)') AS prior_type
+  FROM e
+)
+SELECT prior_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(cents) AS DOUBLE) / count(*) AS avg_cents
+FROM o WHERE event_type = 'purchase'
+GROUP BY prior_type
+"""
+
+QUERIES["events_purchase_by_prior_type"] = events_purchase_by_prior_type
+ORACLE_SQL["events_purchase_by_prior_type"] = (
+    EVENTS_PURCHASE_BY_PRIOR_TYPE_SQL
+)
