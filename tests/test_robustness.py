@@ -84,3 +84,54 @@ def test_self_loop_matches_oracle():
     got = {(r.src, r.dst) for r in rels.itertuples()}
     assert got == set(o_rels)
     assert ("ADA WINTER", "ADA WINTER") in got
+
+
+def test_coda2_operators_handle_empty_inputs():
+    """Every operator added in the round-5 coda-2 session must stream
+    an EMPTY input through without crashing (a 100TB run will hit
+    empty partitions and empty filter results constantly)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from knowledge_graph_ray.functions.joins import (
+        except_all,
+        hash_join,
+        intersect_all,
+    )
+    from knowledge_graph_ray.sources.io import union_by_name
+    from knowledge_graph_ray.stages.fuzzy import hamming1_pairs
+    from knowledge_graph_ray.stages.windows import global_trailing_distinct
+
+    empty_k = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    one_k = rd.from_items([{"k": 1}])
+
+    assert intersect_all(empty_k, one_k, ["k"]).count() == 0
+    assert intersect_all(one_k, empty_k, ["k"]).count() == 0
+    assert except_all(empty_k, one_k, ["k"]).count() == 0
+    assert except_all(one_k, empty_k, ["k"]).count() == 1
+
+    fo = hash_join(
+        rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64()),
+                                "x": pa.array([], type=pa.float64())})),
+        rd.from_items([{"k": 2, "y": 5}]),
+        on=["k"], how="full_outer",
+    ).to_pandas()
+    assert len(fo) == 1 and fo["x"].isna().all()
+
+    ub = union_by_name(
+        rd.from_arrow(pa.table({"a": pa.array([], type=pa.int64())})),
+        rd.from_items([{"b": "x"}]),
+    ).to_pandas()
+    assert sorted(ub.columns) == ["a", "b"] and len(ub) == 1
+
+    empty_ev = rd.from_arrow(pa.table({
+        "event_id": pa.array([], type=pa.int64()),
+        "user_id": pa.array([], type=pa.int64()),
+        "ts_s": pa.array([], type=pa.int64()),
+    }))
+    assert global_trailing_distinct(empty_ev, "ts_s", "user_id",
+                                    ["event_id"], window=10).count() == 0
+
+    empty_names = rd.from_arrow(
+        pa.table({"c_name": pa.array([], type=pa.string())}))
+    assert hamming1_pairs(empty_names, "c_name").count() == 0
