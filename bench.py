@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "tpch_order_to_ship_latency",
     "tpch_nation_share_of_region",
     "events_purchase_by_prior_type",
+    "kg_local_search_context",
 ]
 
 

@@ -10385,3 +10385,63 @@ QUERIES["events_purchase_by_prior_type"] = events_purchase_by_prior_type
 ORACLE_SQL["events_purchase_by_prior_type"] = (
     EVENTS_PURCHASE_BY_PRIOR_TYPE_SQL
 )
+
+
+def kg_local_search_context(sf_dir: str):
+    """Rows-only: the reference's QUERY side driven end-to-end — build
+    the KG from the driver's documents table, embed entity
+    descriptions, and assemble a local-search context for a
+    deterministic query vector (pipelines/search.build_local_context:
+    vector top-k entities with k*2 oversample, rank-ordered
+    relationships, token-budgeted text units — reference
+    search_test.py:36-147 minus the LLM call).
+
+    Returns the selected-entity table with e6-rounded cosine and the
+    per-entity relationship/text-unit pull counts; embedding ranking is
+    not ANSI-SQL-expressible, so this is a rows-only gate (the
+    construction tables feeding it are themselves driver-oracled)."""
+    import numpy as np
+
+    from knowledge_graph_ray.config import PipelineConfig
+    from knowledge_graph_ray.pipelines.build import build_knowledge_graph
+    from knowledge_graph_ray.pipelines.search import build_local_context
+    from knowledge_graph_ray.stages.embed import HashingEmbedder, embed_descriptions
+    from knowledge_graph_ray.stages.extract import CooccurrenceExtractor
+
+    docs = _docs(sf_dir).map_batches(docs_table_to_interleaved,
+                                     batch_format="pyarrow")
+    cfg = PipelineConfig(chunk_size=256, chunk_overlap=16,
+                         extract_use_actor_pool=False,
+                         max_descriptions_per_key=32,
+                         max_sources_per_key=256,
+                         fused_canonicalize=True)
+    tables = build_knowledge_graph(
+        docs, cfg, extractor_cls=CooccurrenceExtractor,
+        vocabulary=[(w, "organization") for w in FLAGSHIP_GAZETTEER],
+    )
+    entities = embed_descriptions(tables.entities.materialize(),
+                                  concurrency=1, dim=32)
+    # deterministic query vector: the embedder's own encoding of a
+    # fixed probe phrase (no RNG anywhere)
+    probe = HashingEmbedder(dim=32).embed_one("energy grid operator")
+    ctx = build_local_context(
+        entities, tables.relationships.materialize(),
+        tables.text_units.materialize(),
+        np.asarray(probe, dtype=np.float64), k=5, token_budget=4000,
+    )
+    ents = ctx["entities"].copy()
+    rel_counts = ctx["relationships"].groupby("src").size() \
+        if len(ctx["relationships"]) else pd.Series(dtype=int)
+    out = pa.table({
+        "name": pa.array(ents["name"].astype(str), type=pa.string()),
+        "match_rank": pa.array(
+            ents["match_rank"].to_numpy(dtype="int64"), type=pa.int64()),
+        "n_rels_from": pa.array(
+            [int(rel_counts.get(n, 0)) for n in ents["name"]],
+            type=pa.int64()),
+        "n_text_units": pa.array(
+            [len(ctx["text_units"])] * len(ents), type=pa.int64()),
+    })
+    return out
+
+QUERIES["kg_local_search_context"] = kg_local_search_context
