@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "tpch_nation_share_of_region",
     "events_purchase_by_prior_type",
     "kg_local_search_context",
+    "kg_global_search_context",
 ]
 
 

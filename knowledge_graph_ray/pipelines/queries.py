@@ -10445,3 +10445,42 @@ def kg_local_search_context(sf_dir: str):
     return out
 
 QUERIES["kg_local_search_context"] = kg_local_search_context
+
+
+def kg_global_search_context(sf_dir: str):
+    """Rows-only: the reference's GLOBAL search retrieval driven
+    end-to-end — build the KG (with community reports) from the
+    driver's documents table, then assemble the seeded-shuffle
+    rank-scored top-k report context
+    (pipelines/search.build_global_context; reference
+    global_search/search.py:82-142 minus the LLM map/reduce calls).
+    Returns (community, rank, n_tokens) for the kept reports."""
+    from knowledge_graph_ray.config import PipelineConfig
+    from knowledge_graph_ray.functions.text import token_count
+    from knowledge_graph_ray.pipelines.build import build_knowledge_graph
+    from knowledge_graph_ray.pipelines.search import build_global_context
+    from knowledge_graph_ray.stages.extract import CooccurrenceExtractor
+
+    docs = _docs(sf_dir).map_batches(docs_table_to_interleaved,
+                                     batch_format="pyarrow")
+    cfg = PipelineConfig(chunk_size=256, chunk_overlap=16,
+                         extract_use_actor_pool=False,
+                         max_descriptions_per_key=32,
+                         max_sources_per_key=256,
+                         max_cluster_size=4)
+    tables = build_knowledge_graph(
+        docs, cfg, extractor_cls=CooccurrenceExtractor,
+        vocabulary=[(w, "organization") for w in FLAGSHIP_GAZETTEER],
+    )
+    ctx = build_global_context(tables.reports, k=5, token_budget=6000)
+    return pa.table({
+        "community": pa.array(ctx["community"].astype(str),
+                              type=pa.string()),
+        "rank": pa.array(ctx["rank"].to_numpy(dtype="int64"),
+                         type=pa.int64()),
+        "n_tokens": pa.array(
+            [int(token_count(t or "")) for t in ctx["full_content"]],
+            type=pa.int64()),
+    })
+
+QUERIES["kg_global_search_context"] = kg_global_search_context
