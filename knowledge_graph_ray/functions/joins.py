@@ -28,7 +28,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from knowledge_graph_ray.functions.dsschema import dataset_schema
+from knowledge_graph_ray.functions.dsschema import dataset_schema, plan_schema
 from knowledge_graph_ray.functions.hashing import bucket_column
 
 _BUCKET = "__jb"
@@ -532,20 +532,22 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
 
     on = list(on)
     filter_only = how in ("left_semi", "left_anti")
-    left_schema, left = dataset_schema(left)
     right_schema, right = dataset_schema(right)
     if filter_only:
         cols = list(on)
-        out_fields = [left_schema.field(c) for c in left_schema.names]
+        right_payload: list[str] = []
     else:
         right_payload = [c for c in right_schema.names if c not in on]
-        overlap = set(left_schema.names) & set(right_payload)
-        assert not overlap, f"rename right columns before joining: {overlap}"
         cols = on + right_payload
-        out_fields = [left_schema.field(c) for c in left_schema.names] + [
-            right_schema.field(c) for c in right_payload
-        ]
-    out_schema = pa.schema(out_fields)
+    # LEFT schema is resolved lazily, per batch, inside the broadcast
+    # body: resolving it here would materialize the whole lazy prefix at
+    # EVERY chained join (N full materializations for an N-join DAG
+    # instead of one streaming pass).  A best-effort non-executing check
+    # still catches column overlap at call time when the plan knows it.
+    left_plan = plan_schema(left)
+    if left_plan is not None and not filter_only:
+        overlap = set(left_plan.names) & set(right_payload)
+        assert not overlap, f"rename right columns before joining: {overlap}"
 
     right_proj = right.select_columns(cols)
     if right_size_hint is not None:
@@ -583,8 +585,15 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
     acero_how = {"inner": "inner", "left_outer": "left outer",
                  "left_semi": "left semi", "left_anti": "left anti"}[how]
     rhs_ref = ray.put(rhs_tab)
+    payload_fields = [rhs_schema.field(c) for c in right_payload]
 
     def body(batch: pa.Table) -> pa.Table:
+        # out fields derive from the RUNTIME batch schema (left stays a
+        # lazy streaming chain; see the call-time comment above)
+        overlap = set(batch.schema.names) & set(right_payload)
+        assert not overlap, f"rename right columns before joining: {overlap}"
+        out_fields = list(batch.schema) + payload_fields
+        out_schema = pa.schema(out_fields)
         rhs = ray.get(rhs_ref)  # node-local cached
         if rhs_null_free and all(
             batch.column(c).null_count == 0 for c in on
