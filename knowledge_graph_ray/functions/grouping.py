@@ -65,6 +65,11 @@ def bucketed_bucket_map(ds, keys: list[str], bucket_fn, num_buckets: int = 64,
             ds = ds.materialize()
             small = ds.count() <= driver_threshold
         else:
+            # materialize even when the hint proves smallness: Ray
+            # 2.49's to_arrow_refs/to_pandas on a LAZY dataset launch a
+            # second executor just for .schema(); on a materialized
+            # handle both are metadata-only (one execution total)
+            ds = ds.materialize()
             small = True
         if small:
             if body_format == "pyarrow":

@@ -532,7 +532,35 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
 
     on = list(on)
     filter_only = how in ("left_semi", "left_anti")
-    right_schema, right = dataset_schema(right)
+    if right_size_hint is not None and right_size_hint > broadcast_max:
+        # hash_join projects/filters right itself; its output column set
+        # (on + all non-key right columns) equals the broadcast regime's
+        return hash_join(left, right, on=on, how=how,
+                         num_partitions=num_partitions)
+
+    # semi/anti only ever needs right's key columns on the wire — prune
+    # before the probe when the plan knows its schema without executing
+    probe_src = right
+    if filter_only and plan_schema(right) is not None:
+        probe_src = right.select_columns(on)
+
+    # ONE bounded execution resolves schema + blocks together.  Ray
+    # 2.49's ``to_arrow_refs`` on a LAZY dataset launches two executors
+    # (one for the blocks, a second for ``.schema()``), and resolving
+    # the right schema up front costs a third — materializing the
+    # bounded probe first makes all three metadata-only.
+    if right_size_hint is not None:
+        # hint proves smallness: the materialize is bounded by the hint
+        probe = probe_src.materialize()
+    else:
+        # at most broadcast_max+1 rows ever pin in the object store
+        # regardless of right's true size; a small right reuses the same
+        # handle for the broadcast pull (one execution total)
+        probe = probe_src.limit(broadcast_max + 1).materialize()
+        if probe.count() > broadcast_max:
+            return hash_join(left, right, on=on, how=how,
+                             num_partitions=num_partitions)
+    right_schema, probe = dataset_schema(probe)  # materialized: no probe
     if filter_only:
         cols = list(on)
         right_payload: list[str] = []
@@ -549,20 +577,6 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
         overlap = set(left_plan.names) & set(right_payload)
         assert not overlap, f"rename right columns before joining: {overlap}"
 
-    right_proj = right.select_columns(cols)
-    if right_size_hint is not None:
-        if right_size_hint > broadcast_max:
-            return hash_join(left, right_proj, on=on, how=how,
-                             num_partitions=num_partitions)
-        # hint proves smallness: skip the probe entirely; the collect
-        # below is the single execution of right's pipeline
-        probe = right_proj
-    else:
-        probe = right_proj.limit(broadcast_max + 1).materialize()
-        if probe.count() > broadcast_max:
-            return hash_join(left, right_proj, on=on, how=how,
-                             num_partitions=num_partitions)
-
     # Arrow-native collect: exact right types survive (a pandas round
     # trip would drift large_string/dictionary keys and crash the Acero
     # fast path) and an EMPTY right keeps its columns (inner/semi then
@@ -570,7 +584,7 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
     # the shuffle regime)
     rhs_schema = pa.schema([right_schema.field(c) for c in cols])
     blocks = ray.get(probe.to_arrow_refs())
-    blocks = [b.cast(rhs_schema) for b in blocks if b.num_rows]
+    blocks = [b.select(cols).cast(rhs_schema) for b in blocks if b.num_rows]
     rhs_tab = (pa.concat_tables(blocks) if blocks
                else rhs_schema.empty_table())
     if filter_only:
