@@ -540,15 +540,32 @@ def size_adaptive_join(left, right, on: list[str] | tuple[str, ...],
 
     # semi/anti only ever needs right's key columns on the wire — prune
     # before the probe when the plan knows its schema without executing
+    # (skip the no-op select: re-wrapping a MaterializedDataset makes it
+    # lazy again and the probe below would relaunch an executor — the
+    # tax iterative callers like BFS pay every hop)
     probe_src = right
-    if filter_only and plan_schema(right) is not None:
-        probe_src = right.select_columns(on)
+    if filter_only:
+        psch = plan_schema(right)
+        if psch is not None and psch.names != on:
+            probe_src = right.select_columns(on)
+
+    # an already-materialized right knows its count for free — decide
+    # the regime without a probe (iterative callers pass materialized
+    # frontiers every round)
+    from ray.data.dataset import MaterializedDataset
+
+    if right_size_hint is None and isinstance(probe_src, MaterializedDataset):
+        right_size_hint = probe_src.count()
+        if right_size_hint > broadcast_max:
+            return hash_join(left, right, on=on, how=how,
+                             num_partitions=num_partitions)
 
     # ONE bounded execution resolves schema + blocks together.  Ray
     # 2.49's ``to_arrow_refs`` on a LAZY dataset launches two executors
     # (one for the blocks, a second for ``.schema()``), and resolving
     # the right schema up front costs a third — materializing the
-    # bounded probe first makes all three metadata-only.
+    # bounded probe first makes all three metadata-only (and a no-op on
+    # an already-materialized right).
     if right_size_hint is not None:
         # hint proves smallness: the materialize is bounded by the hint
         probe = probe_src.materialize()
