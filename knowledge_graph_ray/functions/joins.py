@@ -139,29 +139,48 @@ def hash_join(
     )
 
     left_only_cols = [c for c in left_cols if c not in on]
+    acero_how = {"inner": "inner", "left_outer": "left outer",
+                 "full_outer": "full outer", "left_semi": "left semi",
+                 "left_anti": "left anti"}[how]
 
-    def merge_bucket(group: pd.DataFrame) -> pa.Table:
-        lhs = group[group[_SIDE] == 0]
-        rhs = group[group[_SIDE] == 1]
-        lhs = lhs[on + left_only_cols]
-        if filter_only:
-            mask = pd.MultiIndex.from_frame(lhs[on]).isin(
-                pd.MultiIndex.from_frame(rhs[on].drop_duplicates())
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(group.column(_SIDE), 0)
+        lhs = group.filter(lmask).select(on + left_only_cols)
+        rhs = group.filter(pc.invert(lmask)).select(
+            on if filter_only else on + right_payload
+        )
+        # Acero fast path (measured 15x over the pandas merge at 2M-row
+        # buckets) — taken only when NEITHER side has null keys, because
+        # Acero treats null keys as non-matching while the pandas body
+        # matches null==null (the regime contract; see
+        # size_adaptive_join's broadcast body for the same split)
+        if all(lhs.column(c).null_count == 0
+               and rhs.column(c).null_count == 0 for c in on):
+            joined = lhs.join(rhs, keys=on, join_type=acero_how)
+            return pa.table(
+                {f.name: joined.column(f.name).cast(f.type)
+                 for f in out_fields}
             )
-            merged = lhs[mask] if how == "left_semi" else lhs[~mask]
+        ldf, rdf = lhs.to_pandas(), rhs.to_pandas()
+        if filter_only:
+            mask = pd.MultiIndex.from_frame(ldf[on]).isin(
+                pd.MultiIndex.from_frame(rdf[on].drop_duplicates())
+            )
+            merged = ldf[mask] if how == "left_semi" else ldf[~mask]
         else:
-            rhs = rhs[on + right_payload]
             pd_how = {"left_outer": "left", "full_outer": "outer"}.get(
                 how, "inner"
             )
-            merged = lhs.merge(rhs, on=on, how=pd_how)
+            merged = ldf.merge(rdf, on=on, how=pd_how)
         return pa.Table.from_arrays(
             [_to_arrow_col(merged[f.name], f) for f in out_fields],
             schema=out_schema,
         )
 
     return left_tagged.union(right_tagged).groupby(_BUCKET).map_groups(
-        merge_bucket, batch_format="pandas"
+        merge_bucket, batch_format="pyarrow"
     )
 
 
