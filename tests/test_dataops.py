@@ -1437,3 +1437,33 @@ def test_exact_kth_value_bracket_path_matches_numpy():
     dds = rd.from_pandas(pd.DataFrame({"v": dup})).repartition(4)
     assert exact_kth_value(dds, "v", 30_000, sample_k=1024,
                            bracket_cap=5_000) == np.sort(dup)[29_999]
+
+def test_joins_with_list_payload_take_pandas_body():
+    """Acero rejects nested non-key fields; the type guard must route
+    list-payload buckets/batches through the pandas body instead of
+    crashing (regression: resolve_claims carries list<string> sources)."""
+    from knowledge_graph_ray.functions.joins import hash_join, size_adaptive_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 2], type=pa.int64()),
+        "tags": pa.array([["a"], ["b", "c"], [], ["d"]],
+                         type=pa.large_list(pa.large_string())),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], type=pa.int64()),
+        "w": pa.array([20, 30, 40], type=pa.int64()),
+    }))
+
+    def norm(df):
+        df = df.copy()
+        df["tags"] = df["tags"].map(lambda v: ",".join(v))
+        return df.sort_values(["k", "tags"]).reset_index(drop=True)
+
+    for how in ("inner", "left_outer"):
+        got_h = norm(hash_join(left, right, on=["k"], how=how).to_pandas())
+        got_b = norm(size_adaptive_join(left, right, on=["k"], how=how)
+                     .to_pandas())
+        exp_rows = {"inner": 3, "left_outer": 4}[how]
+        assert len(got_h) == exp_rows and len(got_b) == exp_rows
+        pd.testing.assert_frame_equal(got_h, got_b, check_dtype=False)
+        assert got_h[got_h.k == 2].tags.tolist() == ["b,c", "d"]
