@@ -189,6 +189,11 @@ BENCH_QUERIES = [
     "events_purchase_by_prior_type",
     "kg_local_search_context",
     "kg_global_search_context",
+    # round-5 coda 3: corpus-quality family (appended; earlier
+    # per-query comparisons stay aligned)
+    "documents_repetition_stats",
+    "documents_unigram_logprob",
+    "dedup_duplicated_spans",
 ]
 
 

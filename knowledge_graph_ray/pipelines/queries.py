@@ -10484,3 +10484,115 @@ def kg_global_search_context(sf_dir: str):
     })
 
 QUERIES["kg_global_search_context"] = kg_global_search_context
+
+
+def documents_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per document (duplicate-token
+    fraction, top-token share, duplicate-bigram fraction) — ONE
+    stateless vectorized pass, zero shuffle at any corpus size
+    (stages/quality.repetition_stats)."""
+    from knowledge_graph_ray.stages.quality import repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
+DOCUMENTS_REPETITION_STATS_SQL = """
+WITH lists AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(l) AS tok FROM lists),
+counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+tstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS d,
+                  max(c) AS topc
+           FROM counts GROUP BY 1),
+bl AS (SELECT doc_id,
+              list_transform(generate_series(1, len(l) - 1),
+                             i -> l[i] || ' ' || l[i + 1]) AS bg
+       FROM lists),
+bt AS (SELECT doc_id, unnest(bg) AS b FROM bl),
+bstats AS (SELECT doc_id, count(*) AS nb, count(DISTINCT b) AS db
+           FROM bt GROUP BY 1)
+SELECT t.doc_id, t.n AS n_tokens,
+       CAST(round((t.n - t.d) / t.n * 1e6) AS BIGINT) AS dup_token_frac_e6,
+       CAST(round(topc / t.n * 1e6) AS BIGINT) AS top_token_share_e6,
+       CAST(round(coalesce((b.nb - b.db) / b.nb, 0.0) * 1e6) AS BIGINT)
+         AS dup_bigram_frac_e6
+FROM tstats t LEFT JOIN bstats b USING (doc_id)
+"""
+
+
+def documents_unigram_logprob(sf_dir: str):
+    """CCNet-style corpus-LM quality score: per-document integer sum of
+    e6 fixed-point token log-probs under the corpus's own unigram model
+    — two-pass broadcast pattern, exact integer per-doc arithmetic
+    (stages/quality.unigram_logprob)."""
+    from knowledge_graph_ray.stages.quality import unigram_logprob
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return unigram_logprob(docs)
+
+
+DOCUMENTS_UNIGRAM_LOGPROB_SQL = """
+WITH lists AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(l) AS tok FROM lists),
+tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM tc),
+lp AS (SELECT tok,
+              CAST(round(ln(CAST(c AS DOUBLE) / (SELECT n FROM tot)) * 1e6)
+                   AS BIGINT) AS lp_e6
+       FROM tc)
+SELECT t.doc_id, count(*) AS n_tokens,
+       CAST(sum(l.lp_e6) AS BIGINT) AS sum_logprob_e6
+FROM toks t JOIN lp l USING (tok) GROUP BY 1
+"""
+
+
+def dedup_duplicated_spans(sf_dir: str):
+    """Cross-document duplicated-span detection: per document, the
+    fraction of its overlapping 4-token spans whose text appears
+    verbatim in at least one OTHER document — span text is
+    fingerprinted to 128 bits in-batch, shuffles move 24-byte rows
+    (stages/quality.duplicated_spans)."""
+    from knowledge_graph_ray.stages.quality import duplicated_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return duplicated_spans(docs, window=4)
+
+
+DEDUP_DUPLICATED_SPANS_SQL = """
+WITH lists AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS l
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 3),
+                               i -> array_to_string(l[i:i+3], ' '))) AS w
+  FROM lists
+),
+dk AS (SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) > 1),
+per AS (
+  SELECT doc_id, count(*) AS n_windows,
+         count(*) FILTER (WHERE w IN (SELECT w FROM dk)) AS n_dup_windows
+  FROM wins GROUP BY 1
+)
+SELECT doc_id, n_windows, n_dup_windows,
+       CAST(round(n_dup_windows / n_windows * 1e6) AS BIGINT)
+         AS dup_span_frac_e6
+FROM per
+"""
+
+QUERIES["documents_repetition_stats"] = documents_repetition_stats
+QUERIES["documents_unigram_logprob"] = documents_unigram_logprob
+QUERIES["dedup_duplicated_spans"] = dedup_duplicated_spans
+ORACLE_SQL["documents_repetition_stats"] = DOCUMENTS_REPETITION_STATS_SQL
+ORACLE_SQL["documents_unigram_logprob"] = DOCUMENTS_UNIGRAM_LOGPROB_SQL
+ORACLE_SQL["dedup_duplicated_spans"] = DEDUP_DUPLICATED_SPANS_SQL
