@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "documents_repetition_stats",
     "documents_unigram_logprob",
     "dedup_duplicated_spans",
+    # round-5 coda 4: global exact set-similarity self-join (PPJoin)
+    "dedup_prefix_filter",
 ]
 
 

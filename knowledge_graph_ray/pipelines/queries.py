@@ -10596,3 +10596,68 @@ QUERIES["dedup_duplicated_spans"] = dedup_duplicated_spans
 ORACLE_SQL["documents_repetition_stats"] = DOCUMENTS_REPETITION_STATS_SQL
 ORACLE_SQL["documents_unigram_logprob"] = DOCUMENTS_UNIGRAM_LOGPROB_SQL
 ORACLE_SQL["dedup_duplicated_spans"] = DEDUP_DUPLICATED_SPANS_SQL
+
+
+def dedup_prefix_filter(sf_dir: str):
+    """GLOBAL exact trigram-Jaccard near-dup pairs (J >= 0.5) with NO
+    blocking key — the prefix-filtering set-similarity self-join (PPJoin
+    family, stages/dedup.prefix_filter_jaccard_pairs): frequency-ordered
+    prefixes generate candidates, a sorted-array intersect verifies
+    exactly.  Complements dedup_ngram_jaccard (within-partition exact)
+    and the MinHash/SimHash sketches (approximate): same exact answer as
+    an all-pairs scan, corpus-wide, without one."""
+    from knowledge_graph_ray.stages.dedup import prefix_filter_jaccard_pairs
+
+    pairs = prefix_filter_jaccard_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        threshold=0.5, ngram=3,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # exact integer output, computed identically to the SQL oracle;
+        # re-order (a, b) numerically (the stage orders ids as strings)
+        import pyarrow.compute as pc
+
+        n_inter = batch.column("n_inter").to_pylist()
+        n_union = batch.column("n_union").to_pylist()
+        j6 = [round_half_away(i * 1_000_000.0 / u)
+              for i, u in zip(n_inter, n_union)]
+        ai = batch.column("a").cast(pa.int64())
+        bi = batch.column("b").cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "a": pc.min_element_wise(ai, bi),
+                "b": pc.max_element_wise(ai, bi),
+                "jaccard_e6": pa.array(j6, type=pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+DEDUP_PREFIX_FILTER_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tg AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS gs
+  FROM toks
+),
+gx AS (SELECT doc_id, unnest(gs) AS g FROM tg),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+  FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(gs) AS n FROM tg)
+SELECT least(da, db) AS a, greatest(da, db) AS b,
+       CAST(round(n_inter * 1000000.0 / (sa.n + sb.n - n_inter)) AS BIGINT)
+         AS jaccard_e6
+FROM inter
+JOIN sizes sa ON sa.doc_id = da
+JOIN sizes sb ON sb.doc_id = db
+WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+"""
+
+QUERIES["dedup_prefix_filter"] = dedup_prefix_filter
+ORACLE_SQL["dedup_prefix_filter"] = DEDUP_PREFIX_FILTER_SQL

@@ -30,7 +30,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from knowledge_graph_ray.functions.grouping import bucketed_group_map
+from knowledge_graph_ray.functions.grouping import (
+    bucketed_bucket_map,
+    bucketed_group_map,
+)
 from knowledge_graph_ray.functions.hashing import bucket_column
 from knowledge_graph_ray.stages.components import connected_components_from_edges
 
@@ -164,6 +167,90 @@ def _crc32_of_strings(arr: pa.Array) -> np.ndarray:
     return out
 
 
+def _shingle_occurrence_codes(texts: pa.Array, ngram: int):
+    """Vectorized n-gram shingling shared by MinHash and the prefix-filter
+    join: every shingle occurrence as a dictionary code, doc-major order.
+
+    Returns ``(doc_idx, codes, dict_crc)`` — ``doc_idx`` ascending
+    (stable), ``dict_crc[codes]`` the crc32 shingle id of each
+    occurrence (int64), all empty when no doc has tokens.  Tokenization
+    is the batched polars / rust-regex ``\\w`` path (the operator
+    contract — see MinHasher._shingle_hashes); docs shorter than
+    ``ngram`` tokens contribute one whole-text shingle.
+    """
+    import os
+
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    import polars as pl
+    import pyarrow.compute as pc
+
+    empty = (np.empty(0, dtype=np.int64),) * 3
+    n = len(texts)
+    if n == 0:
+        return empty
+    tok_lists = (
+        pl.Series("t", texts)
+        .fill_null("")
+        .str.to_lowercase()
+        .str.extract_all(r"\w+")
+        .to_arrow()
+    )
+    if isinstance(tok_lists, pa.ChunkedArray):
+        tok_lists = tok_lists.combine_chunks()
+    tok_lists = tok_lists.cast(pa.large_list(pa.large_string()))
+    offsets = np.frombuffer(tok_lists.buffers()[1], dtype=np.int64)[
+        tok_lists.offset : tok_lists.offset + n + 1
+    ]
+    counts = np.diff(offsets)
+    flat_toks = tok_lists.flatten()
+
+    # long docs (>= ngram tokens): all ngram windows via shifted takes
+    nsh = np.where(counts >= ngram, counts - ngram + 1, 0)
+    doc_idx_long = np.repeat(np.arange(n, dtype=np.int64), nsh)
+    cum = np.concatenate([[0], np.cumsum(nsh)])
+    pos = np.arange(cum[-1], dtype=np.int64) - cum[doc_idx_long]
+    starts = offsets[:-1][doc_idx_long] + pos
+    if len(starts):
+        parts = [
+            pc.take(flat_toks, pa.array(starts + k)) for k in range(ngram)
+        ]
+        shingles_long = pc.binary_join_element_wise(
+            *parts, pa.scalar(" ", type=pa.large_string())
+        )
+    else:
+        shingles_long = pa.array([], type=pa.large_string())
+
+    # short docs (0 < tokens < ngram): one shingle = all tokens joined
+    short_idx = np.nonzero((counts > 0) & (counts < ngram))[0]
+    if len(short_idx):
+        shingles_short = pc.binary_join(
+            tok_lists.take(pa.array(short_idx)),
+            pa.scalar(" ", type=pa.large_string()),
+        )
+    else:
+        shingles_short = pa.array([], type=pa.large_string())
+
+    all_doc = np.concatenate([doc_idx_long, short_idx.astype(np.int64)])
+    if len(all_doc) == 0:
+        return empty
+    all_sh = pa.concat_arrays(
+        [
+            shingles_long.cast(pa.large_string()),
+            shingles_short.cast(pa.large_string()),
+        ]
+    )
+    # dictionary-encode BEFORE hashing: crc32 runs only on the unique
+    # shingle strings (typically ~10x fewer than occurrences), and the
+    # doc-order sort moves int32 codes instead of strings. crc
+    # collisions between distinct strings are merged downstream
+    # (np.unique) so the result is identical to hashing every occurrence.
+    dict_sh = pc.dictionary_encode(all_sh)
+    codes = dict_sh.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    xd = _crc32_of_strings(dict_sh.dictionary).astype(np.int64)
+    order = np.argsort(all_doc, kind="stable")
+    return all_doc[order], codes[order], xd
+
+
 class MinHasher:
     """Stateful minhash signer: permutation parameters built once per actor."""
 
@@ -220,79 +307,15 @@ class MinHasher:
         one minimum.reduceat per permutation block — bit-identical to
         ``signature`` per doc (min over a multiset equals min over its
         set, so shingle dedup is unnecessary)."""
-        import os
-
-        os.environ.setdefault("POLARS_MAX_THREADS", "1")
-        import polars as pl
-        import pyarrow.compute as pc
-
         n = len(texts)
         out = np.zeros((n, self.num_perm), dtype=np.int64)
         if n == 0:
             return out
-        tok_lists = (
-            pl.Series("t", texts)
-            .fill_null("")
-            .str.to_lowercase()
-            .str.extract_all(r"\w+")
-            .to_arrow()
-        )
-        if isinstance(tok_lists, pa.ChunkedArray):
-            tok_lists = tok_lists.combine_chunks()
-        tok_lists = tok_lists.cast(pa.large_list(pa.large_string()))
-        offsets = np.frombuffer(tok_lists.buffers()[1], dtype=np.int64)[
-            tok_lists.offset : tok_lists.offset + n + 1
-        ]
-        counts = np.diff(offsets)
-        flat_toks = tok_lists.flatten()
-
-        # long docs (>= ngram tokens): all ngram windows via shifted takes
-        nsh = np.where(counts >= self.ngram, counts - self.ngram + 1, 0)
-        doc_idx_long = np.repeat(np.arange(n, dtype=np.int64), nsh)
-        cum = np.concatenate([[0], np.cumsum(nsh)])
-        pos = np.arange(cum[-1], dtype=np.int64) - cum[doc_idx_long]
-        starts = offsets[:-1][doc_idx_long] + pos
-        if len(starts):
-            parts = [
-                pc.take(flat_toks, pa.array(starts + k))
-                for k in range(self.ngram)
-            ]
-            shingles_long = pc.binary_join_element_wise(
-                *parts, pa.scalar(" ", type=pa.large_string())
-            )
-        else:
-            shingles_long = pa.array([], type=pa.large_string())
-
-        # short docs (0 < tokens < ngram): one shingle = all tokens joined
-        short_idx = np.nonzero((counts > 0) & (counts < self.ngram))[0]
-        if len(short_idx):
-            shingles_short = pc.binary_join(
-                tok_lists.take(pa.array(short_idx)),
-                pa.scalar(" ", type=pa.large_string()),
-            )
-        else:
-            shingles_short = pa.array([], type=pa.large_string())
-
-        all_doc = np.concatenate([doc_idx_long, short_idx.astype(np.int64)])
+        all_doc, codes, xd = _shingle_occurrence_codes(texts, self.ngram)
         if len(all_doc) == 0:
             return out
-        all_sh = pa.concat_arrays(
-            [
-                shingles_long.cast(pa.large_string()),
-                shingles_short.cast(pa.large_string()),
-            ]
-        )
-        # dictionary-encode BEFORE hashing: crc32 runs only on the unique
-        # shingle strings (typically ~10x fewer than occurrences), and the
-        # doc-order sort moves int32 codes instead of strings. crc
-        # collisions between distinct strings are then merged by np.unique
-        # so the result is identical to hashing every occurrence.
-        dict_sh = pc.dictionary_encode(all_sh)
-        codes = dict_sh.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        xd = _crc32_of_strings(dict_sh.dictionary).astype(np.int64)
-        order = np.argsort(all_doc, kind="stable")
-        all_doc = all_doc[order]
-        codes = codes[order]
+        # crc collisions between distinct shingle strings merge here, so
+        # the result is identical to hashing every occurrence
         ux, inv_d = np.unique(xd, return_inverse=True)
         inv = inv_d[codes]
         nsh_total = len(codes)
@@ -768,6 +791,366 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.8, ngram: int = 3,
 
     return ds.groupby(partition_column).map_groups(
         pairs_in_partition, batch_format="pandas"
+    )
+
+
+# -------------------------------------------- global exact jaccard (PPJoin)
+
+
+PREFIX_PAIR_SCHEMA = pa.schema(
+    [("a", pa.string()), ("b", pa.string()), ("jaccard", pa.float64()),
+     ("n_inter", pa.int64()), ("n_union", pa.int64())]
+)
+
+
+def _stable_pairs(result):
+    """Pin the pair table's schema.  The result is output-sized (bounded
+    by the near-dup count), so materializing is cheap; the empty-result
+    re-wrap matters because a mostly-empty shuffle leaves zero-column
+    empty blocks whose schema would otherwise win ``to_pandas``."""
+    import ray.data as rd
+
+    result = result.materialize()
+    if result.count() == 0:
+        return rd.from_arrow(PREFIX_PAIR_SCHEMA.empty_table())
+    return result
+
+_FREQ_CLAMP = (1 << 31) - 1
+
+
+class _DocShingleSets:
+    """Per-doc distinct shingle sets as ORDER-KEY-sorted int64 arrays.
+
+    The order key is ``min(doc_freq, 2^31-1) * 2^32 + crc32`` — ascending
+    global rarity, ties (and ultra-hot clamped tokens) by crc.  Any fixed
+    total order keeps prefix filtering exact; rarity-first only shrinks
+    the candidate buckets.  The frequency map arrives via ray.put once
+    per actor (``vocab_ref=None`` = crc-only order, the open-vocabulary
+    fallback when the shingle vocabulary exceeds the broadcast budget).
+    """
+
+    def __init__(self, vocab_ref, ngram: int, text_column: str,
+                 id_column: str):
+        import ray
+
+        self.crc_sorted, self.okeys = (
+            ray.get(vocab_ref) if vocab_ref is not None else (None, None)
+        )
+        self.ngram = ngram
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def _order_keys(self, crc: np.ndarray) -> np.ndarray:
+        if self.crc_sorted is None:
+            return crc
+        pos = np.searchsorted(self.crc_sorted, crc).clip(
+            0, len(self.crc_sorted) - 1
+        )
+        # unseen crc (can't happen when the freq pass saw the same data;
+        # defensive) -> deterministic max-freq bucket, consistent everywhere
+        found = self.crc_sorted[pos] == crc
+        return np.where(found, self.okeys[pos],
+                        np.int64(_FREQ_CLAMP) * (1 << 32) + crc)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = [str(i) for i in batch.column(self.id_column).to_pylist()]
+        doc_idx, codes, xd = _shingle_occurrence_codes(
+            batch.column(self.text_column).combine_chunks(), self.ngram
+        )
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+            "set_keys": pa.array([], type=pa.large_list(pa.int64())),
+        })
+        if len(doc_idx) == 0:
+            return empty
+        crc = xd[codes]
+        # per-doc distinct occurrences (doc_idx < batch size, crc < 2^32)
+        uniq = np.unique(doc_idx * (1 << 32) + crc)
+        d = uniq >> 32
+        okey = self._order_keys(uniq & np.int64(0xFFFFFFFF))
+        order = np.lexsort((okey, d))
+        d, okey = d[order], okey[order]
+        counts = np.bincount(d, minlength=len(ids)).astype(np.int64)
+        nz = np.nonzero(counts)[0]
+        lens = counts[nz]
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array([ids[i] for i in nz], type=pa.string()),
+            "n": pa.array(lens, type=pa.int64()),
+            "set_keys": pa.LargeListArray.from_arrays(
+                pa.array(offsets), pa.array(okey, type=pa.int64())
+            ),
+        })
+
+
+class _PairVerifier:
+    """Exact candidate verification against the broadcast per-doc set
+    arrays: sorted-array intersect, ``J >= t`` spelled as the same float
+    division the SQL oracle uses.  Duplicate candidates verify to
+    identical rows (deduped downstream)."""
+
+    def __init__(self, sets_ref, threshold: float):
+        import ray
+
+        self.ids, self.arrays = ray.get(sets_ref)
+        self.threshold = threshold
+
+    def _lookup(self, doc: str):
+        pos = np.searchsorted(self.ids, doc)
+        if pos < len(self.ids) and self.ids[pos] == doc:
+            return self.arrays[pos]
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for a, b in zip(batch.column("a").to_pylist(),
+                        batch.column("b").to_pylist()):
+            sa, sb = self._lookup(a), self._lookup(b)
+            if sa is None or sb is None:
+                continue
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            if ni == 0:
+                continue
+            nu = len(sa) + len(sb) - ni
+            jac = ni / nu
+            if jac >= self.threshold:
+                rows.append({"a": a, "b": b, "jaccard": jac,
+                             "n_inter": ni, "n_union": nu})
+        return pa.Table.from_pylist(rows, schema=PREFIX_PAIR_SCHEMA)
+
+
+def prefix_filter_jaccard_pairs(
+    ds, threshold: float = 0.5, ngram: int = 3,
+    text_column: str = "text", id_column: str = "doc_id",
+    vocab_broadcast_max: int = 5_000_000,
+    sets_broadcast_max: int = 2_000_000,
+    num_buckets: int = 64,
+):
+    """GLOBAL exact n-gram Jaccard self-join: all pairs with
+    ``J >= threshold`` across the whole corpus — no blocking/partition
+    key required (the exact complement to ``ngram_jaccard_pairs``'
+    within-partition contract and to the MinHash/SimHash sketches).
+
+    Prefix filtering (the PPJoin family — Chaudhuri et al. 2006, Xiao
+    et al. 2008, public literature): under any fixed total token order,
+    a doc of n distinct shingles indexes only its first
+    ``p = n - ceil(t*n) + 1`` ("prefix") shingles.  For any pair with
+    ``J >= t`` the smallest common shingle c lies in BOTH prefixes: if c
+    sat outside x's prefix, all >= ceil(t*n_x) common shingles would
+    occupy x's ceil(t*n_x) - 1 suffix slots — pigeonhole.  So grouping
+    prefix entries by shingle finds every qualifying pair.
+
+    Ray-Data shape (3 streaming passes over the corpus, no all-pairs
+    step anywhere):
+
+    1. document-frequency count: per-batch distinct-shingle combiner ->
+       small groupby over the VOCABULARY (never the corpus); the
+       (crc -> order-key) map broadcasts via ray.put under
+       ``vocab_broadcast_max`` and degrades to crc-only order above it
+       (correct, just larger candidate buckets).
+    2. prefix index: per-doc sorted set-key arrays (one actor-pool
+       vectorized pass), then (token, doc_id, n) prefix rows — ~24
+       bytes each, (1-t)*n + 1 per doc; candidates = same-token pairs
+       passing the length filter ``n_b <= n_a / t``, deduped by one
+       (a, b) groupby.  Buckets are keyed by each doc's RAREST
+       shingles, so bucket sizes track rare-token document frequencies.
+    3. verify: candidates join the per-doc set arrays back (broadcast
+       object-store lookup under ``sets_broadcast_max`` docs,
+       ``hash_join`` above) and an exact sorted-array intersect checks
+       ``J >= t`` — float comparison spelled identically to the SQL
+       oracle.
+
+    Exactness holds for any threshold in (0, 1]; ``ceil(t*n)`` is
+    computed with a downward epsilon so float rounding can only widen
+    the prefix (a superset of candidates, never a miss).
+    """
+    import ray
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    # ---- pass 1: document frequency per shingle -> order-key map
+    def partial_df(batch: pa.Table) -> pa.Table:
+        doc_idx, codes, xd = _shingle_occurrence_codes(
+            batch.column(text_column).combine_chunks(), ngram
+        )
+        if len(doc_idx) == 0:
+            return pa.table({"shingle": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        uniq = np.unique(doc_idx * (1 << 32) + xd[codes])
+        u, cnt = np.unique(uniq & np.int64(0xFFFFFFFF), return_counts=True)
+        return pa.table({"shingle": pa.array(u, type=pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    freq = grouped_agg(
+        ds.map_batches(partial_df, batch_format="pyarrow"),
+        ["shingle"], [("freq", "cnt", "sum")],
+    ).materialize()
+    if freq.count() == 0:  # no doc has tokens: no pairs, stable schema
+        return rd.from_arrow(PREFIX_PAIR_SCHEMA.empty_table())
+    if freq.count() <= vocab_broadcast_max:
+        fdf = freq.to_pandas().sort_values("shingle")
+        crc_sorted = fdf["shingle"].to_numpy()
+        okeys = (
+            np.minimum(fdf["freq"].to_numpy(), _FREQ_CLAMP) * (1 << 32)
+            + crc_sorted
+        )
+        vocab_ref = ray.put((crc_sorted, okeys))
+    else:
+        vocab_ref = None  # crc-only total order (documented fallback)
+
+    from knowledge_graph_ray.functions.poolcache import cached_class_map
+
+    # task pool + per-process callable cache: the stage state is one
+    # local ray.get, so an actor pool's startup latency would dominate
+    sets_ds = cached_class_map(
+        ds, _DocShingleSets, vocab_ref=vocab_ref, ngram=ngram,
+        text_column=text_column, id_column=id_column,
+    ).materialize()  # feeds both the prefix index and the verify side
+
+    # ---- pass 2: prefix rows -> same-token candidates -> (a,b) dedup
+    def emit_prefixes(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"token": pa.array([], type=pa.int64()),
+                             "doc_id": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        import pyarrow.compute as pc
+
+        ns = batch.column("n").to_numpy()
+        # ceil with downward epsilon: boundary error only ever WIDENS the
+        # prefix (superset of candidates), never narrows it
+        p = (ns - np.ceil(threshold * ns - 1e-9) + 1).astype(np.int64)
+        sets = batch.column("set_keys").combine_chunks()
+        offsets = np.frombuffer(sets.buffers()[1], dtype=np.int64)[
+            sets.offset : sets.offset + len(batch) + 1
+        ]
+        # flatten() rebases a SLICED array (map_batches hands zero-copy
+        # slices with offset > 0) — make the offsets slice-relative too
+        starts_rel = offsets[:-1] - offsets[0]
+        values = sets.flatten().to_numpy()
+        row = np.repeat(np.arange(len(batch)), p)
+        slot = np.arange(int(p.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(p)])[:-1], p
+        )
+        return pa.table({
+            "token": pa.array(values[starts_rel[row] + slot],
+                              type=pa.int64()),
+            "doc_id": pc.take(batch.column("doc_id"), pa.array(row)),
+            "n": pa.array(ns[row], type=pa.int64()),
+            "pos": pa.array(slot, type=pa.int64()),
+        })
+
+    prefix_rows = sets_ds.map_batches(emit_prefixes, batch_format="pyarrow")
+
+    cand_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    # J >= t implies overlap >= t/(1+t) * (n_x + n_y)  (ni >= t*nu)
+    t1 = threshold / (1.0 + threshold)
+
+    def token_candidates(bucket: pd.DataFrame) -> pa.Table:
+        g = bucket.sort_values(["token", "n", "doc_id"])
+        toks = g["token"].to_numpy()
+        ns = g["n"].to_numpy()
+        pos = g["pos"].to_numpy()
+        docs = g["doc_id"].to_numpy()
+        m = len(g)
+        new = np.concatenate([[True], toks[1:] != toks[:-1]]) if m else \
+            np.empty(0, dtype=bool)
+        starts = np.nonzero(new)[0]
+        ends = np.concatenate([starts[1:], [m]])
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            l = e - s
+            if l < 2:
+                continue
+            xi, yi = np.triu_indices(l, k=1)
+            nx, ny = ns[s + xi], ns[s + yi]
+            px, py = pos[s + xi], pos[s + yi]
+            # length filter + PPJoin positional filter: the overlap a
+            # collision at prefix positions (px, py) can still reach is
+            # 1 + min(suffix lengths); a qualifying pair always survives
+            # in its MINIMAL common token's bucket, where both positions
+            # are the earliest possible (Xiao et al. 2008)
+            keep = (ny <= nx / threshold) & (
+                1 + np.minimum(nx - px - 1, ny - py - 1)
+                >= np.ceil(t1 * (nx + ny) - 1e-9)
+            )
+            if keep.any():
+                dx = docs[s + xi[keep]]
+                dy = docs[s + yi[keep]]
+                a_parts.append(np.minimum(dx, dy))
+                b_parts.append(np.maximum(dx, dy))
+        if not a_parts:
+            return cand_schema.empty_table()
+        return pa.table({
+            "a": pa.array(np.concatenate(a_parts), type=pa.string()),
+            "b": pa.array(np.concatenate(b_parts), type=pa.string()),
+        })
+
+    # candidates flow straight into verify (duplicates across buckets
+    # verify to IDENTICAL rows); the dedup shuffle runs on the verified
+    # pair table — output-sized — instead of the candidate stream
+    cands = bucketed_bucket_map(
+        prefix_rows, ["token"], token_candidates,
+        num_buckets=num_buckets, empty_schema=cand_schema,
+    )
+
+    def _dedup_verified(pairs_ds):
+        def keep_first(bucket: pd.DataFrame) -> pa.Table:
+            keep = bucket.drop_duplicates(["a", "b"])
+            return pa.Table.from_pandas(keep, preserve_index=False,
+                                        schema=PREFIX_PAIR_SCHEMA)
+
+        return _stable_pairs(bucketed_bucket_map(
+            pairs_ds, ["a", "b"], keep_first,
+            num_buckets=num_buckets, empty_schema=PREFIX_PAIR_SCHEMA,
+        ))
+
+    # ---- pass 3: exact verify against the per-doc set arrays
+    n_docs = sets_ds.count()
+    if n_docs <= sets_broadcast_max:
+        sp = sets_ds.to_pandas().sort_values("doc_id")
+        ids_sorted = sp["doc_id"].to_numpy()
+        arrays = [np.asarray(v, dtype=np.int64) for v in sp["set_keys"]]
+        sets_ref = ray.put((ids_sorted, arrays))
+        return _dedup_verified(
+            cached_class_map(cands, _PairVerifier, sets_ref=sets_ref,
+                             threshold=threshold)
+        )
+
+    # partitioned regime: join the set arrays onto the candidates (the
+    # pandas join body carries list payloads; Acero is skipped for them)
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    side_a = project(sets_ds, {"doc_id": "a", "set_keys": "__set_a"})
+    side_b = project(sets_ds, {"doc_id": "b", "set_keys": "__set_b"})
+    joined = hash_join(hash_join(cands, side_a, on=["a"]), side_b, on=["b"])
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        sa_col = batch.column("__set_a").to_pylist()
+        sb_col = batch.column("__set_b").to_pylist()
+        rows: list[dict] = []
+        for a, b, sa, sb in zip(batch.column("a").to_pylist(),
+                                batch.column("b").to_pylist(),
+                                sa_col, sb_col):
+            if sa is None or sb is None:
+                continue
+            sa = np.asarray(sa, dtype=np.int64)
+            sb = np.asarray(sb, dtype=np.int64)
+            inter = np.intersect1d(sa, sb, assume_unique=True)
+            ni = len(inter)
+            if ni == 0:
+                continue
+            nu = len(sa) + len(sb) - ni
+            jac = ni / nu
+            if jac >= threshold:
+                rows.append({"a": a, "b": b, "jaccard": jac,
+                             "n_inter": ni, "n_union": nu})
+        return pa.Table.from_pylist(rows, schema=PREFIX_PAIR_SCHEMA)
+
+    return _dedup_verified(
+        joined.map_batches(verify_joined, batch_format="pyarrow")
     )
 
 

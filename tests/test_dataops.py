@@ -1467,3 +1467,85 @@ def test_joins_with_list_payload_take_pandas_body():
         assert len(got_h) == exp_rows and len(got_b) == exp_rows
         pd.testing.assert_frame_equal(got_h, got_b, check_dtype=False)
         assert got_h[got_h.k == 2].tags.tolist() == ["b,c", "d"]
+
+
+def _brute_jaccard_pairs(df, ngram, threshold):
+    sets = {str(r.doc_id): dedup._shingles(r.text, ngram) for r in df.itertuples()}
+    ids = sorted(sets)
+    out = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            sx, sy = sets[ids[x]], sets[ids[y]]
+            if not sx or not sy:
+                continue
+            ni = len(sx & sy)
+            nu = len(sx | sy)
+            if nu and ni / nu >= threshold:
+                out.add((ids[x], ids[y], ni, nu))
+    return out
+
+
+def _ppjoin_corpus():
+    rng = np.random.RandomState(42)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(200):
+        n = rng.randint(5, 40)
+        rows.append({"doc_id": f"d{i:04d}", "text": " ".join(rng.choice(vocab, n))})
+    for i in range(20):  # planted near-dups (one token swapped)
+        base = rows[i]["text"].split()
+        base[rng.randint(0, len(base))] = "w0"
+        rows.append({"doc_id": f"p{i:04d}", "text": " ".join(base)})
+    rows.append({"doc_id": "dupX", "text": rows[5]["text"]})  # exact dup
+    rows.append({"doc_id": "emptyX", "text": ""})
+    return pd.DataFrame(rows)
+
+
+def test_prefix_filter_jaccard_matches_bruteforce():
+    """Global exact set-similarity self-join (PPJoin-style prefix filter)
+    vs an all-pairs brute force: exact pair set, counts, and no duplicate
+    emissions, across thresholds/ngrams incl. the t=1.0 edge."""
+    df = _ppjoin_corpus()
+    ds = rd.from_pandas(df).repartition(4)
+    for threshold, ngram in ((0.5, 3), (0.3, 2), (1.0, 2)):
+        got = dedup.prefix_filter_jaccard_pairs(
+            ds, threshold=threshold, ngram=ngram
+        ).to_pandas()
+        gset = set(zip(got.a, got.b, got.n_inter, got.n_union))
+        assert len(got) == len(gset), "duplicate pair emitted"
+        assert gset == _brute_jaccard_pairs(df, ngram, threshold)
+
+
+def test_prefix_filter_jaccard_regimes_agree():
+    """The partitioned-verify (hash_join) regime and the crc-only order
+    fallback both produce the broadcast regime's exact result."""
+    df = _ppjoin_corpus()
+    ds = rd.from_pandas(df).repartition(4)
+    expected = _brute_jaccard_pairs(df, 3, 0.5)
+    joined = dedup.prefix_filter_jaccard_pairs(
+        ds, threshold=0.5, ngram=3, sets_broadcast_max=0
+    ).to_pandas()
+    assert set(zip(joined.a, joined.b, joined.n_inter, joined.n_union)) == expected
+    crc_order = dedup.prefix_filter_jaccard_pairs(
+        ds, threshold=0.5, ngram=3, vocab_broadcast_max=0
+    ).to_pandas()
+    assert set(zip(crc_order.a, crc_order.b, crc_order.n_inter,
+                   crc_order.n_union)) == expected
+
+
+def test_prefix_filter_jaccard_empty_and_no_match():
+    # Dataset-level schema is the stable contract (Ray 2.49's to_pandas
+    # drops columns for any fully-empty dataset, repo-wide quirk)
+    cols = ["a", "b", "jaccard", "n_inter", "n_union"]
+    df = _ppjoin_corpus()
+    empty = dedup.prefix_filter_jaccard_pairs(
+        rd.from_pandas(df.head(0)), threshold=0.5
+    )
+    assert empty.schema().names == cols
+    assert empty.count() == 0
+    # all-texts-empty input: freq table is empty, stable schema holds
+    blank = pd.DataFrame({"doc_id": ["x", "y"], "text": ["", ""]})
+    out = dedup.prefix_filter_jaccard_pairs(rd.from_pandas(blank),
+                                            threshold=0.5)
+    assert out.schema().names == cols
+    assert out.count() == 0
