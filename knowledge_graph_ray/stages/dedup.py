@@ -924,7 +924,7 @@ def prefix_filter_jaccard_pairs(
     ds, threshold: float = 0.5, ngram: int = 3,
     text_column: str = "text", id_column: str = "doc_id",
     vocab_broadcast_max: int = 5_000_000,
-    sets_broadcast_max: int = 2_000_000,
+    sets_broadcast_max: int = 100_000,
     num_buckets: int = 64,
 ):
     """GLOBAL exact n-gram Jaccard self-join: all pairs with
@@ -957,9 +957,11 @@ def prefix_filter_jaccard_pairs(
        shingles, so bucket sizes track rare-token document frequencies.
     3. verify: candidates join the per-doc set arrays back (broadcast
        object-store lookup under ``sets_broadcast_max`` docs,
-       ``hash_join`` above) and an exact sorted-array intersect checks
-       ``J >= t`` — float comparison spelled identically to the SQL
-       oracle.
+       ``hash_join`` above — the broadcast default is low because the
+       driver-side array pull dominates early: measured 500k docs at
+       32 cpus = 69s broadcast vs 32s partitioned) and an exact
+       sorted-array intersect checks ``J >= t`` — float comparison
+       spelled identically to the SQL oracle.
 
     Exactness holds for any threshold in (0, 1]; ``ceil(t*n)`` is
     computed with a downward epsilon so float rounding can only widen
