@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "dedup_duplicated_spans",
     # round-5 coda 4: global exact set-similarity self-join (PPJoin)
     "dedup_prefix_filter",
+    "dedup_prefix_filter_groups",
 ]
 
 

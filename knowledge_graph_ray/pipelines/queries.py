@@ -10661,3 +10661,61 @@ WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
 
 QUERIES["dedup_prefix_filter"] = dedup_prefix_filter
 ORACLE_SQL["dedup_prefix_filter"] = DEDUP_PREFIX_FILTER_SQL
+
+
+def dedup_prefix_filter_groups(sf_dir: str):
+    """Composed global exact-dedup pipeline: PPJoin pairs (trigram
+    J >= 0.5, corpus-wide, no blocking key) -> duplicate groups via the
+    DISTRIBUTED star contraction (driver_threshold=0 forces the shuffle
+    path).  Oracle: recursive min-label CTE over the same global edges
+    (string-keyed components, lexicographic min doc_id)."""
+    from knowledge_graph_ray.stages.dedup import (
+        duplicate_groups,
+        prefix_filter_jaccard_pairs,
+    )
+
+    pairs = prefix_filter_jaccard_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        threshold=0.5, ngram=3,
+    )
+    return duplicate_groups(pairs, driver_threshold=0)
+
+
+DEDUP_PREFIX_FILTER_GROUPS_SQL = """
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tg AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS gs
+  FROM toks
+),
+gx AS (SELECT doc_id, unnest(gs) AS g FROM tg),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+  FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(gs) AS n FROM tg),
+edges AS (
+  SELECT CAST(least(da, db) AS VARCHAR) AS u,
+         CAST(greatest(da, db) AS VARCHAR) AS v
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = da
+  JOIN sizes sb ON sb.doc_id = db
+  WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+),
+edges_bi AS (
+  SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges_bi e ON e.u = r.node
+)
+SELECT node AS name, min(lbl) AS component FROM reach GROUP BY node
+"""
+
+QUERIES["dedup_prefix_filter_groups"] = dedup_prefix_filter_groups
+ORACLE_SQL["dedup_prefix_filter_groups"] = DEDUP_PREFIX_FILTER_GROUPS_SQL
