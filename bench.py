@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     # round-5 coda 4: global exact set-similarity self-join (PPJoin)
     "dedup_prefix_filter",
     "dedup_prefix_filter_groups",
+    "similarity_pq_recall",
 ]
 
 

@@ -10719,3 +10719,42 @@ SELECT node AS name, min(lbl) AS component FROM reach GROUP BY node
 
 QUERIES["dedup_prefix_filter_groups"] = dedup_prefix_filter_groups
 ORACLE_SQL["dedup_prefix_filter_groups"] = DEDUP_PREFIX_FILTER_GROUPS_SQL
+
+
+def similarity_pq_recall(sf_dir: str):
+    """SQL-gated recall floor for the product-quantization path (the
+    similarity_ivf_recall pattern): the ADC top-50 shortlist over 8-byte
+    PQ codes (m=8 x nbits=8 over 64 dims — 32x smaller than raw float32)
+    must contain >= 80% of the brute-force top-10 for the deterministic
+    query vector.  Deterministic (seeded codebooks); the oracle asserts
+    the gate so a silent recall collapse FAILS the driver."""
+    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.stages.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _emb(sf_dir)
+    exact = project(brute_force_topk(emb, _query_vector(sf_dir), k=10),
+                    ["vec_id"])
+    books = pq_train(emb, m=8, nbits=8, sample=4096, seed=6969)
+    codes = pq_encode(emb, books).materialize()
+    shortlist = project(
+        pq_topk(codes, books, _query_vector(sf_dir), k=50), ["vec_id"]
+    )
+    overlap = hash_join(exact, shortlist, on=["vec_id"], how="left_semi")
+    ok = 1 if overlap.count() >= 8 else 0
+    return pa.table({
+        "ok": pa.array([ok], type=pa.int64()),
+        "recall_floor_met": pa.array([ok], type=pa.int64()),
+    })
+
+
+SIMILARITY_PQ_RECALL_SQL = """
+SELECT CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS recall_floor_met
+"""
+
+QUERIES["similarity_pq_recall"] = similarity_pq_recall
+ORACLE_SQL["similarity_pq_recall"] = SIMILARITY_PQ_RECALL_SQL

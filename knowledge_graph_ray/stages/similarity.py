@@ -492,3 +492,138 @@ def kmeans_assign(ds, centroids: np.ndarray,
 
     return ds.map_batches(assign_batch, batch_format="pyarrow",
                           batch_size=4096)
+
+
+# ------------------------------------------------- product quantization (PQ)
+
+
+def pq_train(ds, m: int = 8, nbits: int = 8, sample: int = 4096,
+             iters: int = 10, seed: int = 6969,
+             vec_column: str = "embedding") -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011, public
+    literature): unit-normalize, split the dimension into ``m``
+    subspaces, run seeded L2 k-means with ``2^nbits`` centroids per
+    subspace on a bounded driver-side sample (codebooks are tiny; the
+    sample is bounded, not the corpus — the train_centroids pattern).
+
+    Returns ``(m, k_eff, dsub)`` float64; ``k_eff = min(2^nbits, n)``
+    so zero-padded phantom centroids can never win an argmin."""
+    cnt = ds.count()
+    frac = sample / cnt if cnt > sample else 1.0
+    sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
+    mat = _unit(_as_matrix(sampled.to_pandas()[vec_column]))
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    k_eff = min(1 << nbits, n)
+    rng = np.random.RandomState(seed)
+    books = np.zeros((m, k_eff, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(n, size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_column: str = "embedding",
+              id_column: str = "vec_id"):
+    """-> Dataset[(vec_id, pq_code: list<uint8>)] — each unit-normalized
+    vector compressed to ``m`` bytes (argmin-L2 per subspace, vectorized
+    via the expanded |x|^2 - 2 x.c + |c|^2 form; |x|^2 drops out of the
+    argmin).  32x smaller than raw float32 at m=8 over 64 dims — the
+    shape that lets a 100-TB embedding column live in cluster memory."""
+    import ray
+
+    if codebooks.shape[1] > 256:
+        raise ValueError("nbits > 8 does not fit the uint8 code layout")
+    books_ref = ray.put(np.ascontiguousarray(codebooks))
+
+    def encode_batch(batch: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        m, _, dsub = books.shape
+        ids = [str(i) for i in batch.column(id_column).to_pylist()]
+        mat = _unit(_column_matrix(batch.column(vec_column)))
+        n = len(ids)
+        codes = np.zeros((n, m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            scores = sub @ books[j].T - 0.5 * (books[j] ** 2).sum(1)[None, :]
+            codes[:, j] = scores.argmax(1)  # argmin L2 == argmax this form
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * m)
+        return pa.Table.from_pydict({
+            "vec_id": pa.array(ids, type=pa.string()),
+            "pq_code": pa.ListArray.from_arrays(
+                offsets, pa.array(codes.reshape(-1), type=pa.uint8())
+            ),
+        })
+
+    return ds.map_batches(encode_batch, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
+            k: int = 10, id_column: str = "vec_id"):
+    """ADC (asymmetric distance computation) top-k over PQ codes:
+    per query, a ``(m, k_eff)`` inner-product lookup table against the
+    broadcast codebooks; each batch scores its codes with m table
+    gathers — no float vectors move.  Returns
+    ``(query_id, vec_id, adc, rk)``; use it as a shortlist for an exact
+    rerank over the shortlisted raw vectors (recall gate pattern)."""
+    import ray
+
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    m, _, dsub = codebooks.shape
+    # lut[q, j, c] = <q_sub_j, codebook[j][c]>; approx cosine = sum_j lut
+    lut = np.einsum("qjd,jcd->qjc",
+                    q_unit.reshape(len(q_unit), m, dsub), codebooks)
+    lut_ref = ray.put(np.ascontiguousarray(lut))
+
+    def local_topk_batch(batch: pa.Table) -> pa.Table:
+        tbl = ray.get(lut_ref)
+        ids = [str(i) for i in batch.column(id_column).to_pylist()]
+        id_key = _id_sort_key(ids)
+        col = batch.column("pq_code").combine_chunks()
+        if isinstance(col.type, pa.ExtensionType):
+            # Ray tensor extension (a pandas round-trip of uniform lists)
+            codes = np.asarray(col.to_numpy(zero_copy_only=False))
+            codes = np.stack(codes) if codes.dtype == object else codes
+        else:
+            codes = np.asarray(col.flatten()).reshape(len(ids), m)
+        codes = codes.astype(np.int64, copy=False)
+        scores = np.zeros((tbl.shape[0], len(ids)))
+        for j in range(m):
+            scores += tbl[:, j, :][:, codes[:, j]]
+        take = min(k, scores.shape[1])
+        rows = []
+        for qi in range(scores.shape[0]):
+            order = np.lexsort((id_key, -scores[qi]))[:take]
+            for i in order:
+                rows.append({"query_id": qi, "vec_id": ids[i],
+                             "adc": float(scores[qi, i])})
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("query_id", pa.int64()), ("vec_id", pa.string()),
+             ("adc", pa.float64())]
+        ))
+
+    local = codes_ds.map_batches(local_topk_batch, batch_format="pyarrow",
+                                 batch_size=4096)
+
+    def merge_topk(group: pd.DataFrame) -> pa.Table:
+        top = (
+            group.assign(_tb=_tie_break_frame(group))
+            .sort_values(["adc", "_tb"], ascending=[False, True])
+            .drop(columns=["_tb"])
+            .head(k)
+        )
+        top = top.assign(rk=np.arange(1, len(top) + 1))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    return local.groupby("query_id").map_groups(merge_topk,
+                                                batch_format="pandas")

@@ -1549,3 +1549,49 @@ def test_prefix_filter_jaccard_empty_and_no_match():
                                             threshold=0.5)
     assert out.schema().names == cols
     assert out.count() == 0
+
+
+def _clustered_vectors(n_clusters=16, per=40, dim=64, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 3
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.randn(per, dim) * 0.3
+        for i, p in enumerate(pts):
+            rows.append({"vec_id": c * per + i, "embedding": p.tolist()})
+    return pd.DataFrame(rows)
+
+
+def test_pq_encode_decode_and_topk_recall():
+    """PQ codebooks quantize clustered vectors well enough that ADC
+    top-k recovers the brute-force top-k (clustered data; the random
+    driver embeddings are gated separately at a recall floor)."""
+    df = _clustered_vectors()
+    ds = rd.from_pandas(df).repartition(4)
+    books = similarity.pq_train(ds, m=8, nbits=6, sample=640, seed=6969)
+    assert books.shape == (8, 64, 8)
+    codes = similarity.pq_encode(ds, books).to_pandas()
+    assert len(codes) == len(df)
+    assert all(len(c) == 8 for c in codes.pq_code)
+
+    q = np.asarray(df.embedding.iloc[0], dtype=np.float64)[None, :]
+    exact = similarity.brute_force_topk(ds, q, k=10).to_pandas()
+    # ADC is a SHORTLIST stage (fine within-cluster ranking needs the
+    # exact rerank): the top-40 shortlist must contain the true top-10
+    shortlist = similarity.pq_topk(
+        rd.from_pandas(codes), books, q, k=40
+    ).to_pandas()
+    overlap = len(set(exact.vec_id) & set(shortlist.vec_id))
+    assert overlap >= 9, f"PQ shortlist recall too low: {overlap}/10"
+    # and the whole query cluster should dominate the shortlist
+    in_cluster = sum(1 for v in shortlist.vec_id if int(v) < 40)
+    assert in_cluster >= 30
+
+
+def test_pq_encode_deterministic():
+    df = _clustered_vectors(n_clusters=4, per=10)
+    ds = rd.from_pandas(df)
+    books = similarity.pq_train(ds, m=4, nbits=4, seed=6969)
+    c1 = similarity.pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    c2 = similarity.pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    assert [list(x) for x in c1.pq_code] == [list(x) for x in c2.pq_code]
