@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "dedup_prefix_filter",
     "dedup_prefix_filter_groups",
     "similarity_pq_recall",
+    "events_zorder_blocks",
 ]
 
 

@@ -10758,3 +10758,100 @@ SELECT CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS recall_floor_met
 
 QUERIES["similarity_pq_recall"] = similarity_pq_recall
 ORACLE_SQL["similarity_pq_recall"] = SIMILARITY_PQ_RECALL_SQL
+
+
+ZORDER_BITS = 10
+ZORDER_BLOCK_SHIFT = 8
+# fixed probe box in folded (hour, value-bin) space
+ZORDER_BOX = (200, 299, 50, 149)  # hr_lo, hr_hi, vb_lo, vb_hi
+
+
+def events_zorder_blocks(sf_dir: str):
+    """Z-order (Morton) data-layout blocks: interleave the event's hour
+    and integer value bin into a 20-bit Morton key, form layout blocks
+    by z-prefix (zkey >> 8 — each block a bounded rectangle-ish cell in
+    (hour, value) space), and report per-block row counts, min/max of
+    both dimensions, and whether a fixed box query would have to read
+    the block.  This is the multi-dimensional clustering technique used
+    for scan pruning at 100-TB scale (Delta/Iceberg OPTIMIZE ZORDER
+    shape): a box predicate touches only blocks whose min/max envelope
+    overlaps, instead of every hour-linear block.  One partial-combiner
+    groupby; the Morton math is vectorized bit arithmetic."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "value"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        hr = (us.to_numpy() // 3_600_000_000) % (1 << ZORDER_BITS)
+        vb = np.minimum(
+            np.floor(batch.column("value").to_numpy()).astype(np.int64),
+            (1 << ZORDER_BITS) - 1,
+        )
+        z = np.zeros_like(hr)
+        for k in range(ZORDER_BITS):
+            z |= ((hr >> k) & 1) << (2 * k)
+            z |= ((vb >> k) & 1) << (2 * k + 1)
+        return pa.table({
+            "zblock": pa.array(z >> ZORDER_BLOCK_SHIFT, type=pa.int64()),
+            "hr": pa.array(hr, type=pa.int64()),
+            "vb": pa.array(vb, type=pa.int64()),
+        })
+
+    blocks = grouped_agg(
+        events.map_batches(keyed, batch_format="pyarrow"),
+        ["zblock"],
+        [("n_rows", None, "count"),
+         ("min_hr", "hr", "min"), ("max_hr", "hr", "max"),
+         ("min_vb", "vb", "min"), ("max_vb", "vb", "max")],
+    )
+
+    h_lo, h_hi, v_lo, v_hi = ZORDER_BOX
+
+    def hit_flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        miss = pc.or_(
+            pc.or_(pc.less(batch.column("max_hr"), h_lo),
+                   pc.greater(batch.column("min_hr"), h_hi)),
+            pc.or_(pc.less(batch.column("max_vb"), v_lo),
+                   pc.greater(batch.column("min_vb"), v_hi)),
+        )
+        return batch.append_column(
+            "hit", pc.invert(miss).cast(pa.int64())
+        )
+
+    return blocks.map_batches(hit_flag, batch_format="pyarrow")
+
+
+EVENTS_ZORDER_BLOCKS_SQL = f"""
+WITH keyed AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) % {1 << ZORDER_BITS} AS hr,
+         LEAST(CAST(floor(value) AS BIGINT), {(1 << ZORDER_BITS) - 1}) AS vb
+  FROM events
+),
+z AS (
+  SELECT hr, vb,
+         CAST(list_sum([
+           (((hr >> k) & 1) << (2 * k)) + (((vb >> k) & 1) << (2 * k + 1))
+           for k in range(0, {ZORDER_BITS})
+         ]) AS BIGINT) AS zkey
+  FROM keyed
+),
+blocks AS (
+  SELECT zkey >> {ZORDER_BLOCK_SHIFT} AS zblock,
+         count(*) AS n_rows,
+         min(hr) AS min_hr, max(hr) AS max_hr,
+         min(vb) AS min_vb, max(vb) AS max_vb
+  FROM z GROUP BY 1
+)
+SELECT zblock, n_rows, min_hr, max_hr, min_vb, max_vb,
+       CAST(NOT (max_hr < {ZORDER_BOX[0]} OR min_hr > {ZORDER_BOX[1]}
+             OR max_vb < {ZORDER_BOX[2]} OR min_vb > {ZORDER_BOX[3]})
+            AS BIGINT) AS hit
+FROM blocks
+"""
+
+QUERIES["events_zorder_blocks"] = events_zorder_blocks
+ORACLE_SQL["events_zorder_blocks"] = EVENTS_ZORDER_BLOCKS_SQL
