@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "dedup_prefix_filter_groups",
     "similarity_pq_recall",
     "events_zorder_blocks",
+    "events_type_cms_bound",
 ]
 
 

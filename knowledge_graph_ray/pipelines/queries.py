@@ -10855,3 +10855,43 @@ FROM blocks
 
 QUERIES["events_zorder_blocks"] = events_zorder_blocks
 ORACLE_SQL["events_zorder_blocks"] = EVENTS_ZORDER_BLOCKS_SQL
+
+
+def events_type_cms_bound(sf_dir: str):
+    """Count-min sketch frequency estimates under a two-sided SQL gate
+    (the hll_bound pattern): per event_type, the CMS point estimate must
+    never UNDERcount (structural CMS property) and must stay within the
+    (e/w) * N additive error envelope.  Exact counts ride along so the
+    driver value-hash checks real numbers, not just the gate."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.sketches import cms_sketch
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type"])
+    d, w = 4, 2048
+    cms = cms_sketch(events, "event_type", d=d, w=w, seed=6969)
+    exact = grouped_agg(events, ["event_type"],
+                        [("n_exact", None, "count")]).to_pandas()
+    exact = exact.sort_values("event_type").reset_index(drop=True)
+    est = cms.query_many(exact["event_type"])
+    n_total = int(exact["n_exact"].sum())
+    slack = int(np.ceil(np.e / w * n_total))
+    never_under = (est >= exact["n_exact"].to_numpy()).astype(np.int64)
+    within = (est <= exact["n_exact"].to_numpy() + slack).astype(np.int64)
+    return pa.table({
+        "event_type": pa.array(exact["event_type"].astype(str)),
+        "n_exact": pa.array(exact["n_exact"].to_numpy(), type=pa.int64()),
+        "never_under": pa.array(never_under, type=pa.int64()),
+        "within_bound": pa.array(within, type=pa.int64()),
+    })
+
+
+EVENTS_TYPE_CMS_BOUND_SQL = """
+SELECT event_type, count(*) AS n_exact,
+       CAST(1 AS BIGINT) AS never_under,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events GROUP BY event_type
+"""
+
+QUERIES["events_type_cms_bound"] = events_type_cms_bound
+ORACLE_SQL["events_type_cms_bound"] = EVENTS_TYPE_CMS_BOUND_SQL

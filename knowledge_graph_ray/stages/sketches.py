@@ -760,3 +760,102 @@ def exact_kth_value(ds, value_col: str, k: int,
             blo, bhi = a_lo, a_hi
             k_rem -= c_lo
             n_range = c_in
+
+
+class CountMinSketch:
+    """Numpy count-min sketch (Cormode & Muthukrishnan 2005, public
+    literature): d seeded universal-hash rows of width w; add/merge/
+    point-query.  Never underestimates; overestimates by at most
+    (e/w) * N with high probability over the (fixed, seeded) hashes.
+    The d x w int64 table travels through Arrow binary columns and
+    merges by elementwise sum (associative/commutative) — the same
+    mergeable-bytes discipline as HyperLogLog above."""
+
+    P = (1 << 61) - 1
+
+    def __init__(self, d: int = 4, w: int = 2048, seed: int = 6969,
+                 table: "np.ndarray | None" = None):
+        rng = np.random.RandomState(seed)
+        self.d, self.w, self.seed = d, w, seed
+        # a < 2^30 x 32-bit base hash keeps a*x + b inside int64 (the
+        # MinHasher bound); 32 base bits are ample for w <= 2^20
+        self.a = rng.randint(1, 1 << 30, size=d).astype(np.int64)
+        self.b = rng.randint(0, 1 << 61, size=d).astype(np.int64)
+        self.table = (table if table is not None
+                      else np.zeros((d, w), dtype=np.int64))
+
+    def _rows(self, values) -> "np.ndarray":
+        s = values if isinstance(values, pd.Series) else pd.Series(list(values))
+        if pd.api.types.is_numeric_dtype(s) and not pd.api.types.is_bool_dtype(s):
+            s = s.astype("float64") + 0.0  # canonical dtype (HLL note)
+        else:
+            s = s.astype(str)
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        x = (h >> np.uint64(32)).astype(np.int64)
+        return ((self.a[:, None] * x[None, :] + self.b[:, None])
+                % self.P) % self.w
+
+    def add_many(self, values) -> None:
+        if not len(values):
+            return
+        idx = self._rows(values)
+        for i in range(self.d):
+            np.add.at(self.table[i], idx[i], 1)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        return CountMinSketch(self.d, self.w, self.seed,
+                              self.table + other.table)
+
+    def query_many(self, values) -> "np.ndarray":
+        if not len(values):
+            return np.zeros(0, dtype=np.int64)
+        idx = self._rows(values)
+        ests = np.stack([self.table[i][idx[i]] for i in range(self.d)])
+        return ests.min(axis=0)
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, d: int = 4, w: int = 2048,
+                   seed: int = 6969) -> "CountMinSketch":
+        return cls(d, w, seed,
+                   np.frombuffer(buf, dtype=np.int64).reshape(d, w).copy())
+
+
+def cms_sketch(ds, value_col: str, d: int = 4, w: int = 2048,
+               seed: int = 6969, num_buckets: int = 16) -> CountMinSketch:
+    """Build one merged count-min sketch over a column: per-batch
+    partial sketches (one d x w table per block) tree-fold through a
+    salted groupby so the driver merges ``num_buckets`` tables, not one
+    per block — at 10^12 rows the driver pull stays ~num_buckets x 64 KB
+    while the per-block partials merge in parallel."""
+    import zlib as _z
+
+    def batch_sketch(b: pa.Table) -> pa.Table:
+        cms = CountMinSketch(d, w, seed)
+        cms.add_many(b.column(value_col).to_pandas())
+        buf = cms.to_bytes()
+        return pa.table({
+            "salt": pa.array([_z.crc32(buf) % num_buckets], type=pa.int64()),
+            "sketch": pa.array([buf], type=pa.binary()),
+        })
+
+    partials = ds.map_batches(batch_sketch, batch_format="pyarrow")
+
+    merged_schema = pa.schema([("sketch", pa.binary())])
+
+    def merge_bucket(group: pd.DataFrame) -> pa.Table:
+        acc = CountMinSketch(d, w, seed)
+        for buf in group["sketch"]:
+            acc = acc.merge(CountMinSketch.from_bytes(buf, d, w, seed))
+        return pa.table({"sketch": pa.array([acc.to_bytes()],
+                                            type=pa.binary())})
+
+    folded = bucketed_group_map(partials, ["salt"], merge_bucket,
+                                num_buckets=num_buckets,
+                                empty_schema=merged_schema)
+    out = CountMinSketch(d, w, seed)
+    for buf in folded.to_pandas()["sketch"]:
+        out = out.merge(CountMinSketch.from_bytes(buf, d, w, seed))
+    return out

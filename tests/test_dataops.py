@@ -1595,3 +1595,33 @@ def test_pq_encode_deterministic():
     c1 = similarity.pq_encode(ds, books).to_pandas().sort_values("vec_id")
     c2 = similarity.pq_encode(ds, books).to_pandas().sort_values("vec_id")
     assert [list(x) for x in c1.pq_code] == [list(x) for x in c2.pq_code]
+
+
+def test_count_min_sketch_properties():
+    """CMS never undercounts; distributed tree-fold merge equals one
+    sequential sketch; estimates stay in the (e/w)*N envelope on a
+    skewed stream."""
+    from knowledge_graph_ray.stages.sketches import CountMinSketch, cms_sketch
+
+    rng = np.random.RandomState(1)
+    zipf = np.clip(rng.zipf(1.5, 20000), 1, 500)
+    vals = pd.Series([f"k{v}" for v in zipf])
+    seq = CountMinSketch(d=4, w=1024, seed=6969)
+    seq.add_many(vals)
+    truth = vals.value_counts()
+    keys = pd.Series(truth.index)
+    est = seq.query_many(keys)
+    exact = truth.to_numpy()
+    assert (est >= exact).all()
+    # the (e/w)*N envelope holds per query with prob >= 1 - e^-d, not
+    # for every key simultaneously: assert the 95th percentile and the
+    # heavy head (which the driver gate relies on)
+    within = est <= exact + np.ceil(np.e / 1024 * len(vals))
+    assert within.mean() >= 0.95
+    assert within[:10].all(), "a top-10 heavy key blew the envelope"
+
+    # distributed fold over blocks == sequential
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    folded = cms_sketch(ds, "v", d=4, w=1024, seed=6969)
+    assert np.array_equal(folded.table, seq.table)
+    assert np.array_equal(folded.query_many(keys), est)
