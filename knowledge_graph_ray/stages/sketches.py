@@ -856,6 +856,9 @@ def cms_sketch(ds, value_col: str, d: int = 4, w: int = 2048,
                                 num_buckets=num_buckets,
                                 empty_schema=merged_schema)
     out = CountMinSketch(d, w, seed)
-    for buf in folded.to_pandas()["sketch"]:
+    fdf = folded.to_pandas()
+    if "sketch" not in fdf.columns:  # empty input: zero sketch
+        return out
+    for buf in fdf["sketch"]:
         out = out.merge(CountMinSketch.from_bytes(buf, d, w, seed))
     return out

@@ -135,3 +135,38 @@ def test_coda2_operators_handle_empty_inputs():
     empty_names = rd.from_arrow(
         pa.table({"c_name": pa.array([], type=pa.string())}))
     assert hamming1_pairs(empty_names, "c_name").count() == 0
+
+
+def test_coda5_operators_handle_empty_inputs():
+    """The coda-5 operators (PQ, Z-order key path via its query body,
+    CMS) must stream empty inputs through without crashing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from knowledge_graph_ray.stages.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from knowledge_graph_ray.stages.sketches import CountMinSketch, cms_sketch
+
+    # PQ: train on a tiny corpus, encode/search an EMPTY one
+    vecs = rd.from_items(
+        [{"vec_id": i, "embedding": list(np.arange(8) + i)} for i in range(6)]
+    )
+    books = pq_train(vecs, m=4, nbits=2, seed=6969)
+    empty_vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float64())),
+    }))
+    codes = pq_encode(empty_vecs, books)
+    assert codes.count() == 0
+    q = np.ones((1, 8))
+    assert pq_topk(pq_encode(vecs, books), books, q, k=3).count() == 3
+
+    # CMS over an empty column: a zero sketch that answers zero
+    empty_t = rd.from_arrow(pa.table({"v": pa.array([], type=pa.string())}))
+    cms = cms_sketch(empty_t, "v", d=2, w=64)
+    assert isinstance(cms, CountMinSketch)
+    assert cms.table.sum() == 0
+    assert list(cms.query_many(["a", "b"])) == [0, 0]
