@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "similarity_pq_recall",
     "events_zorder_blocks",
     "events_type_cms_bound",
+    "similarity_ivfpq_recall",
 ]
 
 

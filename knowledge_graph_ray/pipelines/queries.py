@@ -10895,3 +10895,48 @@ FROM events GROUP BY event_type
 
 QUERIES["events_type_cms_bound"] = events_type_cms_bound
 ORACLE_SQL["events_type_cms_bound"] = EVENTS_TYPE_CMS_BOUND_SQL
+
+
+def similarity_ivfpq_recall(sf_dir: str):
+    """SQL-gated recall floor for the IVF+PQ stack (the production ANN
+    layout: coarse IVF probes bound the scan, 8-byte PQ codes rank it —
+    no float vectors in the search path).  ADC top-50 over nprobe=12 of
+    16 buckets must contain >= 70% of the brute-force top-10 (PQ
+    quantization error stacks on IVF probe loss, hence the lower floor
+    than either alone; measured 8-10/10 at all 3 SFs)."""
+    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+        train_centroids,
+    )
+
+    emb = _emb(sf_dir)
+    exact = project(brute_force_topk(emb, _query_vector(sf_dir), k=10),
+                    ["vec_id"])
+    cents = train_centroids(emb, num_centroids=16, sample=1024, seed=6969)
+    books = pq_train(emb, m=8, nbits=8, sample=4096, seed=6969)
+    codes = pq_encode(ivf_assign(emb, cents), books,
+                      keep_cols=["ivf_bucket"]).materialize()
+    shortlist = project(
+        ivfpq_topk(codes, books, cents, _query_vector(sf_dir),
+                   k=50, nprobe=12),
+        ["vec_id"],
+    )
+    overlap = hash_join(exact, shortlist, on=["vec_id"], how="left_semi")
+    ok = 1 if overlap.count() >= 7 else 0
+    return pa.table({
+        "ok": pa.array([ok], type=pa.int64()),
+        "recall_floor_met": pa.array([ok], type=pa.int64()),
+    })
+
+
+SIMILARITY_IVFPQ_RECALL_SQL = """
+SELECT CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS recall_floor_met
+"""
+
+QUERIES["similarity_ivfpq_recall"] = similarity_ivfpq_recall
+ORACLE_SQL["similarity_ivfpq_recall"] = SIMILARITY_IVFPQ_RECALL_SQL

@@ -534,17 +534,21 @@ def pq_train(ds, m: int = 8, nbits: int = 8, sample: int = 4096,
 
 
 def pq_encode(ds, codebooks: np.ndarray, vec_column: str = "embedding",
-              id_column: str = "vec_id"):
-    """-> Dataset[(vec_id, pq_code: list<uint8>)] — each unit-normalized
-    vector compressed to ``m`` bytes (argmin-L2 per subspace, vectorized
-    via the expanded |x|^2 - 2 x.c + |c|^2 form; |x|^2 drops out of the
-    argmin).  32x smaller than raw float32 at m=8 over 64 dims — the
-    shape that lets a 100-TB embedding column live in cluster memory."""
+              id_column: str = "vec_id",
+              keep_cols: "list[str] | None" = None):
+    """-> Dataset[(vec_id, pq_code: list<uint8>) + keep_cols] — each
+    unit-normalized vector compressed to ``m`` bytes (argmin-L2 per
+    subspace, vectorized via the expanded |x|^2 - 2 x.c + |c|^2 form;
+    |x|^2 drops out of the argmin).  32x smaller than raw float32 at
+    m=8 over 64 dims — the shape that lets a 100-TB embedding column
+    live in cluster memory.  ``keep_cols`` pass through unchanged
+    (e.g. an ``ivf_bucket`` column for the IVF+PQ composition)."""
     import ray
 
     if codebooks.shape[1] > 256:
         raise ValueError("nbits > 8 does not fit the uint8 code layout")
     books_ref = ray.put(np.ascontiguousarray(codebooks))
+    passthrough = keep_cols or []
 
     def encode_batch(batch: pa.Table) -> pa.Table:
         books = ray.get(books_ref)
@@ -558,12 +562,15 @@ def pq_encode(ds, codebooks: np.ndarray, vec_column: str = "embedding",
             scores = sub @ books[j].T - 0.5 * (books[j] ** 2).sum(1)[None, :]
             codes[:, j] = scores.argmax(1)  # argmin L2 == argmax this form
         offsets = pa.array(np.arange(n + 1, dtype=np.int32) * m)
-        return pa.Table.from_pydict({
+        cols = {
             "vec_id": pa.array(ids, type=pa.string()),
             "pq_code": pa.ListArray.from_arrays(
                 offsets, pa.array(codes.reshape(-1), type=pa.uint8())
             ),
-        })
+        }
+        for c in passthrough:
+            cols[c] = batch.column(c)
+        return pa.Table.from_pydict(cols)
 
     return ds.map_batches(encode_batch, batch_format="pyarrow")
 
@@ -627,3 +634,30 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
 
     return local.groupby("query_id").map_groups(merge_topk,
                                                 batch_format="pandas")
+
+
+def ivfpq_topk(codes_assigned, codebooks: np.ndarray,
+               centroids: np.ndarray, queries: np.ndarray,
+               k: int = 10, nprobe: int = 4,
+               id_column: str = "vec_id"):
+    """The production ANN stack (IVF + PQ): restrict the scan to each
+    query's ``nprobe`` nearest IVF buckets, then rank the surviving
+    8-byte PQ codes by ADC — no float vector is read anywhere in the
+    search path.  ``codes_assigned`` is ``pq_encode(ivf_assign(...),
+    keep_cols=["ivf_bucket"])``.  Returns (query_id, vec_id, adc, rk)
+    shortlists for exact rerank."""
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    c = _unit(np.asarray(centroids, dtype=np.float64))
+    probes = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]
+    wanted = sorted({int(b) for row in probes for b in row})
+    filtered = codes_assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(
+            t.column("ivf_bucket"),
+            value_set=pa.array(wanted, type=pa.int32()),
+        )),
+        batch_format="pyarrow",
+    )
+    # NOTE: with multiple queries this ranks every query against the
+    # UNION of probed buckets; exactness of the shortlist-then-rerank
+    # contract is unaffected (a superset scan only raises recall)
+    return pq_topk(filtered, codebooks, queries, k=k, id_column=id_column)

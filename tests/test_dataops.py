@@ -1625,3 +1625,22 @@ def test_count_min_sketch_properties():
     folded = cms_sketch(ds, "v", d=4, w=1024, seed=6969)
     assert np.array_equal(folded.table, seq.table)
     assert np.array_equal(folded.query_many(keys), est)
+
+
+def test_ivfpq_topk_shortlist():
+    """The IVF+PQ stack finds the query cluster without reading floats:
+    coarse probes restrict the scan, ADC ranks codes; shortlist covers
+    the brute-force top-10 on clustered data."""
+    df = _clustered_vectors()
+    ds = rd.from_pandas(df).repartition(4)
+    cents = similarity.train_centroids(ds, num_centroids=16, sample=640,
+                                       seed=6969)
+    books = similarity.pq_train(ds, m=8, nbits=6, sample=640, seed=6969)
+    codes = similarity.pq_encode(similarity.ivf_assign(ds, cents), books,
+                                 keep_cols=["ivf_bucket"])
+    q = np.asarray(df.embedding.iloc[0], dtype=np.float64)[None, :]
+    exact = similarity.brute_force_topk(ds, q, k=10).to_pandas()
+    short = similarity.ivfpq_topk(codes, books, cents, q,
+                                  k=40, nprobe=4).to_pandas()
+    overlap = len(set(exact.vec_id) & set(short.vec_id))
+    assert overlap >= 8, f"IVF+PQ shortlist recall too low: {overlap}/10"
