@@ -201,6 +201,10 @@ BENCH_QUERIES = [
     "events_zorder_blocks",
     "events_type_cms_bound",
     "similarity_ivfpq_recall",
+    # round-5 coda 6: keyword retrieval family (appended; earlier
+    # per-query comparisons stay aligned)
+    "text_bm25_topk",
+    "hybrid_rrf_topk",
 ]
 
 

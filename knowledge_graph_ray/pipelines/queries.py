@@ -10940,3 +10940,183 @@ SELECT CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS recall_floor_met
 
 QUERIES["similarity_ivfpq_recall"] = similarity_ivfpq_recall
 ORACLE_SQL["similarity_ivfpq_recall"] = SIMILARITY_IVFPQ_RECALL_SQL
+
+
+# ------------------------------------------------- keyword retrieval family
+
+BM25_TERMS = ["filter", "merge", "stream"]  # sorted; fixed probe query
+
+
+def text_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-10 for a fixed 3-term query — two streaming
+    passes, zero all-to-all shuffle (stages/retrieval.bm25_topk): pass 1
+    emits ONE exact-int stats row per batch (N, sum dl, per-term df);
+    pass 2 broadcasts idf/avgdl via ray.put, scores vectorized, and
+    keeps a per-batch local top-k so the final sort sees <= k x batches
+    rows.  Float parity with the oracle is by identical operand order
+    (see module docstring)."""
+    from knowledge_graph_ray.stages.retrieval import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    top = bm25_topk(docs, BM25_TERMS, k=10).to_pandas()  # bounded: k rows
+    return pa.table({
+        "doc_id": pa.array(top["doc_id"].to_numpy(dtype="int64")),
+        "score_e6": pa.array(top["score_e6"].to_numpy(dtype="int64")),
+        "rk": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+    })
+
+
+TEXT_BM25_TOPK_SQL = """
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id,
+         count(*) AS dl,
+         count(*) FILTER (WHERE term = 'filter') AS tf_filter,
+         count(*) FILTER (WHERE term = 'merge')  AS tf_merge,
+         count(*) FILTER (WHERE term = 'stream') AS tf_stream
+  FROM tok GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         coalesce(tf.dl, 0) AS dl,
+         coalesce(tf.tf_filter, 0) AS tf_filter,
+         coalesce(tf.tf_merge, 0)  AS tf_merge,
+         coalesce(tf.tf_stream, 0) AS tf_stream
+  FROM documents d LEFT JOIN tf USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS n,
+         sum(dl) AS sum_dl,
+         count(*) FILTER (WHERE tf_filter > 0) AS df_f,
+         count(*) FILTER (WHERE tf_merge > 0)  AS df_m,
+         count(*) FILTER (WHERE tf_stream > 0) AS df_s
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+      ln((n - df_f + 0.5) / (df_f + 0.5) + 1.0) * (tf_filter * (1.2 + 1.0))
+        / (tf_filter + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))
+    + ln((n - df_m + 0.5) / (df_m + 0.5) + 1.0) * (tf_merge * (1.2 + 1.0))
+        / (tf_merge + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))
+    + ln((n - df_s + 0.5) / (df_s + 0.5) + 1.0) * (tf_stream * (1.2 + 1.0))
+        / (tf_stream + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))
+      AS score
+  FROM base, stats
+)
+SELECT doc_id,
+       CAST(round(score * 1000000.0) AS BIGINT) AS score_e6,
+       row_number() OVER (
+         ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doc_id
+       ) AS rk
+FROM scored
+ORDER BY score_e6 DESC, doc_id
+LIMIT 10
+"""
+
+QUERIES["text_bm25_topk"] = text_bm25_topk
+ORACLE_SQL["text_bm25_topk"] = TEXT_BM25_TOPK_SQL
+
+
+def hybrid_rrf_topk(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion (1/(60+rank), Cormack
+    et al. 2009) of the BM25 top-20 and the cosine top-20 over the
+    aligned embeddings table — the standard lexical+vector serving
+    combiner.  Both inputs are global top-m Datasets (bounded); the
+    fusion itself is O(m) driver math (stages/retrieval.rrf_fuse)."""
+    from knowledge_graph_ray.stages.retrieval import bm25_topk, rrf_fuse
+    from knowledge_graph_ray.stages.similarity import brute_force_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    bm = bm25_topk(docs, BM25_TERMS, k=20).to_pandas()
+    bm["rk"] = np.arange(1, len(bm) + 1, dtype=np.int64)
+    cos = brute_force_topk(_emb(sf_dir), _query_vector(sf_dir),
+                           k=20).to_pandas()
+    cos = pd.DataFrame({"doc_id": cos["vec_id"].astype(int),
+                        "rk": cos["rk"].astype(int)})
+    return rrf_fuse([bm[["doc_id", "rk"]], cos], k=10)
+
+
+HYBRID_RRF_TOPK_SQL = """
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (
+  SELECT doc_id,
+         count(*) AS dl,
+         count(*) FILTER (WHERE term = 'filter') AS tf_filter,
+         count(*) FILTER (WHERE term = 'merge')  AS tf_merge,
+         count(*) FILTER (WHERE term = 'stream') AS tf_stream
+  FROM tok GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id,
+         coalesce(tf.dl, 0) AS dl,
+         coalesce(tf.tf_filter, 0) AS tf_filter,
+         coalesce(tf.tf_merge, 0)  AS tf_merge,
+         coalesce(tf.tf_stream, 0) AS tf_stream
+  FROM documents d LEFT JOIN tf USING (doc_id)
+),
+stats AS (
+  SELECT count(*) AS n,
+         sum(dl) AS sum_dl,
+         count(*) FILTER (WHERE tf_filter > 0) AS df_f,
+         count(*) FILTER (WHERE tf_merge > 0)  AS df_m,
+         count(*) FILTER (WHERE tf_stream > 0) AS df_s
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+      ln((n - df_f + 0.5) / (df_f + 0.5) + 1.0) * (tf_filter * (1.2 + 1.0))
+        / (tf_filter + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))
+    + ln((n - df_m + 0.5) / (df_m + 0.5) + 1.0) * (tf_merge * (1.2 + 1.0))
+        / (tf_merge + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))
+    + ln((n - df_s + 0.5) / (df_s + 0.5) + 1.0) * (tf_stream * (1.2 + 1.0))
+        / (tf_stream + 1.2 * (1.0 - 0.75 + 0.75 * dl / (sum_dl / n)))
+      AS score
+  FROM base, stats
+),
+bm AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY CAST(round(score * 1000000.0) AS BIGINT) DESC, doc_id
+         ) AS rk
+  FROM scored
+  QUALIFY rk <= 20
+),
+vv AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(
+             embedding,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0)
+           ) DESC, vec_id
+         ) AS rk
+  FROM embeddings
+  QUALIFY rk <= 20
+),
+fused AS (
+  SELECT coalesce(bm.doc_id, vv.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + bm.rk), 0.0)
+       + coalesce(1.0 / (60.0 + vv.rk), 0.0) AS s
+  FROM bm FULL OUTER JOIN vv ON bm.doc_id = vv.doc_id
+)
+SELECT doc_id,
+       CAST(round(s * 1000000000.0) AS BIGINT) AS rrf_e9,
+       row_number() OVER (
+         ORDER BY CAST(round(s * 1000000000.0) AS BIGINT) DESC, doc_id
+       ) AS rk
+FROM fused
+ORDER BY rrf_e9 DESC, doc_id
+LIMIT 10
+"""
+
+QUERIES["hybrid_rrf_topk"] = hybrid_rrf_topk
+ORACLE_SQL["hybrid_rrf_topk"] = HYBRID_RRF_TOPK_SQL
