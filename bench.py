@@ -205,6 +205,11 @@ BENCH_QUERIES = [
     # per-query comparisons stay aligned)
     "text_bm25_topk",
     "hybrid_rrf_topk",
+    # round-5 coda 7: iterative graph + A/B-stat family
+    "tpch_nation_sssp",
+    "trade_graph_kcore",
+    "events_welch_ttest",
+    "documents_consistent_sample",
 ]
 
 

@@ -934,3 +934,80 @@ def grouped_stddev(ds, keys: list[str], x_col: str,
         return out.append_column(out_col, col)
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_welch_t(ds, group_col: str, value_col: str, baseline,
+                    num_buckets: int = 16):
+    """Welch's two-sample t statistic of every group against the
+    ``baseline`` group — the unequal-variance A/B test over exact
+    integer sufficient statistics (n, Σx, Σx² per group, accumulated in
+    int64 through the ordinary grouped_agg combiner like grouped_corr).
+
+        t = (m_g − m_b) / sqrt(v_g/n_g + v_b/n_b),
+        m = Σx/n,  v = (Σx² − Σx·Σx/n)/(n−1)
+
+    computed as ONE fixed float64 expression over the exact operands,
+    so it is bit-reproducible against a SQL oracle writing the same
+    tree (grouped_corr's contract; same int64 overflow bound —
+    ``value_col`` must be integer, scale cents upstream).
+
+    Returns Dataset[{group_col, n: int64, t_e6: int64}] for every group
+    except the baseline (t rounded half-away at 1e-6, DuckDB round()).
+    Scale shape: the shuffle carries three int64 statistics per group;
+    the finish runs on the group-cardinality-sized table (repartition(1)
+    — bounded by the number of distinct groups, not rows).
+    """
+    import pyarrow.compute as pc
+
+    def expand(b: pa.Table) -> pa.Table:
+        x = b.column(value_col).cast(pa.int64())
+        if len(b):
+            mx = max(abs(pc.min(x).as_py() or 0), abs(pc.max(x).as_py() or 0))
+            if mx * mx > 2 ** 62:
+                raise ValueError(
+                    "grouped_welch_t: x*x can overflow int64; pre-scale "
+                    "the inputs (see grouped_corr exactness bound)"
+                )
+        return pa.table({
+            group_col: b.column(group_col),
+            "x": x,
+            "xx": pc.multiply(x, x),
+        })
+
+    sums = grouped_agg(
+        ds.select_columns([group_col, value_col]).map_batches(
+            expand, batch_format="pyarrow"),
+        [group_col],
+        [("n", None, "count"), ("sx", "x", "sum"), ("sxx", "xx", "sum")],
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from knowledge_graph_ray.functions.numeric import round_half_away
+
+        base = df[df[group_col] == baseline]
+        if len(base) != 1:
+            raise ValueError(
+                f"grouped_welch_t: baseline group {baseline!r} absent "
+                "or duplicated in the aggregate"
+            )
+        bn = float(base.n.iloc[0])
+        bsx = float(base.sx.iloc[0])
+        bsxx = float(base.sxx.iloc[0])
+        rest = df[df[group_col] != baseline]
+        n = rest.n.to_numpy().astype(np.float64)
+        sx = rest.sx.to_numpy().astype(np.float64)
+        sxx = rest.sxx.to_numpy().astype(np.float64)
+        vb = (bsxx - bsx * bsx / bn) / (bn - 1.0)
+        v = (sxx - sx * sx / n) / (n - 1.0)
+        t = (sx / n - bsx / bn) / np.sqrt(v / n + vb / bn)
+        return pd.DataFrame({
+            group_col: rest[group_col].to_numpy(),
+            "n": rest.n.to_numpy().astype(np.int64),
+            "t_e6": np.array([round_half_away(x * 1e6) for x in t],
+                             dtype=np.int64),
+        })
+
+    return sums.repartition(1).map_batches(finish, batch_format="pandas")

@@ -11120,3 +11120,341 @@ LIMIT 10
 
 QUERIES["hybrid_rrf_topk"] = hybrid_rrf_topk
 ORACLE_SQL["hybrid_rrf_topk"] = HYBRID_RRF_TOPK_SQL
+
+
+def _nation_trade_edges(sf_dir: str):
+    """Dataset[{src, dst, w}] — symmetric nation-nation trade graph:
+    one undirected edge per (unordered) nation pair that trades, weight
+    = 1 + 10^7 // lineitem-count between the pair (heavy trade = cheap
+    edge).  Same snowflake->star attach chain as
+    tpch_nation_trade_pairs; integer weights both sides so the SSSP
+    distances compare exactly."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey"])
+    line = project(line, {"l_orderkey": "o_orderkey", "l_suppkey": "l_suppkey"})
+    supplier = project(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]),
+        {"s_suppkey": "l_suppkey", "s_nationkey": "s_nationkey"},
+    )
+    orders = project(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        ["o_orderkey", "o_custkey"],
+    )
+    customer = project(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"]),
+        {"c_custkey": "o_custkey", "c_nationkey": "c_nationkey"},
+    )
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    n_nation = _pq_rows(f"{sf_dir}/nation.parquet")
+    supp_dim = size_adaptive_join(
+        supplier,
+        project(nation, {"n_nationkey": "s_nationkey", "n_name": "supp_nation"}),
+        on=["s_nationkey"], how="inner",
+        broadcast_max=BROADCAST_KEYS_MAX, right_size_hint=n_nation,
+    ).select_columns(["l_suppkey", "supp_nation"])
+    cust_dim = size_adaptive_join(
+        customer,
+        project(nation, {"n_nationkey": "c_nationkey", "n_name": "cust_nation"}),
+        on=["c_nationkey"], how="inner",
+        broadcast_max=BROADCAST_KEYS_MAX, right_size_hint=n_nation,
+    ).select_columns(["o_custkey", "cust_nation"])
+    step = size_adaptive_join(line, supp_dim, on=["l_suppkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX,
+                              right_size_hint=_pq_rows(
+                                  f"{sf_dir}/supplier.parquet"))
+    step = size_adaptive_join(step, orders, on=["o_orderkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX,
+                              right_size_hint=_pq_rows(
+                                  f"{sf_dir}/orders.parquet"))
+    step = size_adaptive_join(step, cust_dim, on=["o_custkey"], how="inner",
+                              broadcast_max=BROADCAST_KEYS_MAX,
+                              right_size_hint=_pq_rows(
+                                  f"{sf_dir}/customer.parquet"))
+
+    def canon(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        x = t.column("supp_nation")
+        y = t.column("cust_nation")
+        out = pa.table({"a": pc.min_element_wise(x, y),
+                        "b": pc.max_element_wise(x, y)})
+        return out.filter(pc.not_equal(out.column("a"), out.column("b")))
+
+    pair = grouped_agg(step.map_batches(canon, batch_format="pyarrow"),
+                       ["a", "b"], [("cnt", None, "count")])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        w = pc.add(
+            pa.scalar(1, pa.int64()),
+            pc.divide(pa.scalar(10_000_000, pa.int64()),
+                      t.column("cnt").cast(pa.int64())),
+        )
+        return pa.concat_tables([
+            pa.table({"src": t.column("a"), "dst": t.column("b"), "w": w}),
+            pa.table({"src": t.column("b"), "dst": t.column("a"), "w": w}),
+        ])
+
+    return pair.map_batches(weigh, batch_format="pyarrow").materialize()
+
+
+def tpch_nation_sssp(sf_dir: str):
+    """Exact weighted single-source shortest paths over the nation
+    trade graph from the alphabetically-first nation — the north
+    rule's "iterative groupby-min label propagation" as a driver-gated
+    query (stages/graphops.sssp_weighted: distributed Bellman-Ford,
+    frontier-pruned).
+
+    Scale shape: the edge table materializes once (nation-pair-sized
+    here; |E|-sized in general) and per round the engine runs one
+    size-adaptive frontier join + one groupby-min + one (node, dist)
+    anti-join; distance/frontier tables carry two columns.  The oracle
+    unrolls 24 Bellman-Ford rounds in chained CTEs (>= any shortest
+    path's hop count on a <=25-node graph), so both sides are exact."""
+    from knowledge_graph_ray.stages.graphops import sssp_weighted
+
+    edges = _nation_trade_edges(sf_dir)
+    seed = edges.min("src")
+    return sssp_weighted(edges, seed)
+
+
+def _build_nation_sssp_sql(rounds: int = 24) -> str:
+    parts = ["""
+WITH pair AS MATERIALIZED (
+  SELECT least(n1.n_name, n2.n_name) AS a,
+         greatest(n1.n_name, n2.n_name) AS b,
+         count(*) AS cnt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+  GROUP BY 1, 2
+),
+e AS MATERIALIZED (
+  SELECT a AS src, b AS dst, 1 + 10000000 // cnt AS w FROM pair
+  UNION ALL
+  SELECT b AS src, a AS dst, 1 + 10000000 // cnt AS w FROM pair
+),
+d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM e)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{i - 1} d JOIN e ON e.src = d.node
+  ) GROUP BY node
+)""")
+    parts.append(f"\nSELECT node, dist FROM d{rounds} ORDER BY node")
+    return "".join(parts)
+
+
+TPCH_NATION_SSSP_SQL = _build_nation_sssp_sql()
+
+QUERIES["tpch_nation_sssp"] = tpch_nation_sssp
+ORACLE_SQL["tpch_nation_sssp"] = TPCH_NATION_SSSP_SQL
+
+
+def trade_graph_kcore(sf_dir: str):
+    """k-core decomposition (k=3) of the repeat-trade customer-supplier
+    graph (edge = pair with >= 3 lineitems: the sparsified graph has
+    real degree variance, so the peel genuinely cascades — 3 rounds at
+    sf0.01) — iterative peel via groupby-degree + anti-join
+    (stages/graphops.kcore), the standard dense-subgraph primitive for
+    spam/bot-cluster mining over interaction graphs.
+
+    Scale shape: per peel round one degree aggregate + two
+    size-adaptive anti-joins against the (small) peel set; edges only
+    shrink.  The oracle unrolls 16 peel rounds in chained CTEs — the
+    engine's own fixpoint is asserted under that bound by pytest."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+    from knowledge_graph_ray.stages.graphops import kcore
+
+    orders = project(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        ["o_orderkey", "o_custkey"],
+    )
+    line = project(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey"]),
+        {"l_orderkey": "o_orderkey", "l_suppkey": "l_suppkey"},
+    )
+    pairs = size_adaptive_join(line, orders, on=["o_orderkey"], how="inner",
+                               broadcast_max=BROADCAST_KEYS_MAX,
+                               right_size_hint=_pq_rows(
+                                   f"{sf_dir}/orders.parquet"))
+
+    def lab(t: pa.Table) -> pa.Table:
+        c = pc.binary_join_element_wise(
+            pa.scalar("c"), t.column("o_custkey").cast(pa.string()), ":")
+        s = pc.binary_join_element_wise(
+            pa.scalar("s"), t.column("l_suppkey").cast(pa.string()), ":")
+        return pa.table({"src": c, "dst": s})
+
+    counted = grouped_agg(pairs.map_batches(lab, batch_format="pyarrow"),
+                          ["src", "dst"], [("cnt", None, "count")])
+    edges = counted.filter(expr="cnt >= 3").select_columns(["src", "dst"])
+    return kcore(edges, k=3)
+
+
+def _build_kcore_sql(k: int = 3, rounds: int = 16) -> str:
+    parts = ["""
+WITH e0 AS MATERIALIZED (
+  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         's:' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+s0 AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+l{i} AS MATERIALIZED (
+  SELECT a FROM (SELECT a, count(*) AS d FROM s{i - 1} GROUP BY a)
+  WHERE d < {k}
+),
+s{i} AS MATERIALIZED (
+  SELECT s.a, s.b FROM s{i - 1} s
+  WHERE s.a NOT IN (SELECT a FROM l{i})
+    AND s.b NOT IN (SELECT a FROM l{i})
+)""")
+    parts.append(
+        f"\nSELECT a AS node, CAST(count(*) AS BIGINT) AS deg"
+        f"\nFROM s{rounds} GROUP BY a ORDER BY node"
+    )
+    return "".join(parts)
+
+
+TRADE_GRAPH_KCORE_SQL = _build_kcore_sql()
+
+QUERIES["trade_graph_kcore"] = trade_graph_kcore
+ORACLE_SQL["trade_graph_kcore"] = TRADE_GRAPH_KCORE_SQL
+
+
+def events_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t statistic of every event type's value
+    against the 'click' baseline — the A/B-test primitive
+    (functions/agg.grouped_welch_t): exact int64 cents sufficient
+    statistics through the ordinary combiner, one fixed float64
+    expression at the end (grouped_corr's bit-reproducibility
+    contract), t rounded half-away at 1e-6.
+
+    Scale shape: the shuffle moves three int64 statistics per group;
+    the finish runs once on the group-cardinality-sized table."""
+    from knowledge_graph_ray.functions.agg import grouped_welch_t
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "cents": scaled_int_column(b.column("value"), 100.0),
+        })
+
+    return grouped_welch_t(
+        events.map_batches(cents, batch_format="pyarrow"),
+        "event_type", "cents", baseline="click",
+    )
+
+
+EVENTS_WELCH_TTEST_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         count(*) AS n_i,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(cents) AS DOUBLE) AS sx,
+         CAST(sum(cents * cents) AS DOUBLE) AS sxx
+  FROM e GROUP BY event_type
+),
+b AS (SELECT * FROM s WHERE event_type = 'click')
+SELECT s.event_type,
+       CAST(s.n_i AS BIGINT) AS n,
+       CAST(round(
+         (s.sx / s.n - b.sx / b.n)
+         / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1) / s.n
+                + (b.sxx - b.sx * b.sx / b.n) / (b.n - 1) / b.n) * 1e6
+       ) AS BIGINT) AS t_e6
+FROM s, b
+WHERE s.event_type <> 'click'
+"""
+
+QUERIES["events_welch_ttest"] = events_welch_ttest
+ORACLE_SQL["events_welch_ttest"] = EVENTS_WELCH_TTEST_SQL
+
+
+def documents_consistent_sample(sf_dir: str):
+    """Deterministic cross-engine-reproducible bottom-k sample: the 50
+    documents with the smallest md5(doc_id) digest — consistent hashing
+    gives a sample that is stable under re-runs, repartitioning, and
+    engine swaps (the reproducibility property RNG-based samplers
+    lack), and composes into consistent sampling ACROSS tables (hash
+    the shared key everywhere).
+
+    Scale shape: per-batch local bottom-k combiner
+    (functions/grouping.grouped_topk) bounds the shuffle to <= k rows
+    per block; md5 itself is the C hashlib primitive — inherently
+    per-row, 16 bytes out."""
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def digest(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = b.column("doc_id").to_pylist()
+        return pa.table({
+            "g": pa.array([1] * len(b), pa.int64()),
+            "doc_id": b.column("doc_id"),
+            "digest": pa.array(
+                [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                pa.string(),
+            ),
+        })
+
+    top = grouped_topk(docs.map_batches(digest, batch_format="pyarrow"),
+                       ["g"], "digest", 50, descending=False,
+                       tie_cols=["doc_id"])
+    return top.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "digest": t.column("digest"),
+            "rk": t.column("rk").cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DOCUMENTS_CONSISTENT_SAMPLE_SQL = """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR)) AS digest,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS rk
+FROM documents
+QUALIFY rk <= 50
+ORDER BY rk
+"""
+
+QUERIES["documents_consistent_sample"] = documents_consistent_sample
+ORACLE_SQL["documents_consistent_sample"] = DOCUMENTS_CONSISTENT_SAMPLE_SQL

@@ -136,6 +136,129 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
                                    pa.array([n_tri], pa.int64())}))
 
 
+def sssp_weighted(edges, seed: str, src: str = "src", dst: str = "dst",
+                  weight: str = "w", max_rounds: int = 64,
+                  broadcast_max: int = 5_000_000):
+    """Dataset[{node: string, dist: int64}] — exact single-source
+    shortest paths over a positively-integer-weighted DIRECTED edge set
+    (symmetrize upstream for undirected graphs), the north-star's
+    "iterative groupby-min label propagation" realized as distributed
+    Bellman-Ford with frontier pruning.
+
+    Scale shape: per round, ONE size-adaptive join of the edge set
+    against the improved-frontier (node, dist) table emits candidate
+    distances (frontier broadcasts while small, flips to a partitioned
+    hash join past the budget), then ONE groupby-min folds candidates
+    into the running distance table; the next frontier is the anti-join
+    of new vs old on (node, dist) — only nodes whose distance actually
+    improved relax again, so total relaxations track the queue-based
+    Bellman-Ford, not rounds × |E|.  State tables hold (node, dist)
+    pairs only; the per-round convergence probe is one count() on the
+    frontier.  Rounds = hop length of the longest shortest path.
+    Pass a MATERIALIZED edge dataset — it is re-joined every round.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import (
+        project,
+        size_adaptive_join,
+    )
+
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array([str(seed)], type=pa.string()),
+        "dist": pa.array([0], type=pa.int64()),
+    })).materialize()
+    frontier = dist
+    for _ in range(max_rounds):
+        hit = size_adaptive_join(
+            edges, project(frontier, {"node": src, "dist": "dist"}),
+            on=[src], how="inner", broadcast_max=broadcast_max,
+        )
+        cand = hit.map_batches(
+            lambda t: pa.table({
+                "node": t.column(dst).cast(pa.string()),
+                "dist": pc.add(t.column("dist").cast(pa.int64()),
+                               t.column(weight).cast(pa.int64())),
+            }),
+            batch_format="pyarrow",
+        )
+        merged = grouped_agg(dist.union(cand), ["node"],
+                             [("dist", "dist", "min")]).materialize()
+        improved = size_adaptive_join(
+            merged, dist, on=["node", "dist"], how="left_anti",
+            broadcast_max=broadcast_max,
+        ).materialize()
+        dist = merged
+        if improved.count() == 0:
+            break
+        frontier = improved
+    return dist
+
+
+def kcore(edges, k: int, src: str = "src", dst: str = "dst",
+          max_rounds: int = 64, broadcast_max: int = 5_000_000):
+    """Dataset[{node: string, deg: int64}] — every node of the k-core
+    (the maximal subgraph where all degrees are >= k) of the simple
+    undirected graph induced by ``edges``, with its in-core degree.
+
+    Iterative peel: normalize to a symmetric distinct edge list once,
+    then each round (a) one groupby-count gives current degrees,
+    (b) nodes below k form the peel set, (c) TWO size-adaptive
+    anti-joins drop edges touching peeled nodes.  The peel set is
+    degree-table-sized (broadcasts while small); edges stream every
+    round and only shrink.  Converges in core-number rounds (typically
+    a handful on real graphs); exact by construction.
+    """
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b.column(src).cast(pa.string())
+        c = b.column(dst).cast(pa.string())
+        t = pa.table({"a": a, "b": c})
+        return t.filter(pc.not_equal(t.column("a"), t.column("b")))
+
+    half = distinct_rows(
+        edges.select_columns([src, dst]).map_batches(
+            canon, batch_format="pyarrow"),
+        ["a", "b"],
+        empty_schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+    )
+    # symmetric closure so one groupby on "a" counts full degrees
+    sym = distinct_rows(
+        half.map_batches(
+            lambda t: pa.concat_tables([
+                t.select(["a", "b"]),
+                pa.table({"a": t.column("b"), "b": t.column("a")}),
+            ]),
+            batch_format="pyarrow",
+        ),
+        ["a", "b"],
+        empty_schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+    ).materialize()
+
+    for _ in range(max_rounds):
+        deg = grouped_agg(sym, ["a"], [("deg", None, "count")])
+        low = deg.filter(
+            expr=f"deg < {int(k)}"
+        ).select_columns(["a"]).materialize()
+        if low.count() == 0:
+            break
+        sym = size_adaptive_join(sym, low, on=["a"], how="left_anti",
+                                 broadcast_max=broadcast_max)
+        sym = size_adaptive_join(sym, project(low, {"a": "b"}), on=["b"],
+                                 how="left_anti",
+                                 broadcast_max=broadcast_max).materialize()
+    return project(
+        grouped_agg(sym, ["a"], [("deg", None, "count")]),
+        {"a": "node", "deg": "deg"},
+    )
+
+
 def bipartite_bfs_hops(edges, seed_left, hops: int = 3,
                        left: str = "c", right: str = "s",
                        broadcast_max: int = 5_000_000):

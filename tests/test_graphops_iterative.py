@@ -1,0 +1,108 @@
+"""sssp_weighted / kcore (stages/graphops.py) vs networkx, and
+grouped_welch_t (functions/agg.py) vs an independent plain-Python
+computation."""
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from knowledge_graph_ray.functions.agg import grouped_welch_t
+from knowledge_graph_ray.stages.graphops import kcore, sssp_weighted
+
+
+def _random_edges(rng, n, m, max_w=20):
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    w = rng.integers(1, max_w, m)
+    df = pd.DataFrame({
+        "src": [f"n{a:02d}" for a in src],
+        "dst": [f"n{b:02d}" for b in dst],
+        "w": w.astype(np.int64),
+    })
+    df = df[df.src != df.dst]
+    # symmetrize, then min weight per directed pair so both the engine
+    # and networkx see one unambiguous weight
+    sym = pd.concat([df, df.rename(columns={"src": "dst", "dst": "src"})])
+    return sym.groupby(["src", "dst"], as_index=False).w.min()
+
+
+def test_sssp_weighted_matches_dijkstra():
+    rng = np.random.default_rng(11)
+    for n, m in ((12, 40), (40, 220)):
+        sym = _random_edges(rng, n, m)
+        g = nx.DiGraph()
+        g.add_weighted_edges_from(sym.itertuples(index=False))
+        seed = sym.src.min()
+        want = nx.single_source_dijkstra_path_length(g, seed, weight="weight")
+
+        edges = rd.from_pandas(sym).materialize()
+        got = sssp_weighted(edges, seed).to_pandas()
+        got_map = dict(zip(got.node, got.dist))
+        assert got_map == {k: int(v) for k, v in want.items()}
+
+
+def test_sssp_unreachable_nodes_absent():
+    sym = pd.DataFrame({
+        "src": ["a", "b", "x"],
+        "dst": ["b", "a", "y"],
+        "w": np.array([3, 3, 1], dtype=np.int64),
+    })
+    edges = rd.from_pandas(sym).materialize()
+    got = sssp_weighted(edges, "a").to_pandas()
+    assert dict(zip(got.node, got.dist)) == {"a": 0, "b": 3}
+
+
+def test_kcore_matches_networkx():
+    rng = np.random.default_rng(23)
+    for n, m, k in ((20, 50, 2), (50, 160, 3), (60, 260, 4)):
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        df = pd.DataFrame({"src": [f"n{a:02d}" for a in src],
+                           "dst": [f"n{b:02d}" for b in dst]})
+        g = nx.Graph()
+        g.add_edges_from(df.itertuples(index=False))
+        g.remove_edges_from(nx.selfloop_edges(g))
+        core = nx.k_core(g, k)
+        want = dict(core.degree())
+
+        got = kcore(rd.from_pandas(df), k=k).to_pandas()
+        assert dict(zip(got.node, got.deg)) == want
+
+
+def test_kcore_multi_round_peel_to_empty():
+    # path graph: k=2 peels one end-pair per round until nothing is left
+    nodes = [f"p{i}" for i in range(10)]
+    df = pd.DataFrame({"src": nodes[:-1], "dst": nodes[1:]})
+    got = kcore(rd.from_pandas(df), k=2).to_pandas()
+    assert len(got) == 0
+
+
+def test_grouped_welch_t_matches_plain_python():
+    rng = np.random.default_rng(5)
+    rows = []
+    for grp, mu in (("a", 100), ("b", 130), ("c", 70)):
+        for v in rng.integers(mu - 40, mu + 40, 200):
+            rows.append({"g": grp, "x": int(v)})
+    df = pd.DataFrame(rows)
+    got = grouped_welch_t(rd.from_pandas(df), "g", "x",
+                          baseline="a").to_pandas()
+    assert set(got.g) == {"b", "c"}
+
+    base = df[df.g == "a"].x.to_numpy(dtype=np.float64)
+    nb, mb, vb = len(base), base.mean(), base.var(ddof=1)
+    for grp in ("b", "c"):
+        s = df[df.g == grp].x.to_numpy(dtype=np.float64)
+        t = (s.mean() - mb) / np.sqrt(s.var(ddof=1) / len(s) + vb / nb)
+        row = got[got.g == grp].iloc[0]
+        assert row.n == len(s)
+        assert abs(int(row.t_e6) - round(t * 1e6)) <= 2
+
+
+def test_grouped_welch_t_missing_baseline_raises():
+    df = pd.DataFrame({"g": ["a", "b"], "x": [1, 2]})
+    with pytest.raises(Exception, match="baseline"):
+        grouped_welch_t(rd.from_pandas(df), "g", "x",
+                        baseline="zz").to_pandas()
