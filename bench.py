@@ -210,6 +210,8 @@ BENCH_QUERIES = [
     "trade_graph_kcore",
     "events_welch_ttest",
     "documents_consistent_sample",
+    "customer_name_edit1_pairs",
+    "events_user_consistent_sample",
 ]
 
 

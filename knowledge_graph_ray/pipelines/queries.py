@@ -11458,3 +11458,63 @@ ORDER BY rk
 
 QUERIES["documents_consistent_sample"] = documents_consistent_sample
 ORACLE_SQL["documents_consistent_sample"] = DOCUMENTS_CONSISTENT_SAMPLE_SQL
+
+
+def customer_name_edit1_pairs(sf_dir: str):
+    """Exact global edit-distance-<=1 self-join over customer names
+    (stages/fuzzy.levenshtein1_pairs): the SymSpell deletion-
+    neighborhood equi-join gives a candidate superset from ONE
+    variant-hash shuffle with alphabet-bounded group sizes, then a
+    vectorized <=1 verify filters it — full recall with no all-pairs
+    step (the oracle IS the all-pairs levenshtein join)."""
+    from knowledge_graph_ray.stages.fuzzy import levenshtein1_pairs
+
+    customers = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_name"])
+    return levenshtein1_pairs(customers, "c_name")
+
+
+CUSTOMER_NAME_EDIT1_PAIRS_SQL = """
+SELECT DISTINCT a.c_name AS a, b.c_name AS b
+FROM customer a JOIN customer b
+  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY 1, 2
+"""
+
+QUERIES["customer_name_edit1_pairs"] = customer_name_edit1_pairs
+ORACLE_SQL["customer_name_edit1_pairs"] = CUSTOMER_NAME_EDIT1_PAIRS_SQL
+
+
+def events_user_consistent_sample(sf_dir: str):
+    """Leak-free user-level event sampling: keep ALL events of the
+    ~1/4 of users whose md5(user_id) digest sorts below '4' — the
+    split primitive that prevents a user's events straddling
+    train/eval (row-level hash splits leak user behavior across
+    splits; user-consistent hashing is the standard fix).
+
+    Scale shape: ZERO shuffle — a stateless vectorized-batch filter;
+    md5 is the per-row C primitive (inherent to portable hashing), and
+    because the key is the shared user_id the same predicate composes
+    consistently across every table keyed by user."""
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "event_type"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        uid = b.column("user_id").to_pylist()
+        mask = pa.array(
+            [hashlib.md5(str(u).encode()).hexdigest() < "4" for u in uid])
+        return b.filter(mask)
+
+    return events.map_batches(keep, batch_format="pyarrow")
+
+
+EVENTS_USER_CONSISTENT_SAMPLE_SQL = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE md5(CAST(user_id AS VARCHAR)) < '4'
+"""
+
+QUERIES["events_user_consistent_sample"] = events_user_consistent_sample
+ORACLE_SQL["events_user_consistent_sample"] = EVENTS_USER_CONSISTENT_SAMPLE_SQL

@@ -188,3 +188,114 @@ def hamming1_pairs(ds, text_col: str):
 
     return grouped_agg(partials, ["diff_pos"],
                        [("n_pairs", "n_partial", "sum")])
+
+
+def _ed1_class_mask(a_list, b_list):
+    """Boolean mask: levenshtein(a[i], b[i]) <= 1 for paired string
+    lists — vectorized within (len_a, len_b) classes via fixed-width
+    UCS4 char matrices (no per-pair DP; the <=1 check decomposes into
+    one elementwise compare for equal lengths and two shifted compares
+    for a length-1 gap)."""
+    n = len(a_list)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    la = np.fromiter((len(x) for x in a_list), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in b_list), dtype=np.int64, count=n)
+    # orient so s(horter) <= t(aller); equal lengths keep order
+    swap = la > lb
+    ls = np.where(swap, lb, la)
+    lt = np.where(swap, la, lb)
+    valid = (lt - ls) <= 1
+    comb = ls * 100_000 + lt
+    for key in np.unique(comb[valid]):
+        idx = np.flatnonzero((comb == key) & valid)
+        m = int(ls[idx[0]])
+        L = int(lt[idx[0]])
+        if m == 0:
+            out[idx] = True  # "" vs <=1-char string
+            continue
+        s_strs = [(b_list[i] if swap[i] else a_list[i]) for i in idx]
+        t_strs = [(a_list[i] if swap[i] else b_list[i]) for i in idx]
+        S = np.array(s_strs, dtype=f"U{m}").view(np.uint32).reshape(len(idx), m)
+        T = np.array(t_strs, dtype=f"U{L}").view(np.uint32).reshape(len(idx), L)
+        if m == L:
+            out[idx] = (S != T).sum(axis=1) <= 1
+        else:
+            pre = S != T[:, :m]
+            shift = S != T[:, 1:]
+            has = pre.any(axis=1)
+            p = np.where(has, pre.argmax(axis=1), m)
+            # suffix-count of shifted mismatches at/after p must be 0
+            sfx = np.cumsum(shift[:, ::-1], axis=1)[:, ::-1]
+            sfxp = np.concatenate(
+                [sfx, np.zeros((len(idx), 1), dtype=sfx.dtype)], axis=1)
+            out[idx] = np.take_along_axis(
+                sfxp, p[:, None], axis=1)[:, 0] == 0
+    return out
+
+
+def levenshtein1_pairs(ds, text_col: str, num_buckets: int = 64):
+    """ALL unordered pairs of distinct string VALUES at Levenshtein
+    distance <= 1 — the exact global edit-distance join, via the
+    SymSpell deletion-neighborhood equi-join: ed(x, y) <= 1 implies x
+    and y share a member of {s} ∪ {single-char deletes of s}, so one
+    variant-hash shuffle yields a candidate superset; an exact
+    vectorized <=1 check then filters it (the key alone overmatches:
+    'ab'/'ba' share the delete 'a' but sit at distance 2).
+
+    -> Dataset[{a, b}] with a < b, distinct.
+
+    Scale shape: variant explode is vectorized per position (loop over
+    string positions, each one full-column slice); ONE shuffle on the
+    variant key; per-variant group size is ALPHABET-BOUNDED — a
+    variant v of length m is reachable only from names equal to v or
+    names that insert one of |alphabet| chars at one of m+1 positions,
+    so the within-group pair product cannot blow up on any input; the
+    verify pass is candidate-bounded and vectorized (no per-pair DP
+    loop).  Reference analogue: the blocking+verify fuzzy joins of
+    stages/fuzzy.char_jaccard_pairs with an EXACT recall guarantee."""
+    from knowledge_graph_ray.functions.agg import distinct_rows
+
+    def variants(batch: pa.Table) -> pa.Table:
+        s = batch.column(text_col).to_pandas().astype(str)
+        lens = s.str.len()
+        max_len = int(lens.max()) if len(s) else 0
+        outs = [pd.DataFrame({"var": s, "name": s})]  # identity variant
+        for p in range(1, max_len + 1):
+            msk = lens >= p
+            sub = s[msk]
+            outs.append(pd.DataFrame({
+                "var": sub.str.slice(0, p - 1) + sub.str.slice(p),
+                "name": sub,
+            }))
+        return pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                    preserve_index=False)
+
+    exploded = ds.map_batches(variants, batch_format="pyarrow")
+
+    def pair_body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket[["var", "name"]].drop_duplicates()
+        m = df.merge(df, on="var")
+        m = m[m["name_x"] < m["name_y"]]
+        m = m[["name_x", "name_y"]].drop_duplicates()
+        return pa.Table.from_pydict({
+            "a": pa.array(m.name_x.to_numpy(), type=pa.string()),
+            "b": pa.array(m.name_y.to_numpy(), type=pa.string()),
+        })
+
+    cand = distinct_rows(
+        bucketed_bucket_map(
+            exploded, ["var"], pair_body,
+            empty_schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+        ),
+        ["a", "b"],
+        empty_schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        return batch.filter(pa.array(_ed1_class_mask(a, b)))
+
+    return cand.map_batches(verify, batch_format="pyarrow")
