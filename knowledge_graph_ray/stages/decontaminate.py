@@ -58,7 +58,7 @@ def _gram_frame(texts: "pa.ChunkedArray | pa.Array", n: int) -> "pd.DataFrame":
     import numpy as np
 
     doc = np.repeat(np.arange(len(arr)), lens)
-    s = toks.explode().drop_nulls().to_pandas()
+    s = toks.explode(empty_as_null=False).drop_nulls().to_pandas()
     if not len(s):
         return pd.DataFrame({"doc": np.array([], dtype=np.int64),
                              "gram": pd.Series([], dtype=object)})

@@ -604,7 +604,7 @@ class SimHasher:
         lens = toks.list.len().to_numpy()
         df = pd.DataFrame({
             "doc": np.repeat(np.arange(len(ids)), lens),
-            "tok": toks.explode().drop_nulls().to_pandas()
+            "tok": toks.explode(empty_as_null=False).drop_nulls().to_pandas()
             if int(lens.sum()) else pd.Series([], dtype=object),
         })
         acc = np.zeros((len(ids), 64), dtype=np.int64)
