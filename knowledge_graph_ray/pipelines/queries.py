@@ -11518,3 +11518,96 @@ WHERE md5(CAST(user_id AS VARCHAR)) < '4'
 
 QUERIES["events_user_consistent_sample"] = events_user_consistent_sample
 ORACLE_SQL["events_user_consistent_sample"] = EVENTS_USER_CONSISTENT_SAMPLE_SQL
+
+
+# ------------------------------------------------- link prediction (coda-8)
+
+
+def trade_graph_link_prediction(sf_dir: str):
+    """Common-neighbor / Adamic-Adar link prediction
+    (stages/graphops.link_prediction) over the repeat-trade
+    customer-supplier graph (edge = pair with >= 2 lineitems) — the
+    classic "customers who share suppliers" recommendation shape
+    (Liben-Nowell & Kleinberg 2003).
+
+    Every shared neighbor w adds 1 common neighbor and 1/ln(deg(w))
+    Adamic-Adar mass; pairs need >= 2 shared neighbors.  aa reported
+    e9 fixed-point (float64 on both sides; sums of <= a few hundred
+    1/ln terms sit ~1e-12 absolute from the oracle, far inside the
+    0.5e-9 rounding granularity — same contract as grouped_corr).
+
+    Scale shape: one symmetrize exchange, one groupby-w vectorized
+    pair expansion (degree-capped at web scale; exact here), one
+    groupby-pair sum, one size-adaptive anti-join of existing edges."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+    from knowledge_graph_ray.stages.graphops import link_prediction
+
+    orders = project(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        ["o_orderkey", "o_custkey"],
+    )
+    line = project(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey"]),
+        {"l_orderkey": "o_orderkey", "l_suppkey": "l_suppkey"},
+    )
+    pairs = size_adaptive_join(line, orders, on=["o_orderkey"], how="inner",
+                               broadcast_max=BROADCAST_KEYS_MAX,
+                               right_size_hint=_pq_rows(
+                                   f"{sf_dir}/orders.parquet"))
+
+    def lab(t: pa.Table) -> pa.Table:
+        c = pc.binary_join_element_wise(
+            pa.scalar("c"), t.column("o_custkey").cast(pa.string()), ":")
+        s = pc.binary_join_element_wise(
+            pa.scalar("s"), t.column("l_suppkey").cast(pa.string()), ":")
+        return pa.table({"src": c, "dst": s})
+
+    counted = grouped_agg(pairs.map_batches(lab, batch_format="pyarrow"),
+                          ["src", "dst"], [("cnt", None, "count")])
+    edges = counted.filter(expr="cnt >= 2").select_columns(["src", "dst"])
+    scored = link_prediction(edges, min_common=2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": b.column("a"),
+            "b": b.column("b"),
+            "common": b.column("common").cast(pa.int64()),
+            "aa_e9": scaled_int_column(b.column("aa"), 1e9),
+        })
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
+TRADE_GRAPH_LINK_PREDICTION_SQL = """
+WITH e0 AS MATERIALIZED (
+  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+         's:' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+s AS MATERIALIZED (SELECT a AS w, b AS n FROM e0
+                   UNION SELECT b AS w, a AS n FROM e0),
+deg AS MATERIALIZED (SELECT w, count(*) AS d FROM s GROUP BY w),
+pairs AS (
+  SELECT s1.n AS a, s2.n AS b, s1.w
+  FROM s s1 JOIN s s2 ON s1.w = s2.w AND s1.n < s2.n
+),
+scored AS (
+  SELECT p.a, p.b, count(*) AS common,
+         CAST(round(sum(1.0 / ln(deg.d)) * 1000000000) AS BIGINT) AS aa_e9
+  FROM pairs p JOIN deg ON deg.w = p.w
+  GROUP BY p.a, p.b
+  HAVING count(*) >= 2
+)
+SELECT sc.a, sc.b, sc.common, sc.aa_e9
+FROM scored sc
+ANTI JOIN e0 ON e0.a = sc.a AND e0.b = sc.b
+"""
+
+QUERIES["trade_graph_link_prediction"] = trade_graph_link_prediction
+ORACLE_SQL["trade_graph_link_prediction"] = TRADE_GRAPH_LINK_PREDICTION_SQL

@@ -106,3 +106,79 @@ def test_grouped_welch_t_missing_baseline_raises():
     with pytest.raises(Exception, match="baseline"):
         grouped_welch_t(rd.from_pandas(df), "g", "x",
                         baseline="zz").to_pandas()
+
+
+# --------------------------------------------------------- link prediction
+
+
+def _lp_frame(got) -> dict:
+    df = got.to_pandas()
+    return {(a, b): (int(c), round(float(s), 9))
+            for a, b, c, s in zip(df.a, df.b, df.common, df.aa)}
+
+
+def test_link_prediction_matches_networkx():
+    from knowledge_graph_ray.stages.graphops import link_prediction
+
+    rng = np.random.default_rng(37)
+    for n, m in ((15, 40), (40, 150)):
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        df = pd.DataFrame({"src": [f"n{a:02d}" for a in src],
+                           "dst": [f"n{b:02d}" for b in dst]})
+        g = nx.Graph()
+        g.add_edges_from(df.itertuples(index=False))
+        g.remove_edges_from(nx.selfloop_edges(g))
+
+        want = {}
+        for u, v, s in nx.adamic_adar_index(g):
+            cn = len(list(nx.common_neighbors(g, u, v)))
+            if cn:
+                a, b = min(u, v), max(u, v)
+                want[(a, b)] = (cn, round(float(s), 9))
+
+        got = _lp_frame(link_prediction(rd.from_pandas(df)))
+        assert got == want
+
+
+def test_link_prediction_keeps_existing_edges_when_asked():
+    from knowledge_graph_ray.stages.graphops import link_prediction
+
+    # triangle + pendant: A-B adjacent AND share neighbor C
+    df = pd.DataFrame({"src": ["A", "B", "A", "C"],
+                       "dst": ["B", "C", "C", "D"]})
+    excl = _lp_frame(link_prediction(rd.from_pandas(df)))
+    keep = _lp_frame(link_prediction(rd.from_pandas(df),
+                                     exclude_existing=False))
+    assert ("A", "B") not in excl and ("A", "B") in keep
+    assert set(keep) - set(excl) == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+def test_link_prediction_degree_cap_drops_hub_wedges():
+    from knowledge_graph_ray.stages.graphops import link_prediction
+
+    # hub H serves 5 leaves; side edge X-Y-Z gives one capped-safe pair
+    df = pd.DataFrame({
+        "src": ["H"] * 5 + ["X", "Y"],
+        "dst": [f"l{i}" for i in range(5)] + ["Y", "Z"],
+    })
+    exact = _lp_frame(link_prediction(rd.from_pandas(df)))
+    capped = _lp_frame(link_prediction(rd.from_pandas(df), degree_cap=4))
+    assert len(exact) == 10 + 1          # C(5,2) hub pairs + (X, Z)
+    assert capped == {("X", "Z"): exact[("X", "Z")]}
+
+
+def test_link_prediction_empty_and_min_common():
+    from knowledge_graph_ray.stages.graphops import link_prediction
+
+    empty = pa.table({"src": pa.array([], type=pa.string()),
+                      "dst": pa.array([], type=pa.string())})
+    assert link_prediction(rd.from_arrow(empty)).count() == 0
+    assert link_prediction(rd.from_arrow(empty), min_common=2).count() == 0
+
+    # square A-B-C-D-A: each diagonal has exactly 2 common neighbors
+    df = pd.DataFrame({"src": ["A", "B", "C", "D"],
+                       "dst": ["B", "C", "D", "A"]})
+    got = _lp_frame(link_prediction(rd.from_pandas(df), min_common=2))
+    assert set(got) == {("A", "C"), ("B", "D")}
+    assert all(c == 2 for c, _ in got.values())
