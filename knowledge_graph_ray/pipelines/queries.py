@@ -11611,3 +11611,41 @@ ANTI JOIN e0 ON e0.a = sc.a AND e0.b = sc.b
 
 QUERIES["trade_graph_link_prediction"] = trade_graph_link_prediction
 ORACLE_SQL["trade_graph_link_prediction"] = TRADE_GRAPH_LINK_PREDICTION_SQL
+
+
+def embeddings_mutual_nn(sf_dir: str):
+    """Mutual nearest neighbors by cosine over the embeddings table
+    (stages/similarity.mutual_nn_pairs): pairs where each vector is the
+    other's top-1 neighbor — the high-precision near-dup seed stage.
+    ids only (float32-vs-float64 cosine VALUES can't cross engines —
+    the dedup_embedding_cosine contract); argmax membership is stable
+    on this corpus's separated vectors."""
+    from knowledge_graph_ray.stages.similarity import mutual_nn_pairs
+
+    pairs = mutual_nn_pairs(_emb(sf_dir))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column("a").cast(pa.int64()),
+                         "b": b.column("b").cast(pa.int64())})
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+EMBEDDINGS_MUTUAL_NN_SQL = """
+WITH sims AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_cosine_similarity(a.embedding, b.embedding) AS c
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+nn AS (
+  SELECT va, vb FROM (
+    SELECT va, vb,
+           row_number() OVER (PARTITION BY va ORDER BY c DESC, vb) AS rk
+    FROM sims) WHERE rk = 1
+)
+SELECT n1.va AS a, n1.vb AS b
+FROM nn n1 JOIN nn n2 ON n1.vb = n2.va AND n2.vb = n1.va AND n1.va < n1.vb
+"""
+
+QUERIES["embeddings_mutual_nn"] = embeddings_mutual_nn
+ORACLE_SQL["embeddings_mutual_nn"] = EMBEDDINGS_MUTUAL_NN_SQL

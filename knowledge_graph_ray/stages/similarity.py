@@ -661,3 +661,73 @@ def ivfpq_topk(codes_assigned, codebooks: np.ndarray,
     # UNION of probed buckets; exactness of the shortlist-then-rerank
     # contract is unaffected (a superset scan only raises recall)
     return pq_topk(filtered, codebooks, queries, k=k, id_column=id_column)
+
+
+def mutual_nn_pairs(ds, vec_column: str = "embedding",
+                    id_column: str = "vec_id",
+                    broadcast_max: int = 1_000_000):
+    """Dataset[{a, b}] — pairs of vectors that are each other's single
+    nearest neighbor by cosine (mutual-NN), the high-precision seed of
+    embedding near-dup mining and mutual-kNN graph clustering.  Ties
+    break to the lowest id (the oracle's ORDER BY c DESC, id).
+
+    Baseline brute path: the id-sorted unit matrix broadcasts once
+    (ray.put; ``broadcast_max`` caps rows with a raise, the same
+    contract as triangle_count's degree table) and each batch computes
+    its rows' argmax neighbor in one matmul — the id-sorted layout
+    makes np.argmax's first-max rule IS the lowest-id tie-break.  The
+    (position, neighbor) table (2 int64s per vector) then mutual-checks
+    itself with one semi hash-join; pairs never touch the driver.  The
+    100-TB path replaces the broadcast with IVF bucketing (ivf_assign)
+    and runs the same per-bucket argmax + global semi-join.
+    """
+    import ray
+
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    full = ds.select_columns([id_column, vec_column]) \
+        .limit(broadcast_max + 1).to_pandas()
+    if len(full) > broadcast_max:
+        raise ValueError(
+            "mutual_nn_pairs: vector count exceeds broadcast_max; "
+            "use the IVF-bucketed path (ivf_assign + per-bucket argmax)"
+        )
+    if len(full) < 2:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64())}))
+    ids_raw = [str(i) for i in full[id_column]]
+    order = np.argsort(_id_sort_key(ids_raw), kind="stable")
+    ids_sorted = full[id_column].to_numpy()[order]
+    mat = _unit(_as_matrix(full[vec_column].to_numpy()[order]))
+    sort_key_sorted = _id_sort_key([str(i) for i in ids_sorted])
+    mat_ref = ray.put((sort_key_sorted, mat))
+    ids_ref = ray.put(ids_sorted)
+
+    def nn_batch(batch: pa.Table) -> pa.Table:
+        keys, m = ray.get(mat_ref)
+        bm = _unit(_column_matrix(batch.column(vec_column)))
+        bkeys = _id_sort_key(
+            [str(i) for i in batch.column(id_column).to_pylist()])
+        pos = np.searchsorted(keys, bkeys)
+        sims = bm @ m.T                       # (B, N)
+        sims[np.arange(len(pos)), pos] = -np.inf
+        nn = np.argmax(sims, axis=1)          # first max = lowest id
+        return pa.table({"p": pa.array(pos.astype(np.int64)),
+                         "q": pa.array(nn.astype(np.int64))})
+
+    nn = ds.map_batches(nn_batch, batch_format="pyarrow",
+                        batch_size=4096).materialize()
+    mutual = hash_join(nn, project(nn, {"p": "q", "q": "p"}),
+                       on=["p", "q"], how="left_semi") \
+        .filter(expr="p < q")
+
+    def back(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        return pa.table({
+            "a": pa.array(ids[t.column("p").to_numpy()]),
+            "b": pa.array(ids[t.column("q").to_numpy()]),
+        })
+
+    return mutual.map_batches(back, batch_format="pyarrow")

@@ -1644,3 +1644,39 @@ def test_ivfpq_topk_shortlist():
                                   k=40, nprobe=4).to_pandas()
     overlap = len(set(exact.vec_id) & set(short.vec_id))
     assert overlap >= 8, f"IVF+PQ shortlist recall too low: {overlap}/10"
+
+
+def test_mutual_nn_pairs_matches_brute_force():
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mat = np.asarray([np.asarray(v, np.float64) for v in pdf.embedding])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    order = np.argsort(ids)
+    unit, ids = unit[order], ids[order]
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -np.inf)
+    nn = np.argmax(sims, axis=1)              # first max = lowest id
+    want = sorted(
+        (int(ids[p]), int(ids[q])) for p, q in enumerate(nn)
+        if nn[q] == p and p < q
+    )
+    got = similarity.mutual_nn_pairs(emb).to_pandas()
+    assert sorted(zip(got.a.astype(int), got.b.astype(int))) == want
+    assert len(want) > 0
+
+
+def test_mutual_nn_pairs_hand_graph_and_degenerate():
+    # v0/v1 point the same way (mutual); v2 nearer v0 than v3 is to it
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.5]]
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    got = similarity.mutual_nn_pairs(rd.from_arrow(t)).to_pandas()
+    assert sorted(zip(got.a.astype(int), got.b.astype(int))) == [(0, 1), (2, 3)]
+
+    one = rd.from_arrow(t.slice(0, 1))
+    assert similarity.mutual_nn_pairs(one).count() == 0
+    with pytest.raises(ValueError, match="broadcast_max"):
+        similarity.mutual_nn_pairs(rd.from_arrow(t), broadcast_max=2)
