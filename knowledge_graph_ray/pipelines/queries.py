@@ -11649,3 +11649,64 @@ FROM nn n1 JOIN nn n2 ON n1.vb = n2.va AND n2.vb = n1.va AND n1.va < n1.vb
 
 QUERIES["embeddings_mutual_nn"] = embeddings_mutual_nn
 ORACLE_SQL["embeddings_mutual_nn"] = EMBEDDINGS_MUTUAL_NN_SQL
+
+
+def events_exploration_length(sf_dir: str):
+    """Per-user "exploration length": the 1-based position (events
+    ordered by ts, event_id) of the LAST first-occurrence of an event
+    type — how deep into a user's stream every type they will ever use
+    has appeared — plus the distinct-type count.  The running-distinct
+    window shape: COUNT(DISTINCT) OVER isn't SQL-window-expressible, so
+    BOTH sides use the first-occurrence-flag + position trick.
+
+    Scale shape: ONE user shuffle; the bucket body sorts once, builds
+    positions with a vectorized cumcount and first-occurrence flags
+    with duplicated(); output is user-cardinality — each user's rows
+    are bucket-local, so partials are already final."""
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+
+    def body(bucket: pd.DataFrame) -> pa.Table:
+        df = bucket.sort_values(["user_id", "ts", "event_id"],
+                                kind="mergesort")
+        pos = df.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        first = ~df.duplicated(["user_id", "event_type"]).to_numpy()
+        sub = pd.DataFrame({"user_id": df["user_id"].to_numpy()[first],
+                            "pos": pos[first]})
+        agg = sub.groupby("user_id", sort=False)["pos"] \
+            .agg(n_types="size", explore_len="max").reset_index()
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].to_numpy(np.int64)),
+            "n_types": pa.array(agg["n_types"].to_numpy(np.int64)),
+            "explore_len": pa.array(agg["explore_len"].to_numpy(np.int64)),
+        })
+
+    return bucketed_bucket_map(
+        events, ["user_id"], body,
+        empty_schema=pa.schema([("user_id", pa.int64()),
+                                ("n_types", pa.int64()),
+                                ("explore_len", pa.int64())]),
+    )
+
+
+EVENTS_EXPLORATION_LENGTH_SQL = """
+WITH ranked AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pos,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS tpos
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(max(pos) AS BIGINT) AS explore_len
+FROM ranked WHERE tpos = 1
+GROUP BY user_id
+"""
+
+QUERIES["events_exploration_length"] = events_exploration_length
+ORACLE_SQL["events_exploration_length"] = EVENTS_EXPLORATION_LENGTH_SQL

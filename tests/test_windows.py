@@ -249,3 +249,23 @@ def test_global_trailing_distinct_matches_bruteforce():
     ])
     assert len(got) == n
     assert (got["trailing_users"].to_numpy() == want).all()
+
+
+def test_exploration_length_matches_pandas():
+    from knowledge_graph_ray.pipelines.queries import events_exploration_length
+
+    got = events_exploration_length(SF).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    pdf = pd.read_parquet(f"{SF}/events.parquet") \
+        .sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    for uid, g in pdf.groupby("user_id"):
+        seen, last_first = set(), 0
+        for pos, t in enumerate(g.event_type, start=1):
+            if t not in seen:
+                seen.add(t)
+                last_first = pos
+        rows.append((uid, len(seen), last_first))
+    expected = pd.DataFrame(rows, columns=["user_id", "n_types",
+                                           "explore_len"])
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
