@@ -11710,3 +11710,26 @@ GROUP BY user_id
 
 QUERIES["events_exploration_length"] = events_exploration_length
 ORACLE_SQL["events_exploration_length"] = EVENTS_EXPLORATION_LENGTH_SQL
+
+
+def embeddings_mutual_nn_ivf(sf_dir: str):
+    """The bucketed (IVF) mutual-NN scale path under the exact gate:
+    with nprobe = num_centroids every pair is scanned, so the result
+    must EQUAL the brute path's — the driver-level proof that the
+    no-broadcast 100-TB shape (stages/similarity.mutual_nn_pairs_ivf:
+    probe-bucket duplication + one bucket shuffle + semi-join
+    mutuality) computes the same answer.  Partial-probe recall/precision
+    is pytest-gated (test_mutual_nn_ivf_partial_probe_recall_floor)."""
+    from knowledge_graph_ray.stages.similarity import mutual_nn_pairs_ivf
+
+    pairs = mutual_nn_pairs_ivf(_emb(sf_dir), num_centroids=16, nprobe=16)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column("a").cast(pa.int64()),
+                         "b": b.column("b").cast(pa.int64())})
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+QUERIES["embeddings_mutual_nn_ivf"] = embeddings_mutual_nn_ivf
+ORACLE_SQL["embeddings_mutual_nn_ivf"] = EMBEDDINGS_MUTUAL_NN_SQL

@@ -731,3 +731,129 @@ def mutual_nn_pairs(ds, vec_column: str = "embedding",
         })
 
     return mutual.map_batches(back, batch_format="pyarrow")
+
+
+def mutual_nn_pairs_ivf(ds, num_centroids: int = 16, nprobe: int = 4,
+                        sample: int = 2048, seed: int = 6969,
+                        vec_column: str = "embedding",
+                        id_column: str = "vec_id",
+                        num_buckets: int = 32):
+    """Bucketed (IVF) mutual-NN — the 100-TB path of mutual_nn_pairs:
+    NO broadcast of the corpus matrix.  Each vector's candidate scan is
+    restricted to its ``nprobe`` nearest IVF buckets; with nprobe >=
+    num_centroids every pair is scanned and the result is exactly the
+    brute path's, below that it is the standard IVF recall tradeoff.
+
+    Pipeline: centroids train on a bounded driver sample (tiny); one
+    map_batches duplicates each vector into its probe buckets as a
+    query row and into its own bucket as a candidate row (vectors ship
+    nprobe+1 times — the only data amplification); ONE bucket shuffle
+    whose body runs a queries x candidates matmul and emits per-query
+    partial bests; one qid shuffle takes the global best by
+    (cosine desc, id asc); one semi hash-join checks mutuality.
+    """
+    import ray
+
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    if ds.count() < 2:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.string()),
+                                       "b": pa.array([], pa.string())}))
+    cents = train_centroids(ds, num_centroids=num_centroids, sample=sample,
+                            seed=seed, vec_column=vec_column)
+    nprobe_eff = min(nprobe, len(cents))
+    c_ref = ray.put(_unit(np.asarray(cents, dtype=np.float64)))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        mat = _unit(_column_matrix(batch.column(vec_column)))
+        sims = mat @ c.T                           # (B, C)
+        probes = np.argsort(-sims, axis=1)[:, :nprobe_eff]  # own bucket first
+        ids = batch.column(id_column).cast(pa.string())
+        vecs = batch.column(vec_column)
+        n = len(batch)
+        # candidate rows: own bucket (= probes[:, 0], the argmax)
+        cand = pa.table({
+            "bucket": pa.array(probes[:, 0].astype(np.int32)),
+            "role": pa.array(np.zeros(n, np.int8)),
+            "vid": ids,
+            "vec": vecs,
+        })
+        # query rows: one per probed bucket
+        take = np.repeat(np.arange(n), nprobe_eff)
+        qry = pa.table({
+            "bucket": pa.array(probes.reshape(-1).astype(np.int32)),
+            "role": pa.array(np.ones(len(take), np.int8)),
+            "vid": ids.take(pa.array(take)),
+            "vec": vecs.take(pa.array(take)),
+        })
+        return pa.concat_tables([cand, qry])
+
+    staged = ds.select_columns([id_column, vec_column]) \
+        .map_batches(emit, batch_format="pyarrow")
+
+    def bucket_body(t: pa.Table) -> pa.Table:
+        cand = t.filter(pa.compute.equal(t.column("role"), 0))
+        qry = t.filter(pa.compute.equal(t.column("role"), 1))
+        if len(cand) == 0 or len(qry) == 0:
+            return pa.table({"qid": pa.array([], pa.string()),
+                             "cos": pa.array([], pa.float64()),
+                             "nid": pa.array([], pa.string())})
+        ckeys_raw = cand.column("vid").to_pylist()
+        order = np.argsort(_id_sort_key(ckeys_raw), kind="stable")
+        cmat = _unit(_column_matrix(cand.column("vec")))[order]
+        ckeys = _id_sort_key(ckeys_raw)[order]
+        cids = np.asarray(ckeys_raw, dtype=object)[order]
+        qids_raw = qry.column("vid").to_pylist()
+        qkeys = _id_sort_key(qids_raw)
+        qmat = _unit(_column_matrix(qry.column("vec")))
+        sims = qmat @ cmat.T                      # (Q, Nc)
+        # self-exclusion: the query's own id, when present in this bucket
+        pos = np.searchsorted(ckeys, qkeys)
+        pos_c = np.clip(pos, 0, len(ckeys) - 1)
+        selfmask = ckeys[pos_c] == qkeys
+        sims[np.flatnonzero(selfmask), pos_c[selfmask]] = -np.inf
+        best = np.argmax(sims, axis=1)            # first max = lowest id
+        bc = sims[np.arange(len(best)), best]
+        keep = np.isfinite(bc)
+        return pa.table({
+            "qid": pa.array(np.asarray(qids_raw, dtype=object)[keep],
+                            type=pa.string()),
+            "cos": pa.array(bc[keep], type=pa.float64()),
+            "nid": pa.array(cids[best[keep]], type=pa.string()),
+        })
+
+    partials = bucketed_bucket_map(
+        staged, ["bucket"], bucket_body, num_buckets=num_buckets,
+        body_format="pyarrow",
+        empty_schema=pa.schema([("qid", pa.string()), ("cos", pa.float64()),
+                                ("nid", pa.string())]),
+    )
+
+    def best_body(g: pd.DataFrame) -> pa.Table:
+        g = g.assign(_nk=_id_sort_key([str(x) for x in g["nid"]]))
+        g = g.sort_values(["qid", "cos", "_nk"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.drop_duplicates("qid", keep="first")
+        return pa.table({"p": pa.array(top["qid"], type=pa.string()),
+                         "q": pa.array(top["nid"], type=pa.string())})
+
+    nn = bucketed_bucket_map(
+        partials, ["qid"], best_body, num_buckets=num_buckets,
+        empty_schema=pa.schema([("p", pa.string()), ("q", pa.string())]),
+    ).materialize()
+
+    mutual = hash_join(nn, project(nn, {"p": "q", "q": "p"}),
+                       on=["p", "q"], how="left_semi")
+
+    def canon(t: pa.Table) -> pa.Table:
+        pk = _id_sort_key(t.column("p").to_pylist())
+        qk = _id_sort_key(t.column("q").to_pylist())
+        keep = pk < qk
+        return pa.table({"a": t.column("p").filter(pa.array(keep)),
+                         "b": t.column("q").filter(pa.array(keep))})
+
+    return mutual.map_batches(canon, batch_format="pyarrow")

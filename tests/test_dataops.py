@@ -1680,3 +1680,25 @@ def test_mutual_nn_pairs_hand_graph_and_degenerate():
     assert similarity.mutual_nn_pairs(one).count() == 0
     with pytest.raises(ValueError, match="broadcast_max"):
         similarity.mutual_nn_pairs(rd.from_arrow(t), broadcast_max=2)
+
+
+def test_mutual_nn_ivf_full_probe_equals_brute():
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.mutual_nn_pairs(emb).to_pandas()
+    ep = sorted(zip(exact.a.astype(int), exact.b.astype(int)))
+    full = similarity.mutual_nn_pairs_ivf(emb, num_centroids=8,
+                                          nprobe=8).to_pandas()
+    assert sorted(zip(full.a.astype(int), full.b.astype(int))) == ep
+
+
+def test_mutual_nn_ivf_partial_probe_recall_floor():
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.mutual_nn_pairs(emb).to_pandas()
+    ep = set(zip(exact.a.astype(int), exact.b.astype(int)))
+    approx = similarity.mutual_nn_pairs_ivf(emb, num_centroids=8,
+                                            nprobe=4).to_pandas()
+    ap = set(zip(approx.a.astype(int), approx.b.astype(int)))
+    # restricted scans both MISS true pairs and MINT pairs mutual only
+    # within their probe sets — gate both directions, deterministic run
+    assert len(ap & ep) / len(ep) >= 0.7              # recall (0.787)
+    assert len(ap & ep) / len(ap) >= 0.7              # precision
