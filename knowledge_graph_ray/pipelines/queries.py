@@ -11733,3 +11733,98 @@ def embeddings_mutual_nn_ivf(sf_dir: str):
 
 QUERIES["embeddings_mutual_nn_ivf"] = embeddings_mutual_nn_ivf
 ORACLE_SQL["embeddings_mutual_nn_ivf"] = EMBEDDINGS_MUTUAL_NN_SQL
+
+
+def trade_graph_hits(sf_dir: str):
+    """HITS hubs & authorities (stages/pagerank.hits) over the
+    repeat-trade customer-supplier graph: customers are hubs,
+    suppliers authorities — the mutual-reinforcement ranking that
+    degree alone misses.  4 fixed rounds, L2-normalized half-steps,
+    scores e9 fixed-point (values <= 1; float64 drift across engines
+    ~1e-13, inside the 0.5e-9 granularity — grouped_corr's contract).
+
+    Scale shape: edges never move; per half-step one grouped_agg over
+    the edge set with the node-sized score vector broadcast (size-
+    adaptive — all-shuffle regime above the cap, pytest-equal)."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import project, size_adaptive_join
+    from knowledge_graph_ray.stages.pagerank import hits
+
+    orders = project(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"]),
+        ["o_orderkey", "o_custkey"],
+    )
+    line = project(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey"]),
+        {"l_orderkey": "o_orderkey", "l_suppkey": "l_suppkey"},
+    )
+    pairs = size_adaptive_join(line, orders, on=["o_orderkey"], how="inner",
+                               broadcast_max=BROADCAST_KEYS_MAX,
+                               right_size_hint=_pq_rows(
+                                   f"{sf_dir}/orders.parquet"))
+
+    def lab(t: pa.Table) -> pa.Table:
+        c = pc.binary_join_element_wise(
+            pa.scalar("c"), t.column("o_custkey").cast(pa.string()), ":")
+        s = pc.binary_join_element_wise(
+            pa.scalar("s"), t.column("l_suppkey").cast(pa.string()), ":")
+        return pa.table({"src": c, "dst": s})
+
+    counted = grouped_agg(pairs.map_batches(lab, batch_format="pyarrow"),
+                          ["src", "dst"], [("cnt", None, "count")])
+    edges = counted.filter(expr="cnt >= 2").select_columns(["src", "dst"])
+    scored = hits(edges, iterations=4)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "side": b.column("side"),
+            "score_e9": scaled_int_column(b.column("score"), 1e9),
+        })
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
+def _build_hits_sql(rounds: int = 4) -> str:
+    parts = ["""
+WITH e AS MATERIALIZED (
+  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS u,
+         's:' || CAST(l_suppkey AS VARCHAR) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+h0 AS (SELECT DISTINCT u, 1.0 AS h FROM e)"""]
+    prev_h = "h0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+a{i}r AS MATERIALIZED (
+  SELECT e.v, sum(h.h) AS s FROM e JOIN {prev_h} h ON e.u = h.u
+  GROUP BY e.v
+),
+a{i} AS MATERIALIZED (
+  SELECT v, s / sqrt((SELECT sum(s * s) FROM a{i}r)) AS a FROM a{i}r
+),
+h{i}r AS MATERIALIZED (
+  SELECT e.u, sum(a.a) AS s FROM e JOIN a{i} a ON e.v = a.v
+  GROUP BY e.u
+),
+h{i} AS MATERIALIZED (
+  SELECT u, s / sqrt((SELECT sum(s * s) FROM h{i}r)) AS h FROM h{i}r
+)""")
+        prev_h = f"h{i}"
+    parts.append(f"""
+SELECT u AS node, 'hub' AS side,
+       CAST(round(h * 1000000000) AS BIGINT) AS score_e9 FROM h{rounds}
+UNION ALL
+SELECT v, 'auth', CAST(round(a * 1000000000) AS BIGINT) FROM a{rounds}""")
+    return "".join(parts)
+
+
+TRADE_GRAPH_HITS_SQL = _build_hits_sql()
+
+QUERIES["trade_graph_hits"] = trade_graph_hits
+ORACLE_SQL["trade_graph_hits"] = TRADE_GRAPH_HITS_SQL

@@ -168,3 +168,138 @@ def pagerank(edges, src: str = "src", dst: str = "dst",
     if node_col != "name":
         result = project(result, {"name": node_col, out_col: out_col})
     return result
+
+
+def hits(edges, src: str = "src", dst: str = "dst", iterations: int = 4,
+         node_col: str = "node", broadcast_nodes_max: int = 5_000_000):
+    """-> Dataset[{node, side, score}] — HITS hubs & authorities
+    (Kleinberg 1999) after a FIXED number of mutual-reinforcement
+    rounds, L2-normalized each half-step — the form a SQL oracle can
+    unroll exactly:
+
+        hub_0(u) = 1
+        auth(v)  = sum_{(u,v) in E} hub(u);  auth /= ||auth||_2
+        hub(u)   = sum_{(u,v) in E} auth(v); hub  /= ||hub||_2
+
+    Directed simple graph (duplicate edges deduped).  Output: one
+    side='hub' row per node with >= 1 out-edge, one side='auth' row per
+    node with >= 1 in-edge.
+
+    Scale shape: pagerank's discipline — the EDGES never move; the
+    score vector is node-sized and either broadcast per half-step
+    (<= broadcast_nodes_max, ray.put + vectorized merge) or kept a
+    Dataset (all-shuffle regime: hash_join + grouped_agg per
+    half-step, L2 norm via a one-scalar global aggregate).  Both
+    regimes compute identical math (pytest-gated equality).
+    """
+    import ray
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    def normalize(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column(src).cast(pa.string()),
+                         "dst": b.column(dst).cast(pa.string())})
+
+    und = distinct_rows(
+        edges.select_columns([src, dst]).map_batches(
+            normalize, batch_format="pyarrow"),
+        ["src", "dst"],
+        empty_schema=pa.schema([("src", pa.string()),
+                                ("dst", pa.string())]),
+    ).materialize()
+    empty = pa.table({node_col: pa.array([], pa.string()),
+                      "side": pa.array([], pa.string()),
+                      "score": pa.array([], pa.float64())})
+    if und.count() == 0:
+        return rd.from_arrow(empty)
+
+    srcs = grouped_agg(und, ["src"], [("n", None, "count")]) \
+        .select_columns(["src"]).materialize()
+    n_src = srcs.count()
+
+    if n_src <= broadcast_nodes_max:
+        hub = srcs.to_pandas().rename(columns={"src": "u"})
+        hub["h"] = 1.0
+        auth = None
+        for _ in range(iterations):
+            ref = ray.put(hub)
+
+            def c_auth(b: pa.Table) -> pa.Table:
+                st = ray.get(ref)
+                df = b.to_pandas().merge(st, left_on="src", right_on="u",
+                                         how="inner")
+                return pa.table({"dst": pa.array(df["dst"], pa.string()),
+                                 "c": pa.array(df["h"], pa.float64())})
+
+            auth = grouped_agg(
+                und.map_batches(c_auth, batch_format="pyarrow"),
+                ["dst"], [("s", "c", "sum")],
+            ).to_pandas()  # node-sized, bounded by broadcast_nodes_max
+            auth["a"] = auth["s"] / np.sqrt((auth["s"] ** 2).sum())
+            aref = ray.put(auth[["dst", "a"]])
+
+            def c_hub(b: pa.Table) -> pa.Table:
+                st = ray.get(aref)
+                df = b.to_pandas().merge(st, on="dst", how="inner")
+                return pa.table({"u": pa.array(df["src"], pa.string()),
+                                 "c": pa.array(df["a"], pa.float64())})
+
+            hub = grouped_agg(
+                und.map_batches(c_hub, batch_format="pyarrow"),
+                ["u"], [("s", "c", "sum")],
+            ).to_pandas()
+            hub["h"] = hub["s"] / np.sqrt((hub["s"] ** 2).sum())
+        out = pd.concat([
+            pd.DataFrame({node_col: hub["u"], "side": "hub",
+                          "score": hub["h"]}),
+            pd.DataFrame({node_col: auth["dst"], "side": "auth",
+                          "score": auth["a"]}),
+        ])
+        return rd.from_pandas(out.reset_index(drop=True))
+
+    # all-shuffle regime: score vectors stay Datasets
+    hub = srcs.map_batches(
+        lambda b: pa.table({"u": b.column("src"),
+                            "h": pa.array(np.ones(len(b)), pa.float64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = None
+
+    def _l2_normalize(ds, key, val, out):
+        ssq = ds.map_batches(
+            lambda b: pa.table({"s2": pa.compute.multiply(
+                b.column(val), b.column(val))}),
+            batch_format="pyarrow",
+        ).sum("s2")  # ONE driver scalar
+        norm = float(np.sqrt(ssq))
+        return ds.map_batches(
+            lambda b: pa.table({key: b.column(key),
+                                out: pa.compute.divide(b.column(val),
+                                                       norm)}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    for _ in range(iterations):
+        joined = hash_join(und, project(hub, {"u": "src", "h": "h"}),
+                           on=["src"], how="inner")
+        sums = grouped_agg(joined, ["dst"], [("s", "h", "sum")])
+        auth = _l2_normalize(sums, "dst", "s", "a")
+        joined = hash_join(und, auth, on=["dst"], how="inner")
+        sums = grouped_agg(joined, ["src"], [("s", "a", "sum")])
+        hub = _l2_normalize(project(sums, {"src": "u", "s": "s"}),
+                            "u", "s", "h")
+    hub_rows = hub.map_batches(
+        lambda b: pa.table({node_col: b.column("u"),
+                            "side": pa.array(["hub"] * len(b)),
+                            "score": b.column("h")}),
+        batch_format="pyarrow",
+    )
+    auth_rows = auth.map_batches(
+        lambda b: pa.table({node_col: b.column("dst"),
+                            "side": pa.array(["auth"] * len(b)),
+                            "score": b.column("a")}),
+        batch_format="pyarrow",
+    )
+    return hub_rows.union(auth_rows)

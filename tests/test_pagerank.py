@@ -3,6 +3,7 @@ and broadcast-regime vs distributed-regime equality."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from knowledge_graph_ray.stages.pagerank import pagerank
@@ -90,3 +91,44 @@ def test_pagerank_empty_and_star():
     got = pagerank(rd.from_pandas(star), iterations=3).to_pandas()
     hub = got[got.name == "hub"].pr.iloc[0]
     assert (got[got.name != "hub"].pr < hub).all()
+
+
+# ------------------------------------------------------------------- HITS
+
+
+def test_hits_hand_star():
+    from knowledge_graph_ray.stages.pagerank import hits
+
+    df = pd.DataFrame({"src": ["a", "b"], "dst": ["x", "x"]})
+    out = hits(rd.from_pandas(df), iterations=3).to_pandas()
+    got = {(n, s): round(v, 9) for n, s, v in
+           zip(out.node, out.side, out.score)}
+    r = round(1 / np.sqrt(2), 9)
+    assert got == {("a", "hub"): r, ("b", "hub"): r, ("x", "auth"): 1.0}
+
+
+def test_hits_regimes_equal():
+    from knowledge_graph_ray.stages.pagerank import hits
+
+    rng = np.random.default_rng(5)
+    e = pd.DataFrame({"src": [f"u{i}" for i in rng.integers(0, 20, 80)],
+                      "dst": [f"v{i}" for i in rng.integers(0, 15, 80)]})
+    key = ["side", "node"]
+    b1 = hits(rd.from_pandas(e)).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    b2 = hits(rd.from_pandas(e), broadcast_nodes_max=1).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert b1.node.tolist() == b2.node.tolist()
+    assert b1.side.tolist() == b2.side.tolist()
+    assert np.allclose(b1.score, b2.score, atol=1e-12)
+    # L2 norm of each side is 1 after the final half-steps
+    for side in ("hub", "auth"):
+        assert abs((b1[b1.side == side].score ** 2).sum() - 1.0) < 1e-9
+
+
+def test_hits_empty_edges():
+    from knowledge_graph_ray.stages.pagerank import hits
+
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+    assert hits(rd.from_arrow(empty)).count() == 0
