@@ -11828,3 +11828,49 @@ TRADE_GRAPH_HITS_SQL = _build_hits_sql()
 
 QUERIES["trade_graph_hits"] = trade_graph_hits
 ORACLE_SQL["trade_graph_hits"] = TRADE_GRAPH_HITS_SQL
+
+
+def customer_name_jw_pairs(sf_dir: str):
+    """Jaro-Winkler record linkage (stages/fuzzy.jaro_winkler_blocked_pairs):
+    same-nation customer-name pairs with JW >= 0.98 — the classic
+    blocked fuzzy-match join, sim bit-identical to DuckDB's
+    jaro_winkler_similarity (the pair-vectorized kernel is
+    differential-tested byte-for-byte; threshold sits in an attained-
+    value gap, so boundary membership is stable).
+
+    Scale shape: ONE shuffle on the blocking key; oversized blocks
+    secondary-block into chunk-pair tiles; the JW kernel is vectorized
+    ACROSS pair tiles (numpy steps over character positions), never a
+    per-pair Python loop."""
+    from knowledge_graph_ray.stages.fuzzy import jaro_winkler_blocked_pairs
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+    pairs = jaro_winkler_blocked_pairs(
+        cust, id_col="c_custkey", text_col="c_name",
+        block_cols=["c_nationkey"], threshold=0.98)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            "id_a": b.column("id_a").cast(pa.int64()),
+            "id_b": b.column("id_b").cast(pa.int64()),
+            "sim_e9": scaled_int_column(b.column("sim"), 1e9),
+        })
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+CUSTOMER_NAME_JW_PAIRS_SQL = """
+SELECT CAST(a.c_nationkey AS BIGINT) AS c_nationkey,
+       a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(round(jaro_winkler_similarity(a.c_name, b.c_name)
+                  * 1000000000) AS BIGINT) AS sim_e9
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.98
+"""
+
+QUERIES["customer_name_jw_pairs"] = customer_name_jw_pairs
+ORACLE_SQL["customer_name_jw_pairs"] = CUSTOMER_NAME_JW_PAIRS_SQL

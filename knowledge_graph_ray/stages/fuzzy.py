@@ -299,3 +299,171 @@ def levenshtein1_pairs(ds, text_col: str, num_buckets: int = 64):
         return batch.filter(pa.array(_ed1_class_mask(a, b)))
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def _char_matrix(names: "pd.Series", width: "int | None" = None):
+    """(n, L) uint8 padded byte matrix + int64 lengths, vectorized
+    (single frombuffer over the concatenated bytes, no per-string
+    Python loop).  Byte semantics == DuckDB's similarity functions;
+    identical to characters on ASCII corpora."""
+    encoded = names.fillna("").astype(str).str.encode("utf-8")
+    lens = encoded.str.len().to_numpy().astype(np.int64)
+    n = len(encoded)
+    L = int(width if width is not None else (lens.max() if n else 0))
+    m = np.zeros((n, max(L, 1)), dtype=np.uint8)
+    if n and lens.sum():
+        flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.concatenate([np.arange(l) for l in lens]) if n else \
+            np.array([], np.int64)
+        m[rows, cols] = flat
+    return m, lens
+
+
+def _jw_pairs(ca: np.ndarray, la: np.ndarray,
+              cb: np.ndarray, lb: np.ndarray) -> np.ndarray:
+    """Jaro-Winkler similarity for P string pairs, vectorized ACROSS
+    pairs (the sequential greedy-matching scan runs over character
+    POSITIONS — O(L·window) numpy steps of O(P) work each, never a
+    per-pair Python loop).  Bit-identical to DuckDB
+    ``jaro_winkler_similarity`` (p=0.1, boost threshold 0.7, 4-char
+    prefix cap; verified in tests) on byte strings.
+
+    ``ca``/``cb``: (P, L) uint8 padded byte matrices; ``la``/``lb``
+    true lengths."""
+    P, L = ca.shape
+    if P == 0:
+        return np.zeros(0, np.float64)
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    wmax = int(window.max(initial=0))
+    m1 = np.zeros((P, L), dtype=bool)
+    m2 = np.zeros((P, L), dtype=bool)
+    for i in range(int(la.max(initial=0))):
+        active = i < la
+        if not active.any():
+            break
+        ai = ca[:, i]
+        open_i = active.copy()          # query char i still unmatched
+        for j in range(max(0, i - wmax), min(L, i + wmax + 1)):
+            ok = (open_i & (j < lb) & (np.abs(j - i) <= window)
+                  & ~m2[:, j] & (cb[:, j] == ai))
+            m1[:, i] |= ok
+            m2[:, j] |= ok
+            open_i &= ~ok
+    m = m1.sum(axis=1)
+    # transpositions: matched chars of each side in positional order
+    pos = np.arange(L)
+    key1 = np.where(m1, pos, L + 1)
+    key2 = np.where(m2, pos, L + 1)
+    g1 = np.take_along_axis(ca, np.argsort(key1, axis=1, kind="stable"), 1)
+    g2 = np.take_along_axis(cb, np.argsort(key2, axis=1, kind="stable"), 1)
+    valid = pos[None, :] < m[:, None]
+    t = ((g1 != g2) & valid).sum(axis=1) // 2
+    ms = np.maximum(m, 1).astype(np.float64)
+    laf = np.maximum(la, 1).astype(np.float64)
+    lbf = np.maximum(lb, 1).astype(np.float64)
+    jaro = np.where(
+        m > 0,
+        (m / laf + m / lbf + (m - t) / ms) / 3.0,
+        0.0,
+    )
+    # common prefix (<= 4): run length of leading equal bytes
+    k = min(4, L)
+    eq = (ca[:, :k] == cb[:, :k]) & (pos[None, :k] < la[:, None]) \
+        & (pos[None, :k] < lb[:, None])
+    prefix = np.cumprod(eq, axis=1).sum(axis=1)
+    return np.where(jaro > 0.7, jaro + prefix * 0.1 * (1.0 - jaro), jaro)
+
+
+def jaro_winkler_blocked_pairs(ds, id_col: str, text_col: str,
+                               block_cols: list[str], threshold: float,
+                               max_block_rows: int = 10_000,
+                               pair_tile: int = 200_000,
+                               num_buckets: int = 32,
+                               driver_threshold: "int | None" = None,
+                               size_hint: "int | None" = None):
+    """All pairs (id_a < id_b) within each block whose Jaro-Winkler
+    similarity >= threshold — the record-linkage join.  Output:
+    block_cols + id_a, id_b, sim, with sim bit-identical to DuckDB
+    ``jaro_winkler_similarity`` (byte semantics; see _jw_pairs).
+
+    Scale shape: char_jaccard_pairs' discipline — ONE shuffle on the
+    blocking key; oversized blocks secondary-block into id-sorted
+    chunks whose pairs tile the positional upper triangle exactly; the
+    JW kernel runs vectorized across pair tiles of <= ``pair_tile``
+    (a-row bands x candidate chunk), so peak memory is one tile of
+    (P, L) byte matrices regardless of block size."""
+
+    def eval_pairs(blk_a, blk_b, ca, la, cb, lb, tri: bool):
+        """Yield (ia, ib, sim) for qualifying pairs; tri=True pairs
+        rows of one chunk (i < j), else full rectangle a x b."""
+        na, nb = len(la), len(lb)
+        band = max(1, pair_tile // max(nb, 1))
+        for r0 in range(0, na, band):
+            r1 = min(r0 + band, na)
+            rows = np.arange(r0, r1)
+            if tri:
+                ia = np.repeat(rows, nb - rows - 1)
+                ib = np.concatenate(
+                    [np.arange(r + 1, nb) for r in rows]) if len(rows) \
+                    else np.array([], np.int64)
+            else:
+                ia = np.repeat(rows, nb)
+                ib = np.tile(np.arange(nb), r1 - r0)
+            if not len(ia):
+                continue
+            sim = _jw_pairs(ca[ia], la[ia], cb[ib], lb[ib])
+            hit = sim >= threshold
+            if hit.any():
+                yield ia[hit], ib[hit], sim[hit]
+
+    def bucket_body(g: pd.DataFrame) -> pa.Table:
+        frames: list[pd.DataFrame] = []
+        for _key, blk in g.groupby(block_cols, sort=False, dropna=False):
+            n = len(blk)
+            if n < 2:
+                continue
+            blk = blk.sort_values(id_col, kind="stable")
+            ids = blk[id_col].to_numpy()
+            width = int(blk[text_col].fillna("").astype(str)
+                        .str.encode("utf-8").str.len().max())
+            nchunks = -(-n // max_block_rows)
+            for ci in range(nchunks):
+                a_lo = ci * max_block_rows
+                a_hi = min(a_lo + max_block_rows, n)
+                blk_a = blk.iloc[a_lo:a_hi]
+                ca, la = _char_matrix(blk_a[text_col], width)
+                for cj in range(ci, nchunks):
+                    if cj == ci:
+                        gen = eval_pairs(blk_a, blk_a, ca, la, ca, la,
+                                         tri=True)
+                        b_lo = a_lo
+                    else:
+                        b_lo = cj * max_block_rows
+                        b_hi = min(b_lo + max_block_rows, n)
+                        blk_b = blk.iloc[b_lo:b_hi]
+                        cb, lb = _char_matrix(blk_b[text_col], width)
+                        gen = eval_pairs(blk_a, blk_b, ca, la, cb, lb,
+                                         tri=False)
+                    for ia, ib, sim in gen:
+                        frame = blk_a.iloc[ia][block_cols] \
+                            .reset_index(drop=True)
+                        frame["id_a"] = ids[a_lo + ia]
+                        frame["id_b"] = ids[b_lo + ib]
+                        frame["sim"] = sim
+                        frames.append(frame)
+        if not frames:
+            empty = g.head(0)[block_cols].copy()
+            empty["id_a"] = g[id_col].head(0)
+            empty["id_b"] = g[id_col].head(0)
+            empty["sim"] = pd.Series([], dtype="float64")
+            return pa.Table.from_pandas(empty, preserve_index=False)
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    needed = list(dict.fromkeys(block_cols + [id_col, text_col]))
+    return bucketed_bucket_map(
+        ds.select_columns(needed), block_cols, bucket_body,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )

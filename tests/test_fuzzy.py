@@ -108,3 +108,111 @@ def test_hamming1_pairs_positions_and_counts():
            .sort_values("diff_pos").reset_index(drop=True))
     assert got["diff_pos"].tolist() == [1, 3, 4]
     assert got["n_pairs"].tolist() == [1, 1, 1]
+
+
+# ------------------------------------------------------------ jaro-winkler
+
+
+def _jw_ref(s1: str, s2: str) -> float:
+    """Scalar reference (standard Jaro-Winkler, p=0.1, boost 0.7,
+    4-char prefix cap) — independently matches DuckDB bit-for-bit,
+    including jaro_winkler_similarity('', '') = 0.0 (no chars, no
+    matches; identical NON-empty strings reach 1.0 via the main
+    path)."""
+    b1, b2 = s1.encode(), s2.encode()
+    l1, l2 = len(b1), len(b2)
+    if not l1 or not l2:
+        return 0.0
+    window = max(max(l1, l2) // 2 - 1, 0)
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        for j in range(max(0, i - window), min(l2, i + window + 1)):
+            if not m2[j] and b1[i] == b2[j]:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if b1[i] != b2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (m / l1 + m / l2 + (m - t) / m) / 3
+    if jaro > 0.7:
+        pre = 0
+        for a, b in zip(b1[:4], b2[:4]):
+            if a == b:
+                pre += 1
+            else:
+                break
+        jaro = jaro + pre * 0.1 * (1 - jaro)
+    return jaro
+
+
+def test_jw_kernel_matches_scalar_reference():
+    from knowledge_graph_ray.stages.fuzzy import _char_matrix, _jw_pairs
+
+    rng = np.random.default_rng(13)
+    vocab = list("abcdefg ")
+    strs = ["".join(rng.choice(vocab, rng.integers(0, 11)))
+            for _ in range(200)]
+    strs += ["martha", "marhta", "dixon", "dicksonx", "CRATE", "TRACE",
+             "arnab", "raanb", "", "a"]
+    ia = rng.integers(0, len(strs), 1500)
+    ib = rng.integers(0, len(strs), 1500)
+    a = pd.Series([strs[i] for i in ia])
+    b = pd.Series([strs[i] for i in ib])
+    width = int(max(a.str.len().max(), b.str.len().max()))
+    ca, la = _char_matrix(a, width)
+    cb, lb = _char_matrix(b, width)
+    got = _jw_pairs(ca, la, cb, lb)
+    want = np.asarray([_jw_ref(x, y) for x, y in zip(a, b)])
+    assert np.array_equal(got, want)  # bit-identical, no tolerance
+
+
+def test_jw_blocked_pairs_secondary_blocking_exact():
+    from knowledge_graph_ray.stages.fuzzy import jaro_winkler_blocked_pairs
+
+    rng = np.random.default_rng(21)
+    n = 90
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "blk": rng.choice(["x", "y"], n),
+        "name": [f"item-{rng.integers(0, 30):03d}" for _ in range(n)],
+    })
+
+    def run(cap):
+        out = jaro_winkler_blocked_pairs(
+            rd.from_pandas(df), "id", "name", ["blk"], 0.9,
+            max_block_rows=cap, pair_tile=37).to_pandas()
+        return sorted(zip(out.blk, out.id_a, out.id_b, out.sim.round(12)))
+
+    big = run(10_000)
+    assert big == run(7)           # chunk tiling preserves the pair set
+    # brute force check
+    want = []
+    for _, blk in df.groupby("blk"):
+        rows = blk.sort_values("id")
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                s = _jw_ref(rows.name.iloc[i], rows.name.iloc[j])
+                if s >= 0.9:
+                    want.append((rows.blk.iloc[i], rows.id.iloc[i],
+                                 rows.id.iloc[j], round(s, 12)))
+    assert big == sorted(want)
+    assert len(big) > 0
+
+
+def test_jw_blocked_pairs_empty_and_singleton():
+    from knowledge_graph_ray.stages.fuzzy import jaro_winkler_blocked_pairs
+
+    df = pd.DataFrame({"id": [1], "blk": ["x"], "name": ["solo"]})
+    assert jaro_winkler_blocked_pairs(
+        rd.from_pandas(df), "id", "name", ["blk"], 0.9).count() == 0
