@@ -1011,3 +1011,61 @@ def grouped_welch_t(ds, group_col: str, value_col: str, baseline,
         })
 
     return sums.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def grouped_chi2_gof(ds, group_col: str, cat_col: str,
+                     num_buckets: int = 16):
+    """Chi-square goodness-of-fit of every group's category
+    distribution against the GLOBAL category distribution (the
+    homogeneity screen: which segments deviate from the corpus mix):
+
+        E_gc   = n_g * T_c / N
+        chi2_g = sum_c (O_gc - E_gc)^2 / E_gc   over categories with
+                                                T_c > 0 (zero-observed
+                                                cells included)
+        dof    = |{c : T_c > 0}| - 1
+
+    Exact int64 observed counts through the ordinary combiner; the
+    closing expression is ONE fixed float64 tree over those exact
+    operands (grouped_corr's bit-reproducibility contract), chi2
+    rounded half-away at 1e-6.
+
+    Returns Dataset[{group_col, n: int64, dof: int64, chi2_e6: int64}].
+    Scale shape: the shuffle carries one int64 count per occupied
+    (group, category) cell; the finish runs on the cell-cardinality
+    table (repartition(1) — bounded by groups x categories, not rows).
+    """
+
+    counts = grouped_agg(
+        ds.select_columns([group_col, cat_col]),
+        [group_col, cat_col], [("n", None, "count")],
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from knowledge_graph_ray.functions.numeric import round_half_away
+
+        if not len(df):
+            return pd.DataFrame({group_col: df[group_col], "n": [],
+                                 "dof": [], "chi2_e6": []})
+        pivot = df.pivot_table(index=group_col, columns=cat_col,
+                               values="n", aggfunc="sum",
+                               fill_value=0)
+        obs = pivot.to_numpy().astype(np.float64)     # (G, C)
+        ng = obs.sum(axis=1)
+        tc = obs.sum(axis=0)
+        nn = tc.sum()
+        exp = ng[:, None] * tc[None, :] / nn          # T_c > 0 by pivot
+        chi2 = ((obs - exp) ** 2 / exp).sum(axis=1)
+        dof = obs.shape[1] - 1
+        return pd.DataFrame({
+            group_col: pivot.index.to_numpy(),
+            "n": ng.astype(np.int64),
+            "dof": np.full(len(ng), dof, dtype=np.int64),
+            "chi2_e6": np.array(
+                [round_half_away(x * 1e6) for x in chi2], dtype=np.int64),
+        })
+
+    return counts.repartition(1).map_batches(finish, batch_format="pandas")

@@ -11874,3 +11874,67 @@ WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.98
 
 QUERIES["customer_name_jw_pairs"] = customer_name_jw_pairs
 ORACLE_SQL["customer_name_jw_pairs"] = CUSTOMER_NAME_JW_PAIRS_SQL
+
+
+def events_chi2_dow(sf_dir: str):
+    """Chi-square goodness-of-fit of each event type's day-of-week
+    distribution against the corpus-wide mix
+    (functions/agg.grouped_chi2_gof) — the segment-drift screen beside
+    events_welch_ttest's mean test.  Exact int64 cell counts; one fixed
+    float64 closing tree; chi2 rounded half-away at 1e-6.
+
+    Scale shape: the shuffle moves one int64 per occupied (type, dow)
+    cell; the finish runs on the cell-cardinality table."""
+    from knowledge_graph_ray.functions.agg import grouped_chi2_gof
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(b.column("ts").cast(pa.int64()), 1_000_000)
+        day = pc.divide(ts_s, 86_400)
+        dow = pc.subtract(
+            pc.add(day, pa.scalar(4, pa.int64())),
+            pc.multiply(
+                pc.divide(pc.add(day, pa.scalar(4, pa.int64())),
+                          pa.scalar(7, pa.int64())),
+                pa.scalar(7, pa.int64())),
+        )  # epoch day 0 = Thursday = 4
+        return pa.table({"event_type": b.column("event_type"),
+                         "dow": dow.cast(pa.int64())})
+
+    return grouped_chi2_gof(
+        events.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "dow")
+
+
+EVENTS_CHI2_DOW_SQL = """
+WITH o AS (
+  SELECT event_type AS g,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS c,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+tg AS (SELECT g, sum(n) AS ng FROM o GROUP BY g),
+tc AS (SELECT c, sum(n) AS tc FROM o GROUP BY c),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM o),
+grid AS (
+  SELECT tg.g, tc.c, COALESCE(o.n, 0) AS obs,
+         CAST(tg.ng AS DOUBLE) * CAST(tc.tc AS DOUBLE)
+           / (SELECT nn FROM tot) AS exp
+  FROM tg CROSS JOIN tc
+  LEFT JOIN o ON o.g = tg.g AND o.c = tc.c
+)
+SELECT g AS event_type,
+       CAST(any_value(ngv) AS BIGINT) AS n,
+       CAST(count(*) - 1 AS BIGINT) AS dof,
+       CAST(round(sum((obs - exp) * (obs - exp) / exp) * 1000000)
+            AS BIGINT) AS chi2_e6
+FROM (SELECT grid.*, tg.ng AS ngv FROM grid JOIN tg ON grid.g = tg.g)
+GROUP BY g
+"""
+
+QUERIES["events_chi2_dow"] = events_chi2_dow
+ORACLE_SQL["events_chi2_dow"] = EVENTS_CHI2_DOW_SQL

@@ -182,3 +182,43 @@ def test_link_prediction_empty_and_min_common():
     got = _lp_frame(link_prediction(rd.from_pandas(df), min_common=2))
     assert set(got) == {("A", "C"), ("B", "D")}
     assert all(c == 2 for c, _ in got.values())
+
+
+# ----------------------------------------------------------- chi-square GOF
+
+
+def test_grouped_chi2_gof_matches_plain_python():
+    from knowledge_graph_ray.functions.agg import grouped_chi2_gof
+
+    rng = np.random.default_rng(41)
+    g = rng.choice(["a", "b", "c"], 500)
+    c = rng.choice([0, 1, 2, 3], 500, p=[0.4, 0.3, 0.2, 0.1])
+    df = pd.DataFrame({"g": g, "c": c})
+    got = grouped_chi2_gof(rd.from_pandas(df), "g", "c").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+
+    cats = sorted(df.c.unique())
+    tot = {cc: (df.c == cc).sum() for cc in cats}
+    nn = len(df)
+    for _, row in got.iterrows():
+        grp = df[df.g == row.g]
+        chi2 = 0.0
+        for cc in cats:
+            obs = float((grp.c == cc).sum())
+            exp = len(grp) * tot[cc] / nn
+            chi2 += (obs - exp) ** 2 / exp
+        assert row.dof == len(cats) - 1
+        assert row.n == len(grp)
+        assert abs(row.chi2_e6 - round(chi2 * 1e6)) <= 1
+    assert len(got) == 3
+
+
+def test_grouped_chi2_gof_uniform_group_scores_zero():
+    from knowledge_graph_ray.functions.agg import grouped_chi2_gof
+
+    # both groups have identical category mixes -> chi2 == 0 exactly
+    df = pd.DataFrame({"g": ["x"] * 6 + ["y"] * 12,
+                       "c": [0, 0, 1, 1, 2, 2] * 3})
+    got = grouped_chi2_gof(rd.from_pandas(df), "g", "c").to_pandas()
+    assert sorted(got.chi2_e6) == [0, 0]
+    assert sorted(got.dof) == [2, 2]
