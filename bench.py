@@ -212,6 +212,16 @@ BENCH_QUERIES = [
     "documents_consistent_sample",
     "customer_name_edit1_pairs",
     "events_user_consistent_sample",
+    # round-5 coda 8: link-prediction / mutual-NN / record-linkage /
+    # drift-stat family (appended; earlier comparisons stay aligned)
+    "trade_graph_link_prediction",
+    "embeddings_mutual_nn",
+    "embeddings_mutual_nn_ivf",
+    "events_exploration_length",
+    "trade_graph_hits",
+    "customer_name_jw_pairs",
+    "customer_name_lev2_pairs",
+    "events_chi2_dow",
 ]
 
 

@@ -11938,3 +11938,46 @@ GROUP BY g
 
 QUERIES["events_chi2_dow"] = events_chi2_dow
 ORACLE_SQL["events_chi2_dow"] = EVENTS_CHI2_DOW_SQL
+
+
+def customer_name_lev2_pairs(sf_dir: str):
+    """Bounded-edit record linkage
+    (stages/fuzzy.levenshtein_blocked_pairs): same-nation customer-name
+    pairs at Levenshtein distance <= 2 with the exact per-pair
+    distance — generalizes the global SymSpell edit-1 join
+    (customer_name_edit1_pairs) to k=2 inside blocks.
+
+    Scale shape: ONE shuffle on the blocking key; banded-DP kernel
+    vectorized ACROSS pair tiles (O(L * (2k+1)) numpy steps), length
+    pre-filter before the DP; never a per-pair Python loop."""
+    from knowledge_graph_ray.stages.fuzzy import levenshtein_blocked_pairs
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+    pairs = levenshtein_blocked_pairs(
+        cust, id_col="c_custkey", text_col="c_name",
+        block_cols=["c_nationkey"], k=2)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+            "id_a": b.column("id_a").cast(pa.int64()),
+            "id_b": b.column("id_b").cast(pa.int64()),
+            "dist": b.column("dist").cast(pa.int64()),
+        })
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+CUSTOMER_NAME_LEV2_PAIRS_SQL = """
+SELECT CAST(a.c_nationkey AS BIGINT) AS c_nationkey,
+       a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+QUERIES["customer_name_lev2_pairs"] = customer_name_lev2_pairs
+ORACLE_SQL["customer_name_lev2_pairs"] = CUSTOMER_NAME_LEV2_PAIRS_SQL

@@ -375,28 +375,26 @@ def _jw_pairs(ca: np.ndarray, la: np.ndarray,
     return np.where(jaro > 0.7, jaro + prefix * 0.1 * (1.0 - jaro), jaro)
 
 
-def jaro_winkler_blocked_pairs(ds, id_col: str, text_col: str,
-                               block_cols: list[str], threshold: float,
-                               max_block_rows: int = 10_000,
-                               pair_tile: int = 200_000,
-                               num_buckets: int = 32,
-                               driver_threshold: "int | None" = None,
-                               size_hint: "int | None" = None):
-    """All pairs (id_a < id_b) within each block whose Jaro-Winkler
-    similarity >= threshold — the record-linkage join.  Output:
-    block_cols + id_a, id_b, sim, with sim bit-identical to DuckDB
-    ``jaro_winkler_similarity`` (byte semantics; see _jw_pairs).
+def _blocked_pairs_scan(ds, id_col: str, text_col: str,
+                        block_cols: list[str], score_keep,
+                        out_col: str, out_dtype: str,
+                        max_block_rows: int = 10_000,
+                        pair_tile: int = 200_000,
+                        num_buckets: int = 32,
+                        driver_threshold: "int | None" = None,
+                        size_hint: "int | None" = None):
+    """Shared blocked string-pair scan (Jaro-Winkler / Levenshtein /
+    any pair-vectorized kernel): ONE shuffle on the blocking key;
+    oversized blocks secondary-block into id-sorted chunks whose pairs
+    tile the positional upper triangle exactly (char_jaccard_pairs'
+    discipline); the kernel runs vectorized across pair tiles of
+    <= ``pair_tile`` (a-row bands x candidate chunk), so peak memory is
+    one tile of (P, L) byte matrices regardless of block size.
 
-    Scale shape: char_jaccard_pairs' discipline — ONE shuffle on the
-    blocking key; oversized blocks secondary-block into id-sorted
-    chunks whose pairs tile the positional upper triangle exactly; the
-    JW kernel runs vectorized across pair tiles of <= ``pair_tile``
-    (a-row bands x candidate chunk), so peak memory is one tile of
-    (P, L) byte matrices regardless of block size."""
+    ``score_keep(ca, la, cb, lb) -> (keep_mask, values)`` evaluates one
+    pair tile.  Output: block_cols + id_a, id_b, ``out_col``."""
 
-    def eval_pairs(blk_a, blk_b, ca, la, cb, lb, tri: bool):
-        """Yield (ia, ib, sim) for qualifying pairs; tri=True pairs
-        rows of one chunk (i < j), else full rectangle a x b."""
+    def eval_pairs(ca, la, cb, lb, tri: bool):
         na, nb = len(la), len(lb)
         band = max(1, pair_tile // max(nb, 1))
         for r0 in range(0, na, band):
@@ -412,10 +410,9 @@ def jaro_winkler_blocked_pairs(ds, id_col: str, text_col: str,
                 ib = np.tile(np.arange(nb), r1 - r0)
             if not len(ia):
                 continue
-            sim = _jw_pairs(ca[ia], la[ia], cb[ib], lb[ib])
-            hit = sim >= threshold
-            if hit.any():
-                yield ia[hit], ib[hit], sim[hit]
+            keep, val = score_keep(ca[ia], la[ia], cb[ib], lb[ib])
+            if keep.any():
+                yield ia[keep], ib[keep], val[keep]
 
     def bucket_body(g: pd.DataFrame) -> pa.Table:
         frames: list[pd.DataFrame] = []
@@ -435,28 +432,26 @@ def jaro_winkler_blocked_pairs(ds, id_col: str, text_col: str,
                 ca, la = _char_matrix(blk_a[text_col], width)
                 for cj in range(ci, nchunks):
                     if cj == ci:
-                        gen = eval_pairs(blk_a, blk_a, ca, la, ca, la,
-                                         tri=True)
+                        gen = eval_pairs(ca, la, ca, la, tri=True)
                         b_lo = a_lo
                     else:
                         b_lo = cj * max_block_rows
                         b_hi = min(b_lo + max_block_rows, n)
                         blk_b = blk.iloc[b_lo:b_hi]
                         cb, lb = _char_matrix(blk_b[text_col], width)
-                        gen = eval_pairs(blk_a, blk_b, ca, la, cb, lb,
-                                         tri=False)
-                    for ia, ib, sim in gen:
+                        gen = eval_pairs(ca, la, cb, lb, tri=False)
+                    for ia, ib, val in gen:
                         frame = blk_a.iloc[ia][block_cols] \
                             .reset_index(drop=True)
                         frame["id_a"] = ids[a_lo + ia]
                         frame["id_b"] = ids[b_lo + ib]
-                        frame["sim"] = sim
+                        frame[out_col] = val
                         frames.append(frame)
         if not frames:
             empty = g.head(0)[block_cols].copy()
             empty["id_a"] = g[id_col].head(0)
             empty["id_b"] = g[id_col].head(0)
-            empty["sim"] = pd.Series([], dtype="float64")
+            empty[out_col] = pd.Series([], dtype=out_dtype)
             return pa.Table.from_pandas(empty, preserve_index=False)
         return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
                                     preserve_index=False)
@@ -467,3 +462,114 @@ def jaro_winkler_blocked_pairs(ds, id_col: str, text_col: str,
         num_buckets=num_buckets, driver_threshold=driver_threshold,
         size_hint=size_hint,
     )
+
+
+def jaro_winkler_blocked_pairs(ds, id_col: str, text_col: str,
+                               block_cols: list[str], threshold: float,
+                               max_block_rows: int = 10_000,
+                               pair_tile: int = 200_000,
+                               num_buckets: int = 32,
+                               driver_threshold: "int | None" = None,
+                               size_hint: "int | None" = None):
+    """All pairs (id_a < id_b) within each block whose Jaro-Winkler
+    similarity >= threshold — the record-linkage join.  Output:
+    block_cols + id_a, id_b, sim, with sim bit-identical to DuckDB
+    ``jaro_winkler_similarity`` (byte semantics; see _jw_pairs).
+    Scale shape: see _blocked_pairs_scan."""
+
+    def score_keep(ca, la, cb, lb):
+        sim = _jw_pairs(ca, la, cb, lb)
+        return sim >= threshold, sim
+
+    return _blocked_pairs_scan(
+        ds, id_col, text_col, block_cols, score_keep, "sim", "float64",
+        max_block_rows=max_block_rows, pair_tile=pair_tile,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )
+
+
+def levenshtein_blocked_pairs(ds, id_col: str, text_col: str,
+                              block_cols: list[str], k: int = 2,
+                              max_block_rows: int = 10_000,
+                              pair_tile: int = 200_000,
+                              num_buckets: int = 32,
+                              driver_threshold: "int | None" = None,
+                              size_hint: "int | None" = None):
+    """All pairs (id_a < id_b) within each block at edit distance
+    <= k — the bounded-edit record-linkage join, generalizing the
+    global SymSpell edit-1 join to any k with per-pair exact distances
+    (banded-DP kernel _lev_pairs, == DuckDB ``levenshtein``; a length
+    pre-filter skips pairs with |len_a - len_b| > k before the DP).
+    Output: block_cols + id_a, id_b, dist.  Scale shape: see
+    _blocked_pairs_scan."""
+
+    def score_keep(ca, la, cb, lb):
+        dist = np.full(len(la), k + 1, np.int64)
+        near = np.abs(la - lb) <= k
+        if near.any():
+            dist[near] = _lev_pairs(ca[near], la[near],
+                                    cb[near], lb[near], k)
+        return dist <= k, dist
+
+    return _blocked_pairs_scan(
+        ds, id_col, text_col, block_cols, score_keep, "dist", "int64",
+        max_block_rows=max_block_rows, pair_tile=pair_tile,
+        num_buckets=num_buckets, driver_threshold=driver_threshold,
+        size_hint=size_hint,
+    )
+
+
+def _lev_pairs(ca: np.ndarray, la: np.ndarray,
+               cb: np.ndarray, lb: np.ndarray, k: int) -> np.ndarray:
+    """Exact Levenshtein distance for P string pairs, CAPPED at k+1
+    (values > k all report k+1), vectorized ACROSS pairs via the
+    banded DP over diagonals: dp[i, o] holds row i's cell at column
+    j = i + o - k, so only 2k+1 offsets exist per row and the sweep is
+    O(Lmax * (2k+1)) numpy steps of O(P) work — never a per-pair
+    Python DP.  Byte semantics (== DuckDB ``levenshtein`` on ASCII)."""
+    P, L = ca.shape
+    if P == 0:
+        return np.zeros(0, np.int64)
+    INF = np.int32(k + 1)
+    width = 2 * k + 1
+    offs = np.arange(width) - k               # j - i
+    # row 0: dp[0, j] = j
+    dp = np.broadcast_to(offs, (P, width)).astype(np.int32).copy()
+    dp[:, :k] = INF                            # j < 0
+    np.minimum(dp, INF, out=dp)
+    imax = int(la.max(initial=0))
+    for i in range(1, imax + 1):
+        prev = dp
+        dp = np.full((P, width), INF, np.int32)
+        ai = ca[:, i - 1]                      # row i consumes a[i-1]
+        row_alive = i <= la
+        for o in range(width):
+            jv = i + int(offs[o])
+            if jv < 0:
+                continue
+            # deletion: dp[i-1, j] = prev offset o+1
+            best = (prev[:, o + 1] + 1 if o + 1 < width
+                    else np.full(P, INF, np.int32))
+            # substitution / match: dp[i-1, j-1] = prev offset o
+            if jv >= 1:
+                cost = (ai != cb[:, jv - 1]).astype(np.int32) \
+                    if jv - 1 < L else np.ones(P, np.int32)
+                np.minimum(best, prev[:, o] + cost, out=best)
+            # insertion: dp[i, j-1] = current row offset o-1
+            if o - 1 >= 0:
+                np.minimum(best, dp[:, o - 1] + 1, out=best)
+            valid = row_alive & (jv <= lb)     # stay inside b + its pad row
+            np.minimum(best, INF, out=best)
+            dp[:, o] = np.where(valid, best, dp[:, o])
+        if not row_alive.any():
+            break
+        # freeze finished rows: once i > la the dp row must stop changing
+        dp = np.where(row_alive[:, None], dp, prev)
+    # answer at (la, lb): offset = lb - la + k; out of band -> k+1
+    o_final = lb - la + k
+    inband = (o_final >= 0) & (o_final < width)
+    out = np.full(P, int(INF), np.int64)
+    idx = np.flatnonzero(inband)
+    out[idx] = dp[idx, o_final[idx]]
+    return np.minimum(out, k + 1)

@@ -216,3 +216,73 @@ def test_jw_blocked_pairs_empty_and_singleton():
     df = pd.DataFrame({"id": [1], "blk": ["x"], "name": ["solo"]})
     assert jaro_winkler_blocked_pairs(
         rd.from_pandas(df), "id", "name", ["blk"], 0.9).count() == 0
+
+
+def test_lev_kernel_matches_bruteforce_dp():
+    from knowledge_graph_ray.stages.fuzzy import _char_matrix, _lev_pairs
+
+    def dp(s1, s2):
+        b1, b2 = s1.encode(), s2.encode()
+        prev = list(range(len(b2) + 1))
+        for i, c1 in enumerate(b1, 1):
+            cur = [i]
+            for j, c2 in enumerate(b2, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (c1 != c2)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(31)
+    vocab = list("abcd")
+    strs = ["".join(rng.choice(vocab, rng.integers(0, 9)))
+            for _ in range(150)] + ["kitten", "sitting", "", "a"]
+    ia = rng.integers(0, len(strs), 1200)
+    ib = rng.integers(0, len(strs), 1200)
+    a = pd.Series([strs[i] for i in ia])
+    b = pd.Series([strs[i] for i in ib])
+    width = int(max(a.str.len().max(), b.str.len().max()))
+    ca, la = _char_matrix(a, width)
+    cb, lb = _char_matrix(b, width)
+    for k in (1, 2, 3):
+        got = _lev_pairs(ca, la, cb, lb, k)
+        want = np.asarray([min(dp(x, y), k + 1) for x, y in zip(a, b)])
+        assert np.array_equal(got, want), k
+
+
+def test_lev_blocked_pairs_matches_bruteforce():
+    from knowledge_graph_ray.stages.fuzzy import levenshtein_blocked_pairs
+
+    rng = np.random.default_rng(17)
+    n = 80
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        "blk": rng.choice(["x", "y"], n),
+        "name": [f"rec-{rng.integers(0, 40):03d}" for _ in range(n)],
+    })
+    out = levenshtein_blocked_pairs(
+        rd.from_pandas(df), "id", "name", ["blk"], k=2,
+        max_block_rows=9, pair_tile=23).to_pandas()
+    got = sorted(zip(out.blk, out.id_a, out.id_b, out.dist))
+
+    import itertools
+    want = []
+    for _, blk in df.groupby("blk"):
+        rows = blk.sort_values("id")
+        for (i1, r1), (i2, r2) in itertools.combinations(
+                rows.iterrows(), 2):
+            d = _lev_scalar(r1["name"], r2["name"])
+            if d <= 2:
+                want.append((r1.blk, r1.id, r2.id, d))
+    assert got == sorted(want) and len(got) > 0
+
+
+def _lev_scalar(s1: str, s2: str) -> int:
+    b1, b2 = s1.encode(), s2.encode()
+    prev = list(range(len(b2) + 1))
+    for i, c1 in enumerate(b1, 1):
+        cur = [i]
+        for j, c2 in enumerate(b2, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
