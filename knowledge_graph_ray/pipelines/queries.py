@@ -11981,3 +11981,71 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 
 QUERIES["customer_name_lev2_pairs"] = customer_name_lev2_pairs
 ORACLE_SQL["customer_name_lev2_pairs"] = CUSTOMER_NAME_LEV2_PAIRS_SQL
+
+
+def events_user_type_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix — the behavioral-
+    diversity score (bot/spam screens flag near-zero-entropy users):
+    H = -sum_t (n_t/N) ln(n_t/N), reported e6 fixed-point alongside
+    exact event/type counts (ln on exact integer ratios; cross-engine
+    float drift ~1e-13, inside the 0.5e-6 granularity).
+
+    Scale shape: the (user, type) combiner collapses the fact scan to
+    occupied cells; ONE user shuffle; the bucket body closes the
+    entropy vectorized — output is user-cardinality."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+    counts = grouped_agg(events, ["user_id", "event_type"],
+                         [("n", None, "count")])
+
+    def body(bucket: pd.DataFrame) -> pa.Table:
+        from knowledge_graph_ray.functions.numeric import round_half_away
+
+        tot = bucket.groupby("user_id", sort=False)["n"].transform("sum")
+        p = bucket["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+        term = p * np.log(p)
+        agg = pd.DataFrame({
+            "user_id": bucket["user_id"],
+            "nn": tot,
+            "term": term,
+        }).groupby("user_id", sort=False).agg(
+            n_events=("nn", "first"), n_types=("term", "size"),
+            s=("term", "sum")).reset_index()
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].to_numpy(np.int64)),
+            "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+            "n_types": pa.array(agg["n_types"].to_numpy(np.int64)),
+            "entropy_e6": pa.array(
+                [round_half_away(-x * 1e6) for x in agg["s"]],
+                type=pa.int64()),
+        })
+
+    return bucketed_bucket_map(
+        counts, ["user_id"], body,
+        empty_schema=pa.schema([("user_id", pa.int64()),
+                                ("n_events", pa.int64()),
+                                ("n_types", pa.int64()),
+                                ("entropy_e6", pa.int64())]),
+    )
+
+
+EVENTS_USER_TYPE_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+t AS (SELECT user_id, sum(n) AS nn FROM c GROUP BY 1)
+SELECT c.user_id,
+       CAST(any_value(t.nn) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(round(-sum((CAST(c.n AS DOUBLE) / t.nn)
+                       * ln(CAST(c.n AS DOUBLE) / t.nn)) * 1000000)
+            AS BIGINT) AS entropy_e6
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id
+"""
+
+QUERIES["events_user_type_entropy"] = events_user_type_entropy
+ORACLE_SQL["events_user_type_entropy"] = EVENTS_USER_TYPE_ENTROPY_SQL
