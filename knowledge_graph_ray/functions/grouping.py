@@ -30,7 +30,8 @@ def bucketed_bucket_map(ds, keys: list[str], bucket_fn, num_buckets: int = 64,
                         empty_schema: pa.Schema | None = None,
                         driver_threshold: int | None = None,
                         size_hint: int | None = None,
-                        body_format: str = "pandas"):
+                        body_format: str = "pandas",
+                        pre_partition: int | None = None):
     """Apply ``bucket_fn(bucket_df) -> pyarrow.Table`` once per key-hash
     bucket; all rows of a key land in the same bucket.
 
@@ -99,7 +100,17 @@ def bucketed_bucket_map(ds, keys: list[str], bucket_fn, num_buckets: int = 64,
             _BUCKET, bucket_column(batch, keys, num_buckets)
         )
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    if pre_partition is not None:
+        # groupby().map_groups schedules ONE task per post-sort block,
+        # and the sort preserves the input block count — a small
+        # (often 1-block) input therefore serializes every bucket body
+        # on one core.  Callers whose bodies do heavy per-bucket work
+        # (the quadratic pair scans) opt into an input repartition so
+        # the map runs wide; measured 8x on the JW join at 100k names.
+        bucketed = ds.repartition(pre_partition)
+    else:
+        bucketed = ds
+    bucketed = bucketed.map_batches(add_bucket, batch_format="pyarrow")
 
     if body_format == "pyarrow":
         def abody(group: pa.Table) -> pa.Table:

@@ -125,7 +125,7 @@ def char_jaccard_pairs(ds, id_col: str, text_col: str,
     return bucketed_bucket_map(
         ds.select_columns(needed), block_cols, bucket_body,
         num_buckets=num_buckets, driver_threshold=driver_threshold,
-        size_hint=size_hint,
+        size_hint=size_hint, pre_partition=num_buckets,
     )
 
 
@@ -460,7 +460,7 @@ def _blocked_pairs_scan(ds, id_col: str, text_col: str,
     return bucketed_bucket_map(
         ds.select_columns(needed), block_cols, bucket_body,
         num_buckets=num_buckets, driver_threshold=driver_threshold,
-        size_hint=size_hint,
+        size_hint=size_hint, pre_partition=num_buckets,
     )
 
 

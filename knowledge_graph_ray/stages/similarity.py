@@ -711,11 +711,27 @@ def mutual_nn_pairs(ds, vec_column: str = "embedding",
         bkeys = _id_sort_key(
             [str(i) for i in batch.column(id_column).to_pylist()])
         pos = np.searchsorted(keys, bkeys)
-        sims = bm @ m.T                       # (B, N)
-        sims[np.arange(len(pos)), pos] = -np.inf
-        nn = np.argmax(sims, axis=1)          # first max = lowest id
+        brange = np.arange(len(pos))
+        # tile the scan over the broadcast matrix so the sims buffer
+        # stays ~128 MB however many vectors are broadcast (a single
+        # (B, N) matrix is 6.5 GB per task at N=200k, B=4096 — the
+        # 200k scale check caught exactly that); ascending-id tiles +
+        # strict > keep argmax's first-max (= lowest-id) tie-break
+        tile = max(1, (16 << 20) // max(len(pos), 1))
+        best = np.full(len(pos), -np.inf)
+        nn = np.zeros(len(pos), np.int64)
+        for c0 in range(0, m.shape[0], tile):
+            c1 = min(c0 + tile, m.shape[0])
+            sims = bm @ m[c0:c1].T            # (B, tile)
+            inside = (pos >= c0) & (pos < c1)
+            sims[brange[inside], pos[inside] - c0] = -np.inf
+            loc = np.argmax(sims, axis=1)
+            val = sims[brange, loc]
+            upd = val > best
+            best[upd] = val[upd]
+            nn[upd] = loc[upd] + c0
         return pa.table({"p": pa.array(pos.astype(np.int64)),
-                         "q": pa.array(nn.astype(np.int64))})
+                         "q": pa.array(nn)})
 
     nn = ds.map_batches(nn_batch, batch_format="pyarrow",
                         batch_size=4096).materialize()
@@ -810,14 +826,25 @@ def mutual_nn_pairs_ivf(ds, num_centroids: int = 16, nprobe: int = 4,
         qids_raw = qry.column("vid").to_pylist()
         qkeys = _id_sort_key(qids_raw)
         qmat = _unit(_column_matrix(qry.column("vec")))
-        sims = qmat @ cmat.T                      # (Q, Nc)
         # self-exclusion: the query's own id, when present in this bucket
         pos = np.searchsorted(ckeys, qkeys)
         pos_c = np.clip(pos, 0, len(ckeys) - 1)
         selfmask = ckeys[pos_c] == qkeys
-        sims[np.flatnonzero(selfmask), pos_c[selfmask]] = -np.inf
-        best = np.argmax(sims, axis=1)            # first max = lowest id
-        bc = sims[np.arange(len(best)), best]
+        # tile the queries x candidates matmul over query rows so the
+        # sims buffer stays ~128 MB whatever the bucket sizes (the
+        # same discipline as nn_batch's broadcast tiling)
+        band = max(1, (16 << 20) // max(len(cmat), 1))
+        bests, bcs = [], []
+        for q0 in range(0, len(qmat), band):
+            q1 = min(q0 + band, len(qmat))
+            sims = qmat[q0:q1] @ cmat.T           # (band, Nc)
+            sm = selfmask[q0:q1]
+            sims[np.flatnonzero(sm), pos_c[q0:q1][sm]] = -np.inf
+            loc = np.argmax(sims, axis=1)         # first max = lowest id
+            bests.append(loc)
+            bcs.append(sims[np.arange(len(loc)), loc])
+        best = np.concatenate(bests)
+        bc = np.concatenate(bcs)
         keep = np.isfinite(bc)
         return pa.table({
             "qid": pa.array(np.asarray(qids_raw, dtype=object)[keep],
