@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "customer_name_lev2_pairs",
     "events_chi2_dow",
     "events_user_type_entropy",
+    "kg_clustering_coefficient",
 ]
 
 

@@ -12049,3 +12049,62 @@ GROUP BY c.user_id
 
 QUERIES["events_user_type_entropy"] = events_user_type_entropy
 ORACLE_SQL["events_user_type_entropy"] = EVENTS_USER_TYPE_ENTROPY_SQL
+
+
+def kg_clustering_coefficient(sf_dir: str):
+    """Per-node triangle count and local clustering coefficient of the
+    flagship co-occurrence graph (stages/graphops.clustering_coefficient:
+    degree-ordered wedge closure carrying the wedge corner, one
+    flat-map + groupby per corner, one left_outer degree join) —
+    completes the triangle family with the node-level density signal
+    spam/cohesion screens use.  cc at e9 (one float64 expression over
+    exact int64 operands on both sides)."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.graphops import clustering_coefficient
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    out = clustering_coefficient(edges)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b.column("node"),
+            "deg": b.column("deg"),
+            "triangles": b.column("triangles"),
+            "cc_e9": scaled_int_column(b.column("cc"), 1e9),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+KG_CLUSTERING_COEFFICIENT_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+pairs AS (SELECT DISTINCT x.name AS a, y.name AS b
+          FROM present x JOIN present y
+            ON x.doc_id = y.doc_id AND x.name < y.name),
+sym AS (SELECT a AS v, b AS n FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM pairs e1
+        JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+t AS (SELECT v, count(*) AS nt FROM corners GROUP BY v)
+SELECT deg.v AS node, CAST(deg.d AS BIGINT) AS deg,
+       CAST(COALESCE(t.nt, 0) AS BIGINT) AS triangles,
+       CAST(round(CASE WHEN deg.d >= 2
+                       THEN 2.0 * COALESCE(t.nt, 0)
+                            / (deg.d * (deg.d - 1.0))
+                       ELSE 0.0 END * 1000000000) AS BIGINT) AS cc_e9
+FROM deg LEFT JOIN t ON t.v = deg.v
+"""
+
+QUERIES["kg_clustering_coefficient"] = kg_clustering_coefficient
+ORACLE_SQL["kg_clustering_coefficient"] = KG_CLUSTERING_COEFFICIENT_SQL

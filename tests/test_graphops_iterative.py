@@ -241,3 +241,43 @@ def test_events_user_type_entropy_hand_math(tmp_path):
     assert got.n_events.tolist() == [4, 2]
     assert got.n_types.tolist() == [2, 1]
     assert got.entropy_e6.tolist() == [round(np.log(2) * 1e6), 0]
+
+
+def test_clustering_coefficient_matches_networkx():
+    from knowledge_graph_ray.stages.graphops import clustering_coefficient
+
+    rng = np.random.default_rng(53)
+    for n, m in ((15, 45), (40, 200)):
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        df = pd.DataFrame({"src": [f"n{a:02d}" for a in src],
+                           "dst": [f"n{b:02d}" for b in dst]})
+        g = nx.Graph()
+        g.add_edges_from(df.itertuples(index=False))
+        g.remove_edges_from(nx.selfloop_edges(g))
+        want_cc = nx.clustering(g)
+        want_tri = nx.triangles(g)
+
+        got = clustering_coefficient(rd.from_pandas(df)).to_pandas()
+        assert len(got) == g.number_of_nodes()
+        for _, r in got.iterrows():
+            assert r.deg == g.degree(r.node)
+            assert r.triangles == want_tri[r.node], r.node
+            assert abs(r.cc - want_cc[r.node]) < 1e-12, r.node
+
+
+def test_clustering_coefficient_empty_and_triangle():
+    from knowledge_graph_ray.stages.graphops import clustering_coefficient
+
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+    assert clustering_coefficient(rd.from_arrow(empty)).count() == 0
+
+    # triangle + pendant: A, B fully clustered; C has 1 of 3 pairs
+    df = pd.DataFrame({"src": ["A", "B", "A", "C"],
+                       "dst": ["B", "C", "C", "D"]})
+    got = clustering_coefficient(rd.from_pandas(df)).to_pandas()
+    m = {r.node: (r.deg, r.triangles, round(r.cc, 9))
+         for _, r in got.iterrows()}
+    assert m == {"A": (2, 1, 1.0), "B": (2, 1, 1.0),
+                 "C": (3, 1, round(1 / 3, 9)), "D": (1, 0, 0.0)}
