@@ -170,3 +170,58 @@ def test_coda5_operators_handle_empty_inputs():
     assert isinstance(cms, CountMinSketch)
     assert cms.table.sum() == 0
     assert list(cms.query_many(["a", "b"])) == [0, 0]
+
+
+def test_coda8_operators_handle_empty_inputs():
+    """Empty/degenerate inputs through every coda-8 operator (100-TB
+    runs hit empty partitions and empty filter results constantly)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from knowledge_graph_ray.functions.agg import grouped_chi2_gof
+    from knowledge_graph_ray.stages.fuzzy import (
+        jaro_winkler_blocked_pairs,
+        levenshtein_blocked_pairs,
+    )
+    from knowledge_graph_ray.stages.pagerank import hits
+    from knowledge_graph_ray.stages.similarity import (
+        mutual_nn_pairs,
+        mutual_nn_pairs_ivf,
+    )
+
+    empty_edges = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string()),
+    }))
+    assert hits(empty_edges).count() == 0
+
+    empty_vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    assert mutual_nn_pairs(empty_vecs).count() == 0
+    assert mutual_nn_pairs_ivf(empty_vecs).count() == 0
+
+    empty_names = rd.from_arrow(pa.table({
+        "id": pa.array([], pa.int64()),
+        "blk": pa.array([], pa.string()),
+        "name": pa.array([], pa.string()),
+    }))
+    assert jaro_winkler_blocked_pairs(
+        empty_names, "id", "name", ["blk"], 0.9).count() == 0
+    assert levenshtein_blocked_pairs(
+        empty_names, "id", "name", ["blk"], k=2).count() == 0
+
+    empty_gc = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.string()),
+        "c": pa.array([], pa.int64()),
+    }))
+    assert grouped_chi2_gof(empty_gc, "g", "c").count() == 0
+
+    # single-category degenerate: dof 0, chi2 exactly 0 for all groups
+    one_cat = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "a", "b"]),
+        "c": pa.array([7, 7, 7], pa.int64()),
+    }))
+    out = grouped_chi2_gof(one_cat, "g", "c").to_pandas()
+    assert sorted(out.dof) == [0, 0] and sorted(out.chi2_e6) == [0, 0]
