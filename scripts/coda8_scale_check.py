@@ -106,11 +106,13 @@ def main():
         "edges_per_s": int(len(edges) / t_h),
     }), flush=True)
 
-    # --- JW + Levenshtein blocked joins on 1M names, 1000 blocks
+    # --- JW + Levenshtein blocked joins on 1M names, 2000 blocks
+    # (2000 blocks of ~500 rows -> ~250M pair evals; with coarser
+    # 1000-block blocking the JW leg alone is ~500M evals / ~2.5 min)
     digits = rng.integers(0, 10_000_000, n_names)
     names = pd.DataFrame({
         "id": np.arange(n_names, dtype=np.int64),
-        "blk": rng.integers(0, 1000, n_names),
+        "blk": rng.integers(0, 2000, n_names),
         "name": np.char.add("Customer#",
                             np.char.zfill(digits.astype(str), 9)),
     })
@@ -119,9 +121,9 @@ def main():
     jw = jaro_winkler_blocked_pairs(
         nds, "id", "name", ["blk"], 0.985, num_buckets=128).materialize()
     t_jw = time.time() - t0
-    npairs_per_blk = (n_names // 1000) ** 2 // 2 * 1000
+    npairs_per_blk = (n_names // 2000) ** 2 // 2 * 2000
     print(json.dumps({
-        "check": "jw_blocked_1m", "n_names": n_names,
+        "check": "jw_blocked_1m_2000blk", "n_names": n_names,
         "wall_s": round(t_jw, 1), "pairs_out": jw.count(),
         "pair_evals": npairs_per_blk,
         "pair_evals_per_s": int(npairs_per_blk / t_jw),
