@@ -749,7 +749,8 @@ def mutual_nn_pairs(ds, vec_column: str = "embedding",
     return mutual.map_batches(back, batch_format="pyarrow")
 
 
-def mutual_nn_pairs_ivf(ds, num_centroids: int = 16, nprobe: int = 4,
+def mutual_nn_pairs_ivf(ds, num_centroids: "int | None" = 16,
+                        nprobe: int = 4,
                         sample: int = 2048, seed: int = 6969,
                         vec_column: str = "embedding",
                         id_column: str = "vec_id",
@@ -773,11 +774,18 @@ def mutual_nn_pairs_ivf(ds, num_centroids: int = 16, nprobe: int = 4,
     from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
     from knowledge_graph_ray.functions.joins import hash_join, project
 
-    if ds.count() < 2:
+    n = ds.count()
+    if n < 2:
         import ray.data as rd
 
         return rd.from_arrow(pa.table({"a": pa.array([], pa.string()),
                                        "b": pa.array([], pa.string())}))
+    if num_centroids is None:
+        # sqrt(n) keeps per-bucket candidate sets ~sqrt(n)-sized, the
+        # standard IVF sizing as the corpus grows (train sample scales
+        # to 32x the codebook so each centroid still sees data)
+        num_centroids = max(16, int(np.sqrt(n)))
+        sample = max(sample, 32 * num_centroids)
     cents = train_centroids(ds, num_centroids=num_centroids, sample=sample,
                             seed=seed, vec_column=vec_column)
     nprobe_eff = min(nprobe, len(cents))

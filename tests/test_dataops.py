@@ -1702,3 +1702,14 @@ def test_mutual_nn_ivf_partial_probe_recall_floor():
     # within their probe sets — gate both directions, deterministic run
     assert len(ap & ep) / len(ep) >= 0.7              # recall (0.787)
     assert len(ap & ep) / len(ap) >= 0.7              # precision
+
+
+def test_mutual_nn_ivf_auto_centroids_sqrt_n():
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.mutual_nn_pairs(emb).to_pandas()
+    ep = sorted(zip(exact.a.astype(int), exact.b.astype(int)))
+    # auto: sqrt(500) ~ 22 centroids; nprobe clamps to the codebook, so
+    # a large value = full probe coverage = exact
+    auto = similarity.mutual_nn_pairs_ivf(emb, num_centroids=None,
+                                          nprobe=64).to_pandas()
+    assert sorted(zip(auto.a.astype(int), auto.b.astype(int))) == ep
