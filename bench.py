@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "events_chi2_dow",
     "events_user_type_entropy",
     "kg_clustering_coefficient",
+    "kg_ktruss",
 ]
 
 

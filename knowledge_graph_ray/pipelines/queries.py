@@ -12108,3 +12108,62 @@ FROM deg LEFT JOIN t ON t.v = deg.v
 
 QUERIES["kg_clustering_coefficient"] = kg_clustering_coefficient
 ORACLE_SQL["kg_clustering_coefficient"] = KG_CLUSTERING_COEFFICIENT_SQL
+
+
+def kg_ktruss(sf_dir: str):
+    """k-truss (k=4) of the flagship co-occurrence graph
+    (stages/graphops.ktruss): the maximal subgraph where every edge
+    closes >= 2 triangles inside it — the edge-level cohesion screen
+    one step above k-core (Cohen 2008), standard for extracting the
+    load-bearing core of a noisy co-occurrence KG.  Returns surviving
+    canonical edges with their in-truss support."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.graphops import ktruss
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    return ktruss(edges, k=4)
+
+
+def _build_ktruss_sql(k: int = 4, rounds: int = 8) -> str:
+    need = k - 2
+    parts = [f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+e0 AS MATERIALIZED (SELECT DISTINCT x.name AS a, y.name AS b
+       FROM present x JOIN present y
+         ON x.doc_id = y.doc_id AND x.name < y.name)"""]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+t{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN {prev} e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+s{r} AS MATERIALIZED (
+  SELECT a, b, count(*) AS n FROM (
+    SELECT x AS a, y AS b FROM t{r}
+    UNION ALL SELECT x, z FROM t{r}
+    UNION ALL SELECT y, z FROM t{r}
+  ) GROUP BY a, b
+),
+e{r} AS MATERIALIZED (
+  SELECT a, b FROM s{r} WHERE n >= {need}
+)""")
+        prev = f"e{r}"
+    parts.append(f"""
+SELECT a, b, CAST(n AS BIGINT) AS support
+FROM s{rounds} WHERE n >= {need}""")
+    return "".join(parts)
+
+
+KG_KTRUSS_SQL = _build_ktruss_sql()
+
+QUERIES["kg_ktruss"] = kg_ktruss
+ORACLE_SQL["kg_ktruss"] = KG_KTRUSS_SQL

@@ -407,30 +407,14 @@ def link_prediction(edges, src: str = "src", dst: str = "dst",
     return scored
 
 
-def clustering_coefficient(edges, src: str = "src", dst: str = "dst",
-                           broadcast_nodes_max: int = 5_000_000,
-                           num_buckets: int = 32):
-    """Dataset[{node, deg: int64, triangles: int64, cc: float64}] —
-    per-node triangle count and local clustering coefficient
-    cc = 2 T_v / (d_v (d_v - 1)) (0.0 below degree 2) of the simple
-    undirected graph induced by ``edges``.
 
-    Same scale discipline as triangle_count: degree-ordered
-    orientation bounds wedge expansion to O(sqrt(m)) out-degree; the
-    wedge table carries its corner u so each CLOSED wedge (exactly one
-    per triangle) increments all three corners via one flat-map +
-    groupby-count; one left_outer join onto the degree table closes
-    the coefficient vectorized."""
-    import ray
-    import ray.data as rd
+def _canon_distinct(edges, src: str, dst: str):
+    """Canonical (a < b) distinct simple-graph edge set, materialized."""
+    import pyarrow.compute as pc
 
-    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
-    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
-    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.functions.agg import distinct_rows
 
     def canon(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         a = b.column(src).cast(pa.string())
         c = b.column(dst).cast(pa.string())
         lo = pc.min_element_wise(a, c)
@@ -438,31 +422,46 @@ def clustering_coefficient(edges, src: str = "src", dst: str = "dst",
         t = pa.table({"a": lo, "b": hi})
         return t.filter(pc.not_equal(t.column("a"), t.column("b")))
 
-    und = distinct_rows(
+    return distinct_rows(
         edges.select_columns([src, dst]).map_batches(
             canon, batch_format="pyarrow"),
         ["a", "b"],
         empty_schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
     ).materialize()
-    empty = pa.table({"node": pa.array([], pa.string()),
-                      "deg": pa.array([], pa.int64()),
-                      "triangles": pa.array([], pa.int64()),
-                      "cc": pa.array([], pa.float64())})
-    if und.count() == 0:
-        return rd.from_arrow(empty)
 
+
+def _closed_triangles(und, broadcast_nodes_max: int = 5_000_000,
+                      num_buckets: int = 32):
+    """Dataset[{u, x, y}] — every triangle of the canonical distinct
+    edge set ``und`` exactly once (u = the degree-ordered wedge corner,
+    (x, y) its oriented closing edge).  The shared core of
+    triangle_count / clustering_coefficient / ktruss: one broadcast
+    degree orientation, one wedge-vertex shuffle with vectorized pair
+    expansion, one semi hash-join."""
+    import ray
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    empty = pa.table({"u": pa.array([], pa.string()),
+                      "x": pa.array([], pa.string()),
+                      "y": pa.array([], pa.string())})
     ends = und.map_batches(
         lambda b: pa.concat_tables([pa.table({"v": b.column("a")}),
                                     pa.table({"v": b.column("b")})]),
         batch_format="pyarrow",
     )
-    deg = grouped_agg(ends, ["v"], [("d", None, "count")]).materialize()
+    deg = grouped_agg(ends, ["v"], [("d", None, "count")])
     ddf = deg.limit(broadcast_nodes_max + 1).to_pandas()
     if len(ddf) > broadcast_nodes_max:
         raise ValueError(
-            "clustering_coefficient: node set exceeds broadcast_nodes_max; "
+            "_closed_triangles: node set exceeds broadcast_nodes_max; "
             "shard the degree table (hash_join orientation) first"
         )
+    if len(ddf) == 0:
+        return rd.from_arrow(empty)
     deg_ref = ray.put(dict(zip(ddf.v, ddf.d)))
 
     def orient(b: pa.Table) -> pa.Table:
@@ -498,11 +497,44 @@ def clustering_coefficient(edges, src: str = "src", dst: str = "dst",
         empty_schema=pa.schema([("u", pa.string()), ("x", pa.string()),
                                 ("y", pa.string())]),
     )
-    closed = hash_join(
+    return hash_join(
         wedges,
         project(oriented, {"u": "x", "v": "y"}),
         on=["x", "y"], how="left_semi",
     )
+
+
+def clustering_coefficient(edges, src: str = "src", dst: str = "dst",
+                           broadcast_nodes_max: int = 5_000_000,
+                           num_buckets: int = 32):
+    """Dataset[{node, deg: int64, triangles: int64, cc: float64}] —
+    per-node triangle count and local clustering coefficient
+    cc = 2 T_v / (d_v (d_v - 1)) (0.0 below degree 2) of the simple
+    undirected graph induced by ``edges``.
+
+    Scale shape: _closed_triangles (degree-ordered wedge closure
+    CARRYING the wedge corner) + one flat-map/groupby per triangle
+    corner + one left_outer join onto the degree table closing the
+    coefficient vectorized."""
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    und = _canon_distinct(edges, src, dst)
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "deg": pa.array([], pa.int64()),
+                      "triangles": pa.array([], pa.int64()),
+                      "cc": pa.array([], pa.float64())})
+    if und.count() == 0:
+        return rd.from_arrow(empty)
+    ends = und.map_batches(
+        lambda b: pa.concat_tables([pa.table({"v": b.column("a")}),
+                                    pa.table({"v": b.column("b")})]),
+        batch_format="pyarrow",
+    )
+    deg = grouped_agg(ends, ["v"], [("d", None, "count")]).materialize()
+    closed = _closed_triangles(und, broadcast_nodes_max, num_buckets)
     corners = closed.map_batches(
         lambda b: pa.concat_tables([
             pa.table({"node": b.column("u")}),
@@ -531,3 +563,66 @@ def clustering_coefficient(edges, src: str = "src", dst: str = "dst",
                          "cc": pa.array(cc, pa.float64())})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def ktruss(edges, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 64, broadcast_nodes_max: int = 5_000_000,
+           num_buckets: int = 32):
+    """Dataset[{a, b, support: int64}] — the k-truss of the simple
+    undirected graph induced by ``edges``: the maximal subgraph whose
+    every edge closes >= k-2 triangles WITHIN the subgraph (the
+    edge-level cohesion primitive one step above k-core; Cohen 2008).
+    Output edges are canonical (a < b) with their in-truss support.
+
+    Iterative peel: per round _closed_triangles enumerates triangles of
+    the surviving edge set (one orientation broadcast + one wedge
+    shuffle + one semi-join), a flat-map emits each triangle's three
+    canonical edges, one groupby counts per-edge support, and one semi
+    hash-join keeps edges at support >= k-2.  Edges only shrink;
+    converges in cascade-depth rounds (kcore's discipline), fixpoint
+    asserted under ``max_rounds`` by pytest."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join
+
+    need = max(int(k) - 2, 0)
+    und = _canon_distinct(edges, src, dst)
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "support": pa.array([], pa.int64())})
+    support = None
+    for _ in range(max_rounds):
+        n_before = und.count()
+        if n_before == 0:
+            return rd.from_arrow(empty)
+        tri = _closed_triangles(und, broadcast_nodes_max, num_buckets)
+
+        def edges3c(b: pa.Table) -> pa.Table:
+            # all three edges canonicalized (x, y are in degree-ordered
+            # orientation order, not necessarily name order)
+            u, x, y = b.column("u"), b.column("x"), b.column("y")
+            t = pa.concat_tables([pa.table({"p": u, "q": x}),
+                                  pa.table({"p": u, "q": y}),
+                                  pa.table({"p": x, "q": y})])
+            return pa.table({
+                "a": pc.min_element_wise(t.column("p"), t.column("q")),
+                "b": pc.max_element_wise(t.column("p"), t.column("q")),
+            })
+
+        support = grouped_agg(
+            tri.map_batches(edges3c, batch_format="pyarrow"),
+            ["a", "b"], [("support", None, "count")],
+        ).materialize()
+        strong = support.filter(expr=f"support >= {need}")             .select_columns(["a", "b"]).materialize()
+        if strong.count() == 0:
+            return rd.from_arrow(empty)
+        kept = hash_join(und, strong, on=["a", "b"],
+                         how="left_semi").materialize()
+        if kept.count() == n_before:
+            und = kept
+            break
+        und = kept
+    return hash_join(und, support, on=["a", "b"], how="inner")

@@ -281,3 +281,42 @@ def test_clustering_coefficient_empty_and_triangle():
          for _, r in got.iterrows()}
     assert m == {"A": (2, 1, 1.0), "B": (2, 1, 1.0),
                  "C": (3, 1, round(1 / 3, 9)), "D": (1, 0, 0.0)}
+
+
+def test_ktruss_matches_networkx():
+    from knowledge_graph_ray.stages.graphops import ktruss
+
+    rng = np.random.default_rng(29)
+    for n, m, k in ((20, 70, 3), (40, 220, 4), (30, 140, 5)):
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        df = pd.DataFrame({"src": [f"n{a:02d}" for a in src],
+                           "dst": [f"n{b:02d}" for b in dst]})
+        g = nx.Graph()
+        g.add_edges_from(df.itertuples(index=False))
+        g.remove_edges_from(nx.selfloop_edges(g))
+        want = {tuple(sorted(e)) for e in nx.k_truss(g, k).edges}
+
+        got = ktruss(rd.from_pandas(df), k=k).to_pandas()
+        assert {tuple(sorted((a, b)))
+                for a, b in zip(got.a, got.b)} == want, (n, m, k)
+        # in-truss support: every edge closes >= k-2 triangles
+        assert (got.support >= k - 2).all()
+
+
+def test_ktruss_cascade_and_empty():
+    from knowledge_graph_ray.stages.graphops import ktruss
+
+    # two triangles sharing an edge + a pendant: 3-truss drops the
+    # pendant; 4-truss cascades to empty (shared edge has support 2
+    # but its neighbors lose support once outer edges go)
+    df = pd.DataFrame({"src": ["A", "B", "A", "C", "B", "C"],
+                       "dst": ["B", "C", "C", "D", "D", "E"]})
+    t3 = ktruss(rd.from_pandas(df), k=3).to_pandas()
+    assert {tuple(sorted((a, b))) for a, b in zip(t3.a, t3.b)} == {
+        ("A", "B"), ("A", "C"), ("B", "C"), ("B", "D"), ("C", "D")}
+    assert ktruss(rd.from_pandas(df), k=4).count() == 0
+
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+    assert ktruss(rd.from_arrow(empty), k=3).count() == 0
