@@ -12167,3 +12167,78 @@ KG_KTRUSS_SQL = _build_ktruss_sql()
 
 QUERIES["kg_ktruss"] = kg_ktruss
 ORACLE_SQL["kg_ktruss"] = KG_KTRUSS_SQL
+
+
+def kg_personalized_pagerank(sf_dir: str):
+    """Random-walk-with-restart relevance to the {SPARK, JOIN} anchor
+    pair over the flagship co-occurrence graph
+    (stages/pagerank.personalized_pagerank): teleport mass restricted
+    to the seed set (Jeh & Widom 2003), 3 power iterations, d=0.85 —
+    the query-side "entities most related to these anchors" primitive
+    the reference serves with per-query subgraph walks
+    (query/structured_search local context).  Same scale shape as
+    kg_pagerank: edges never move, one combiner shuffle per iteration."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.pagerank import personalized_pagerank
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    pr = personalized_pagerank(edges, ["SPARK", "JOIN"], weight="weight",
+                               iterations=3, damping=0.85, undirected=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "name": batch.column("name"),
+            "ppr_e9": scaled_int_column(batch.column("ppr"), 1e9),
+        })
+
+    return pr.map_batches(finish, batch_format="pyarrow")
+
+
+def _ppr_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT nd.name,
+         (CASE WHEN nd.name IN ('SPARK', 'JOIN')
+               THEN (1.0 - 0.85) * (1.0/(SELECT n FROM sn))
+               ELSE 0.0 END) + 0.85 * coalesce(q.c, 0) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS name, sum({prev}.pr * e.w / st.s) AS c
+    FROM edges e
+    JOIN {prev} ON {prev}.name = e.src
+    JOIN strength st ON st.src = e.src
+    GROUP BY e.dst
+  ) q ON q.name = nd.name
+)"""
+
+
+KG_PERSONALIZED_PAGERANK_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+pairs AS (SELECT a.name AS src, b.name AS dst, count(*) AS w
+          FROM present a JOIN present b
+            ON a.doc_id = b.doc_id AND a.name < b.name
+          GROUP BY a.name, b.name),
+edges AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM pairs
+          UNION ALL
+          SELECT dst, src, CAST(w AS DOUBLE) AS w FROM pairs),
+nodes AS (SELECT DISTINCT src AS name FROM edges),
+sn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+       WHERE name IN ('SPARK', 'JOIN')),
+strength AS (SELECT src, sum(w) AS s FROM edges GROUP BY src),
+r0 AS (SELECT name,
+              CASE WHEN name IN ('SPARK', 'JOIN')
+                   THEN 1.0/(SELECT n FROM sn) ELSE 0.0 END AS pr
+       FROM nodes),
+{_ppr_iter_sql('r0', 'r1')},
+{_ppr_iter_sql('r1', 'r2')},
+{_ppr_iter_sql('r2', 'r3')}
+SELECT name, CAST(round(pr * 1e9) AS BIGINT) AS ppr_e9 FROM r3
+"""
+
+QUERIES["kg_personalized_pagerank"] = kg_personalized_pagerank
+ORACLE_SQL["kg_personalized_pagerank"] = KG_PERSONALIZED_PAGERANK_SQL

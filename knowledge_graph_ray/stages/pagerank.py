@@ -303,3 +303,178 @@ def hits(edges, src: str = "src", dst: str = "dst", iterations: int = 4,
         batch_format="pyarrow",
     )
     return hub_rows.union(auth_rows)
+
+
+def personalized_pagerank(edges, seeds: "list[str]", src: str = "src",
+                          dst: str = "dst", weight: "str | None" = None,
+                          iterations: int = 3, damping: float = 0.85,
+                          undirected: bool = True, node_col: str = "name",
+                          out_col: str = "ppr",
+                          broadcast_nodes_max: int = 5_000_000):
+    """Personalized PageRank: teleport mass restricted to ``seeds``.
+
+        t(v)      = 1/|S|  if v in S else 0      (S = seeds present)
+        pr_0(v)   = t(v)
+        pr_k+1(v) = (1-d)*t(v) + d * sum_{(u,v)} pr_k(u) * w(u,v) / S(u)
+
+    The random-walk-with-restart node relevance score (Jeh & Widom
+    2003); with ``seeds = all nodes`` this degenerates to ``pagerank``.
+    Seeds not present in the edge set are dropped from S (teleport is
+    over present seeds only, keeping the node universe = edge
+    endpoints, same as ``pagerank``); raises if none remain.
+
+    Scale shape identical to ``pagerank``: edges never move, the rank
+    vector is node-sized, one grouped_agg combiner shuffle of
+    (dst, contribution) partials per iteration, size-adaptive
+    broadcast-vs-join regimes (pytest-gated equality).  The seed SET
+    itself ships by closure — it is query-sized (a handful of anchor
+    entities), not data-sized.
+    """
+    import ray
+
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    w_in = [weight] if weight else []
+    edges = edges.select_columns([src, dst] + w_in)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b.column(src).cast(pa.string()),
+            "dst": b.column(dst).cast(pa.string()),
+            "w": (b.column(weight).cast(pa.float64()) if weight
+                  else pa.array(np.ones(len(b)), type=pa.float64())),
+        })
+
+    fwd = edges.map_batches(normalize, batch_format="pyarrow")
+    if undirected:
+        def flip(b: pa.Table) -> pa.Table:
+            return pa.table({"src": b.column("dst"), "dst": b.column("src"),
+                             "w": b.column("w")})
+
+        fwd = fwd.union(fwd.map_batches(flip, batch_format="pyarrow"))
+    fwd = fwd.materialize()
+
+    node_union = fwd.map_batches(
+        lambda b: pa.concat_tables([
+            pa.table({"name": b.column("src")}),
+            pa.table({"name": b.column("dst")}),
+        ]),
+        batch_format="pyarrow",
+    )
+    nodes = distinct_rows(
+        node_union, ["name"],
+        empty_schema=pa.schema([("name", pa.string())]),
+    ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: b.append_column(out_col,
+                                      pa.array([], type=pa.float64())),
+            batch_format="pyarrow",
+        )
+    seed_set = set(seeds)
+    present = nodes.map_batches(
+        lambda b: b.filter(
+            pa.array([v in seed_set for v in b.column("name").to_pylist()])),
+        batch_format="pyarrow",
+    )
+    n_seeds = present.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed present in graph")
+    t_hit = 1.0 / n_seeds
+    strength = grouped_agg(fwd, ["src"], [("s", "w", "sum")]).materialize()
+
+    if n_nodes <= broadcast_nodes_max:
+        state = nodes.to_pandas().merge(
+            strength.to_pandas(), left_on="name", right_on="src", how="left"
+        )[["name", "s"]]
+        t = np.where(state["name"].isin(seed_set), t_hit, 0.0)
+        state["t"] = t
+        state[out_col] = t
+        for _ in range(iterations):
+            # broadcast frame carries (name, pr, s) so the per-edge
+            # kernel is a single vectorized merge computing pr*w/s in
+            # the SAME left-to-right float order as the distributed
+            # regime and the SQL oracle (bit-comparable at e9 scale)
+            ref = ray.put(state[["name", "s", out_col]])
+
+            def contribs(b: pa.Table) -> pa.Table:
+                st = ray.get(ref)
+                df = b.to_pandas().merge(
+                    st, left_on="src", right_on="name", how="left")
+                return pa.table({
+                    "dst": pa.array(df["dst"], type=pa.string()),
+                    "c": pa.array(df[out_col] * df["w"] / df["s"],
+                                  type=pa.float64()),
+                })
+
+            agg = grouped_agg(
+                fwd.map_batches(contribs, batch_format="pyarrow"),
+                ["dst"], [("c", "c", "sum")],
+            ).to_pandas()  # node-sized, bounded by broadcast_nodes_max
+            state = state.drop(columns=[out_col]).merge(
+                agg, left_on="name", right_on="dst", how="left"
+            )[["name", "s", "t", "c"]]
+            state[out_col] = (1.0 - damping) * state["t"] + \
+                damping * state.pop("c").fillna(0.0)
+        import ray.data as rd
+
+        result = rd.from_pandas(state[["name", out_col]])
+    else:
+        def with_t(b: pa.Table) -> pa.Table:
+            t = pa.array([t_hit if v in seed_set else 0.0
+                          for v in b.column("name").to_pylist()],
+                         type=pa.float64())
+            return b.append_column("t", t)
+
+        nodes_t = nodes.map_batches(with_t,
+                                    batch_format="pyarrow").materialize()
+        ranks = nodes_t.map_batches(
+            lambda b: pa.table({"name": b.column("name"),
+                                out_col: b.column("t")}),
+            batch_format="pyarrow",
+        ).materialize()
+        for _ in range(iterations):
+            ranked = hash_join(
+                fwd, project(ranks, {"name": "src", out_col: "rpr"}),
+                on=["src"], how="inner",
+            )
+            with_s = hash_join(ranked, strength, on=["src"], how="inner")
+
+            def contrib(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return pa.table({
+                    "dst": b.column("dst"),
+                    "c": pc.divide(pc.multiply(b.column("rpr"),
+                                               b.column("w")),
+                                   b.column("s")),
+                })
+
+            agg = grouped_agg(
+                with_s.map_batches(contrib, batch_format="pyarrow"),
+                ["dst"], [("c", "c", "sum")],
+            )
+            joined = hash_join(
+                nodes_t, project(agg, {"dst": "name", "c": "c"}),
+                on=["name"], how="left_outer",
+            )
+
+            def finish(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                c = pc.fill_null(b.column("c"), 0.0)
+                pr = pc.add(pc.multiply(pc.multiply(b.column("t"),
+                                                    1.0 - damping),
+                                        1.0),
+                            pc.multiply(c, damping))
+                return pa.table({"name": b.column("name"), out_col: pr})
+
+            ranks = joined.map_batches(
+                finish, batch_format="pyarrow").materialize()
+        result = ranks
+
+    if node_col != "name":
+        result = project(result, {"name": node_col, out_col: out_col})
+    return result

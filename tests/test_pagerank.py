@@ -132,3 +132,78 @@ def test_hits_empty_edges():
     empty = pa.table({"src": pa.array([], pa.string()),
                       "dst": pa.array([], pa.string())})
     assert hits(rd.from_arrow(empty)).count() == 0
+
+
+# -------------------------------------------------- personalized PageRank
+
+
+def _brute_ppr(edges: pd.DataFrame, seeds: list, iterations: int,
+               damping: float, undirected: bool) -> pd.DataFrame:
+    from knowledge_graph_ray.stages.pagerank import personalized_pagerank  # noqa: F401
+
+    e = edges.copy()
+    if undirected:
+        e = pd.concat([e, e.rename(columns={"src": "dst", "dst": "src"})],
+                      ignore_index=True)
+    nodes = sorted(set(e.src) | set(e.dst))
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    s = e.groupby("src").w.sum()
+    present = [x for x in seeds if x in idx]
+    t = np.zeros(n)
+    for x in present:
+        t[idx[x]] = 1.0 / len(present)
+    pr = t.copy()
+    for _ in range(iterations):
+        nxt = (1 - damping) * t
+        contrib = pr[[idx[u] for u in e.src]] * e.w.to_numpy() / \
+            s[e.src].to_numpy()
+        np.add.at(nxt, [idx[v] for v in e.dst], damping * contrib)
+        pr = nxt
+    return pd.DataFrame({"name": nodes, "ppr": pr})
+
+
+def test_ppr_matches_bruteforce():
+    from knowledge_graph_ray.stages.pagerank import personalized_pagerank
+
+    df = _random_graph(11)
+    seeds = ["n0", "n1", "not_in_graph"]
+    got = (personalized_pagerank(rd.from_pandas(df).repartition(4), seeds,
+                                 weight="w", iterations=3)
+           .to_pandas().sort_values("name").reset_index(drop=True))
+    exp = _brute_ppr(df, seeds, 3, 0.85, undirected=True) \
+        .sort_values("name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_exact=False, rtol=1e-12)
+    # teleport restriction: total mass <= 1, seeds dominate their leaves
+    assert got.ppr.sum() <= 1.0 + 1e-9
+
+
+def test_ppr_regime_equivalence_and_no_seed():
+    import pytest
+
+    from knowledge_graph_ray.stages.pagerank import personalized_pagerank
+
+    df = _random_graph(12)
+    seeds = ["n2", "n3"]
+    b = (personalized_pagerank(rd.from_pandas(df), seeds, weight="w",
+                               iterations=2)
+         .to_pandas().sort_values("name").reset_index(drop=True))
+    d = (personalized_pagerank(rd.from_pandas(df), seeds, weight="w",
+                               iterations=2, broadcast_nodes_max=0)
+         .to_pandas().sort_values("name").reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, d, check_exact=False, rtol=1e-12)
+    with pytest.raises(ValueError):
+        personalized_pagerank(rd.from_pandas(df), ["zz_missing"],
+                              weight="w", iterations=1)
+
+
+def test_ppr_zero_outside_reach():
+    """Nodes unreachable from the seed set hold exactly zero mass."""
+    from knowledge_graph_ray.stages.pagerank import personalized_pagerank
+
+    df = pd.DataFrame({"src": ["a", "c"], "dst": ["b", "d"],
+                       "w": [1.0, 1.0]})
+    got = personalized_pagerank(rd.from_pandas(df), ["a"],
+                                iterations=3).to_pandas()
+    assert set(got[got.ppr > 0].name) == {"a", "b"}
+    assert (got[got.name.isin(["c", "d"])].ppr == 0).all()
