@@ -12242,3 +12242,78 @@ SELECT name, CAST(round(pr * 1e9) AS BIGINT) AS ppr_e9 FROM r3
 
 QUERIES["kg_personalized_pagerank"] = kg_personalized_pagerank
 ORACLE_SQL["kg_personalized_pagerank"] = KG_PERSONALIZED_PAGERANK_SQL
+
+
+def kg_harmonic_centrality(sf_dir: str):
+    """Harmonic centrality contributions from the {SPARK, HASH} anchor
+    pair — stages/graphops.multi_source_bfs (all seeds expand in ONE
+    frontier iteration, state keyed (seed, node)) followed by a
+    grouped_agg sum of per-seed round(1e9/dist) int64 terms, so the
+    score is exact integer arithmetic end to end (no float-order
+    sensitivity).  The bounded-hop seed-set form is the one that scales:
+    full harmonic centrality is all-pairs BFS, O(V*E)."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.graphops import multi_source_bfs
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    dists = multi_source_bfs(edges, ["SPARK", "HASH"], hops=4)
+
+    def inv(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.greater(b.column("dist"), 0))
+        term = pc.cast(pc.round(pc.divide(1e9, pc.cast(b.column("dist"),
+                                                       pa.float64()))),
+                       pa.int64())
+        return pa.table({"name": b.column("name"), "term": term})
+
+    return grouped_agg(
+        dists.map_batches(inv, batch_format="pyarrow"),
+        ["name"], [("harmonic_e9", "term", "sum")],
+    )
+
+
+def _msbfs_hop_sql(prev_new: str, prev_vis: str, hop: int) -> str:
+    return f"""
+f{hop} AS (SELECT DISTINCT r.seed, e.dst AS name
+           FROM {prev_new} r JOIN edges e ON e.src = r.name),
+n{hop} AS (SELECT f.seed, f.name, {hop} AS dist FROM f{hop} f
+           WHERE NOT EXISTS (SELECT 1 FROM {prev_vis} v
+                             WHERE v.seed = f.seed AND v.name = f.name)),
+v{hop} AS (SELECT seed, name FROM {prev_vis}
+           UNION ALL SELECT seed, name FROM n{hop})"""
+
+
+KG_HARMONIC_CENTRALITY_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+pairs AS (SELECT a.name AS src, b.name AS dst
+          FROM present a JOIN present b
+            ON a.doc_id = b.doc_id AND a.name < b.name
+          GROUP BY a.name, b.name),
+edges AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst, src FROM pairs),
+nodes AS (SELECT DISTINCT src AS name FROM edges),
+seeds AS (SELECT * FROM (VALUES ('HASH'), ('SPARK')) s(seed)),
+n0 AS (SELECT s.seed, s.seed AS name, 0 AS dist
+       FROM seeds s JOIN nodes nd ON nd.name = s.seed),
+v0 AS (SELECT seed, name FROM n0),
+{_msbfs_hop_sql('n0', 'v0', 1)},
+{_msbfs_hop_sql('n1', 'v1', 2)},
+{_msbfs_hop_sql('n2', 'v2', 3)},
+{_msbfs_hop_sql('n3', 'v3', 4)}
+SELECT name,
+       CAST(sum(CAST(round(1e9 / CAST(dist AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS harmonic_e9
+FROM (SELECT * FROM n1 UNION ALL SELECT * FROM n2
+      UNION ALL SELECT * FROM n3 UNION ALL SELECT * FROM n4)
+GROUP BY name
+"""
+
+QUERIES["kg_harmonic_centrality"] = kg_harmonic_centrality
+ORACLE_SQL["kg_harmonic_centrality"] = KG_HARMONIC_CENTRALITY_SQL

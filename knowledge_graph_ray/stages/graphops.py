@@ -626,3 +626,81 @@ def ktruss(edges, k: int, src: str = "src", dst: str = "dst",
             break
         und = kept
     return hash_join(und, support, on=["a", "b"], how="inner")
+
+
+def multi_source_bfs(edges, seeds: "list[str]", hops: int = 4,
+                     src: str = "src", dst: str = "dst",
+                     broadcast_max: int = 5_000_000):
+    """Unweighted BFS distances from EVERY seed at once over the
+    undirected simple graph — Dataset[(seed, name, dist)] with dist in
+    0..hops, one row per (seed, reachable node), minimum-hop distance.
+
+    Scale shape: the classic distributed frontier iteration run for all
+    seeds simultaneously (state keyed by (seed, node), bounded by
+    |seeds| x |V|): per hop ONE size-adaptive join of the edge set
+    against the frontier plus one anti-join against the visited set —
+    edges stream every round and never accumulate; early-exits when a
+    frontier empties.  Seeds absent from the node set are dropped
+    (distance semantics need a graph vertex to start from)."""
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    from knowledge_graph_ray.functions.joins import (
+        project,
+        size_adaptive_join,
+    )
+
+    canon = _canon_distinct(edges, src, dst)
+    und = canon.map_batches(
+        lambda b: pa.concat_tables([
+            pa.table({"src": b.column("a"), "dst": b.column("b")}),
+            pa.table({"src": b.column("b"), "dst": b.column("a")}),
+        ]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    import ray.data as rd
+
+    nodes = distinct_rows(
+        und.select_columns(["src"]),
+        ["src"], empty_schema=pa.schema([("src", pa.string())]),
+    )
+    seed_tbl = rd.from_arrow(pa.table({
+        "src": pa.array(sorted(set(seeds)), type=pa.string()),
+    }))
+    present = size_adaptive_join(seed_tbl, nodes, on=["src"],
+                                 how="left_semi",
+                                 broadcast_max=broadcast_max)
+
+    def as_state(b: pa.Table, dist: int) -> pa.Table:
+        return pa.table({
+            "seed": b.column("src"),
+            "name": b.column("src"),
+            "dist": pa.array(np.full(len(b), dist), type=pa.int64()),
+        })
+
+    frontier = present.map_batches(
+        lambda b: as_state(b, 0), batch_format="pyarrow").materialize()
+    reached = frontier
+    for hop in range(1, hops + 1):
+        if frontier.count() == 0:
+            break
+        hit = size_adaptive_join(
+            und, project(frontier, {"seed": "seed", "name": "src"}),
+            on=["src"], how="inner", broadcast_max=broadcast_max,
+        )
+        nxt = grouped_agg(
+            project(hit.select_columns(["seed", "dst"]),
+                    {"seed": "seed", "dst": "name"}),
+            ["seed", "name"], [("__n", None, "count")],
+        ).select_columns(["seed", "name"])
+        nxt = size_adaptive_join(
+            nxt, reached.select_columns(["seed", "name"]),
+            on=["seed", "name"], how="left_anti",
+            broadcast_max=broadcast_max,
+        ).map_batches(
+            lambda b, h=hop: b.append_column(
+                "dist", pa.array(np.full(len(b), h), type=pa.int64())),
+            batch_format="pyarrow",
+        ).materialize()
+        reached = reached.union(nxt).materialize()
+        frontier = nxt
+    return reached

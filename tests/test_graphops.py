@@ -97,3 +97,30 @@ def test_bipartite_bfs_hops_match_networkx_distances():
         for h in range(1, 5):
             want = sum(1 for d in dist.values() if d == h)
             assert got[h - 1] == (h, want), (trial, h, got, dist)
+
+
+def test_multi_source_bfs_chain_and_disconnect():
+    """Chain a-b-c-d-e plus isolated pair x-y: min-hop distances per
+    seed, absent seeds dropped, unreachable components never appear."""
+    import pandas as pd
+    import ray.data as rd
+
+    from knowledge_graph_ray.stages.graphops import multi_source_bfs
+
+    edges = pd.DataFrame({
+        "src": ["a", "b", "c", "d", "x"],
+        "dst": ["b", "c", "d", "e", "y"],
+    })
+    got = multi_source_bfs(rd.from_pandas(edges), ["a", "d", "zzz"],
+                           hops=4).to_pandas()
+    dist = {(s, n): d for s, n, d in
+            zip(got["seed"], got["name"], got["dist"])}
+    assert dist[("a", "a")] == 0 and dist[("a", "e")] == 4
+    assert dist[("a", "c")] == 2
+    assert dist[("d", "a")] == 3 and dist[("d", "e")] == 1
+    # absent seed dropped entirely; other component unreachable
+    assert not any(s == "zzz" for s, _ in dist)
+    assert not any(n in ("x", "y") for _, n in dist)
+    # hop cap respected
+    got2 = multi_source_bfs(rd.from_pandas(edges), ["a"], hops=2).to_pandas()
+    assert set(got2["name"]) == {"a", "b", "c"}
