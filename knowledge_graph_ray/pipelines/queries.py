@@ -12317,3 +12317,86 @@ GROUP BY name
 
 QUERIES["kg_harmonic_centrality"] = kg_harmonic_centrality
 ORACLE_SQL["kg_harmonic_centrality"] = KG_HARMONIC_CENTRALITY_SQL
+
+
+def kg_label_spread(sf_dir: str):
+    """Semi-supervised node classification of the flagship graph from
+    three labeled anchors (stages/pagerank.label_spread): strength-
+    normalized neighbour-score averaging with seed clamping (Zhu &
+    Ghahramani 2002), 3 rounds, argmax label with lexicographic
+    tie-break — the "propagate a curated taxonomy over the noisy
+    co-occurrence KG" primitive.  Sparse (node,label) state, one
+    edge-state join + one combiner shuffle per round."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.pagerank import label_spread
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    out = label_spread(
+        edges,
+        {"SPARK": "compute", "JOIN": "relational", "STREAM": "streaming"},
+        weight="weight", rounds=3, undirected=True,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "name": batch.column("name"),
+            "label": batch.column("label"),
+            "score_e9": scaled_int_column(batch.column("score"), 1e9),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _label_spread_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+q{cur} AS (
+  SELECT e.dst AS name, s.label, sum(s.score * e.w / st.s) AS score
+  FROM edges e
+  JOIN {prev} s ON s.name = e.src
+  JOIN strength st ON st.src = e.src
+  GROUP BY e.dst, s.label
+),
+{cur} AS (
+  SELECT name, label, score FROM q{cur}
+  WHERE name NOT IN (SELECT name FROM clamp)
+  UNION ALL SELECT name, label, score FROM clamp
+)"""
+
+
+KG_LABEL_SPREAD_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+pairs AS (SELECT a.name AS src, b.name AS dst, count(*) AS w
+          FROM present a JOIN present b
+            ON a.doc_id = b.doc_id AND a.name < b.name
+          GROUP BY a.name, b.name),
+edges AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM pairs
+          UNION ALL
+          SELECT dst, src, CAST(w AS DOUBLE) AS w FROM pairs),
+nodes AS (SELECT DISTINCT src AS name FROM edges),
+strength AS (SELECT src, sum(w) AS s FROM edges GROUP BY src),
+seed_labels AS (SELECT * FROM (VALUES
+  ('SPARK', 'compute'), ('JOIN', 'relational'), ('STREAM', 'streaming')
+) t(name, label)),
+clamp AS (SELECT sl.name, sl.label, 1.0 AS score
+          FROM seed_labels sl JOIN nodes nd ON nd.name = sl.name),
+{_label_spread_iter_sql('clamp', 's1')},
+{_label_spread_iter_sql('s1', 's2')},
+{_label_spread_iter_sql('s2', 's3')},
+ranked AS (
+  SELECT name, label, score,
+         row_number() OVER (PARTITION BY name
+                            ORDER BY score DESC, label) AS rn
+  FROM s3
+)
+SELECT name, label, CAST(round(score * 1e9) AS BIGINT) AS score_e9
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES["kg_label_spread"] = kg_label_spread
+ORACLE_SQL["kg_label_spread"] = KG_LABEL_SPREAD_SQL

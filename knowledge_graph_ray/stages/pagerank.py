@@ -478,3 +478,117 @@ def personalized_pagerank(edges, seeds: "list[str]", src: str = "src",
     if node_col != "name":
         result = project(result, {"name": node_col, out_col: out_col})
     return result
+
+
+def label_spread(edges, seed_labels: "dict[str, str]", src: str = "src",
+                 dst: str = "dst", weight: "str | None" = None,
+                 rounds: int = 3, undirected: bool = True,
+                 broadcast_max: int = 5_000_000):
+    """Seeded label spreading (Zhu & Ghahramani 2002 with clamping):
+    a handful of anchor nodes carry known labels; per round every node
+    receives the strength-normalized weighted sum of its neighbours'
+    label scores, then seed nodes are clamped back to their one-hot.
+    Returns Dataset[(name, label, score)] — each reached node's argmax
+    label (ties broken by ascending label, mirroring a SQL
+    row_number() ORDER BY score DESC, label).
+
+    Scale shape: the score state is SPARSE — only (node, label) pairs
+    with nonzero mass exist, bounded by |V| x |labels|; per round one
+    hash_join of the edge set against the state + one grouped_agg
+    combiner by (node, label), the same edges-never-move discipline as
+    ``pagerank``.  The seed mapping ships by closure (query-sized).
+    Seeds absent from the node set are dropped."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    import ray.data as rd
+
+    w_in = [weight] if weight else []
+    edges = edges.select_columns([src, dst] + w_in)
+
+    def normalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": b.column(src).cast(pa.string()),
+            "dst": b.column(dst).cast(pa.string()),
+            "w": (b.column(weight).cast(pa.float64()) if weight
+                  else pa.array(np.ones(len(b)), type=pa.float64())),
+        })
+
+    fwd = edges.map_batches(normalize, batch_format="pyarrow")
+    if undirected:
+        fwd = fwd.union(fwd.map_batches(
+            lambda b: pa.table({"src": b.column("dst"),
+                                "dst": b.column("src"),
+                                "w": b.column("w")}),
+            batch_format="pyarrow"))
+    fwd = fwd.materialize()
+    strength = grouped_agg(fwd, ["src"], [("s", "w", "sum")]).materialize()
+
+    seed_set = dict(seed_labels)
+    node_src = strength.select_columns(["src"])
+
+    seed_names_arr = pa.array(sorted(seed_set), type=pa.string())
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hit = b.filter(pc.is_in(b.column("src"), value_set=seed_names_arr))
+        names = hit.column("src")
+        labels = pa.array(pd.Series(names.to_pandas()).map(seed_set),
+                          type=pa.string())
+        return pa.table({
+            "name": names.cast(pa.string()),
+            "label": labels,
+            "score": pa.array(np.ones(len(hit)), type=pa.float64()),
+        })
+
+    # every node appears as src in the undirected edge set, so the
+    # strength keys ARE the node universe
+    clamp = node_src.map_batches(seed_rows,
+                                 batch_format="pyarrow").materialize()
+    if clamp.count() == 0:
+        raise ValueError("label_spread: no seed present in graph")
+    scores = clamp
+    for _ in range(rounds):
+        ranked = hash_join(
+            fwd, project(scores, {"name": "src", "label": "label",
+                                  "score": "sc"}),
+            on=["src"], how="inner",
+        )
+        with_s = hash_join(ranked, strength, on=["src"], how="inner")
+
+        def contrib(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "name": b.column("dst"),
+                "label": b.column("label"),
+                "c": pc.divide(pc.multiply(b.column("sc"), b.column("w")),
+                               b.column("s")),
+            })
+
+        agg = grouped_agg(
+            with_s.map_batches(contrib, batch_format="pyarrow"),
+            ["name", "label"], [("score", "c", "sum")],
+        )
+        def drop_seeds(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(pc.invert(pc.is_in(
+                b.column("name"), value_set=seed_names_arr)))
+
+        spread = agg.map_batches(drop_seeds, batch_format="pyarrow")
+        scores = spread.union(clamp).materialize()
+
+    # argmax per node, ties -> lexicographically smallest label
+    mx = grouped_agg(scores, ["name"], [("mx", "score", "max")])
+    def keep_max(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.equal(b.column("score"), b.column("mx")))
+        return b.select(["name", "label", "score"])
+
+    at_max = hash_join(scores, mx, on=["name"], how="inner").map_batches(
+        keep_max, batch_format="pyarrow").materialize()
+    win = grouped_agg(at_max, ["name"], [("label", "label", "min")])
+    return hash_join(win, at_max, on=["name", "label"], how="inner")

@@ -207,3 +207,63 @@ def test_ppr_zero_outside_reach():
                                 iterations=3).to_pandas()
     assert set(got[got.ppr > 0].name) == {"a", "b"}
     assert (got[got.name.isin(["c", "d"])].ppr == 0).all()
+
+
+# ------------------------------------------------------- label spreading
+
+
+def test_label_spread_matches_bruteforce():
+    from knowledge_graph_ray.stages.pagerank import label_spread
+
+    df = _random_graph(21)
+    seeds = {"n0": "red", "n5": "blue", "zz_absent": "green"}
+    got = (label_spread(rd.from_pandas(df), seeds, weight="w", rounds=3)
+           .to_pandas().sort_values("name").reset_index(drop=True))
+
+    # brute force: dense score matrix, same clamping schedule
+    e = pd.concat([df, df.rename(columns={"src": "dst", "dst": "src"})],
+                  ignore_index=True)
+    nodes = sorted(set(e.src) | set(e.dst))
+    idx = {n: i for i, n in enumerate(nodes)}
+    labels = sorted({v for k, v in seeds.items() if k in idx})
+    lidx = {v: i for i, v in enumerate(labels)}
+    s = e.groupby("src").w.sum()
+    S = np.zeros((len(nodes), len(labels)))
+    present = {k: v for k, v in seeds.items() if k in idx}
+    for k, v in present.items():
+        S[idx[k], lidx[v]] = 1.0
+    for _ in range(3):
+        nxt = np.zeros_like(S)
+        contrib = S[[idx[u] for u in e.src]] * \
+            (e.w.to_numpy() / s[e.src].to_numpy())[:, None]
+        np.add.at(nxt, [idx[v] for v in e.dst], contrib)
+        for k, v in present.items():
+            nxt[idx[k]] = 0.0
+            nxt[idx[k], lidx[v]] = 1.0
+        S = nxt
+    rows = []
+    for n in nodes:
+        sc = S[idx[n]]
+        if sc.max() <= 0:
+            continue
+        li = int(np.argmax(sc))  # ties: lowest index = lexicographic min
+        rows.append({"name": n, "label": labels[li],
+                     "score": sc[li]})
+    exp = pd.DataFrame(rows).sort_values("name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["name", "label", "score"]], exp,
+        check_exact=False, rtol=1e-12)
+    # seeds stay clamped at exactly 1.0 with their own label
+    g = got.set_index("name")
+    assert g.loc["n0", "label"] == "red" and g.loc["n0", "score"] == 1.0
+    assert g.loc["n5", "label"] == "blue" and g.loc["n5", "score"] == 1.0
+
+
+def test_label_spread_no_seed_raises():
+    import pytest
+
+    from knowledge_graph_ray.stages.pagerank import label_spread
+
+    df = _random_graph(22)
+    with pytest.raises(ValueError):
+        label_spread(rd.from_pandas(df), {"zz": "red"}, weight="w")
