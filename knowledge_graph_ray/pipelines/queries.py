@@ -12400,3 +12400,271 @@ FROM ranked WHERE rn = 1
 
 QUERIES["kg_label_spread"] = kg_label_spread
 ORACLE_SQL["kg_label_spread"] = KG_LABEL_SPREAD_SQL
+
+
+def events_markov_stationary(sf_dir: str):
+    """Stationary distribution of the per-user event-type Markov chain:
+    the transition bigram counts (events_type_transitions' LAG +
+    combiner pipeline) ARE a weighted directed edge list, and the
+    power iteration pi' = pi P is PageRank with damping=1.0 (teleport
+    off) — a pure composition of two existing operators
+    (stages/ranking.window_lag + stages/pagerank.pagerank), 4 fixed
+    iterations from uniform, dangling types documented as mass sinks
+    (pagerank's non-redistribution semantics, oracle mirrors)."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.pagerank import pagerank
+    from knowledge_graph_ray.stages.ranking import window_lag
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "event_type": batch.column("event_type"),
+        })
+
+    prepped = events.map_batches(prep, batch_format="pyarrow")
+    lagged = window_lag(prepped, key="user_id",
+                        order_cols=["ts_s", "event_id"],
+                        value_col="event_type", out_col="prev_type",
+                        driver_threshold=500_000,
+                        size_hint=events.count())
+
+    def first_dropped(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_valid(batch.column("prev_type")))
+
+    counts = grouped_agg(
+        lagged.map_batches(first_dropped, batch_format="pyarrow"),
+        ["prev_type", "event_type"], [("n", None, "count")],
+    )
+    pi = pagerank(counts, src="prev_type", dst="event_type", weight="n",
+                  iterations=4, damping=1.0, undirected=False,
+                  node_col="event_type", out_col="pi")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "pi_e9": scaled_int_column(batch.column("pi"), 1e9),
+        })
+
+    return pi.map_batches(finish, batch_format="pyarrow")
+
+
+def _markov_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+{cur} AS (
+  SELECT nd.name, (1.0 - 1.0)/(SELECT n FROM nn) + 1.0 * coalesce(q.c, 0) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS name, sum({prev}.pr * e.w / st.s) AS c
+    FROM edges e
+    JOIN {prev} ON {prev}.name = e.src
+    JOIN strength st ON st.src = e.src
+    GROUP BY e.dst
+  ) q ON q.name = nd.name
+)"""
+
+
+EVENTS_MARKOV_STATIONARY_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         event_type
+  FROM events
+),
+lagged AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_s, event_id) AS prev_type
+  FROM e
+),
+edges AS (
+  SELECT prev_type AS src, event_type AS dst,
+         CAST(count(*) AS DOUBLE) AS w
+  FROM lagged WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+nodes AS (SELECT DISTINCT name FROM (
+  SELECT src AS name FROM edges UNION ALL SELECT dst FROM edges)),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+strength AS (SELECT src, sum(w) AS s FROM edges GROUP BY src),
+r0 AS (SELECT name, 1.0/(SELECT n FROM nn) AS pr FROM nodes),
+{_markov_iter_sql('r0', 'r1')},
+{_markov_iter_sql('r1', 'r2')},
+{_markov_iter_sql('r2', 'r3')},
+{_markov_iter_sql('r3', 'r4')}
+SELECT name AS event_type, CAST(round(pr * 1e9) AS BIGINT) AS pi_e9 FROM r4
+"""
+
+QUERIES["events_markov_stationary"] = events_markov_stationary
+ORACLE_SQL["events_markov_stationary"] = EVENTS_MARKOV_STATIONARY_SQL
+
+
+def documents_fd_violations(sf_dir: str):
+    """Functional-dependency audit source -> lang: corpus sources
+    emitting more than one language, with the violating language set —
+    the schema-inference / data-contract screen a crawl pipeline runs
+    before trusting per-source metadata.  One distinct_rows combiner
+    pass over (source, lang) then two group aggregates on the tiny
+    distinct set (functions/agg.grouped_string_agg emits every group's
+    joined lang list in one binary_join kernel)."""
+    from knowledge_graph_ray.functions.agg import (
+        distinct_rows,
+        grouped_agg,
+        grouped_string_agg,
+    )
+    from knowledge_graph_ray.functions.joins import hash_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang"])
+    dl = distinct_rows(
+        docs, ["source", "lang"],
+        empty_schema=pa.schema([("source", pa.string()),
+                                ("lang", pa.string())]),
+    ).materialize()
+    n = grouped_agg(dl, ["source"], [("n_langs", None, "count")])
+    langs = grouped_string_agg(dl, ["source"], "lang",
+                               order_cols=["lang"], sep=",",
+                               out_col="langs")
+    joined = hash_join(n, langs, on=["source"], how="inner")
+
+    def violating(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = b.filter(pc.greater(b.column("n_langs"), 1))
+        return b.select(["source", "n_langs", "langs"])
+
+    return joined.map_batches(violating, batch_format="pyarrow")
+
+
+DOCUMENTS_FD_VIOLATIONS_SQL = """
+WITH dl AS (SELECT DISTINCT source, lang FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+       string_agg(lang, ',' ORDER BY lang) AS langs
+FROM dl GROUP BY source HAVING count(*) > 1
+"""
+
+QUERIES["documents_fd_violations"] = documents_fd_violations
+ORACLE_SQL["documents_fd_violations"] = DOCUMENTS_FD_VIOLATIONS_SQL
+
+
+def embeddings_silhouette(sf_dir: str):
+    """Simplified silhouette per label (Rousseeuw 1987, centroid form):
+    a = distance to own label centroid, b = nearest other centroid,
+    s = (b-a)/max(a,b) — the standard cluster-quality score over the
+    embeddings table.  EXACT-integer discipline: points and centroids
+    are quantized to e6 fixed point, squared distances accumulate in
+    int64 via one (batch x centroids) integer matmul, and the only
+    float ops are two IEEE sqrt + one ratio over identical operands on
+    both engines — no summation-order sensitivity anywhere.  Output
+    per label: n points + sum of per-point round(1e6*s) (int64; the
+    consumer divides) — centroids broadcast once via ray.put, points
+    stream, zero shuffle beyond the (labels x batches) partials."""
+    import ray
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.similarity import vector_centroids
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+
+    def q_e6(a: "np.ndarray") -> "np.ndarray":
+        import numpy as np
+
+        return np.where(a >= 0, np.floor(a * 1e6 + 0.5),
+                        np.ceil(a * 1e6 - 0.5)).astype("int64")
+
+    import numpy as np
+
+    cents = vector_centroids(emb, "label", "embedding").to_pandas()
+    cents = cents.sort_values("label").reset_index(drop=True)
+    labels = np.asarray(cents["label"], dtype=np.int32)
+    cmat = q_e6(np.stack([np.asarray(v, dtype=np.float64)
+                          for v in cents["centroid"]]))
+    ref = ray.put((labels, cmat))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lab_ids, cm = ray.get(ref)
+        if len(batch) == 0:
+            return pa.schema([("label", pa.int32()),
+                              ("s_e6", pa.int64())]).empty_table()
+        from knowledge_graph_ray.stages.similarity import _column_matrix
+
+        x = q_e6(_column_matrix(batch.column("embedding")))
+        own = np.asarray(batch.column("label"))
+        # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c, all int64-exact at e6
+        d2 = (np.einsum("bd,bd->b", x, x)[:, None]
+              + np.einsum("ld,ld->l", cm, cm)[None, :]
+              - 2 * (x @ cm.T))
+        pos = np.searchsorted(lab_ids, own)  # labels sorted by groupby
+        a2 = d2[np.arange(len(x)), pos]
+        d2[np.arange(len(x)), pos] = np.iinfo(np.int64).max
+        b2 = d2.min(axis=1)
+        a = np.sqrt(a2.astype(np.float64))
+        b = np.sqrt(b2.astype(np.float64))
+        mx = np.maximum(a, b)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(mx == 0, 0.0, (b - a) / mx)
+        s_e6 = np.where(s >= 0, np.floor(s * 1e6 + 0.5),
+                        np.ceil(s * 1e6 - 0.5)).astype("int64")
+        return pa.table({"label": pa.array(own, type=pa.int32()),
+                         "s_e6": pa.array(s_e6, type=pa.int64())})
+
+    scored = emb.map_batches(score, batch_format="pyarrow")
+    return grouped_agg(scored, ["label"],
+                       [("n", None, "count"), ("sum_s_e6", "s_e6", "sum")])
+
+
+EMBEDDINGS_SILHOUETTE_SQL = """
+WITH cents AS (
+  SELECT label, gs.i AS i,
+         CAST(round(avg(embedding[gs.i]) * 1e6) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, 64) gs(i)
+  GROUP BY label, gs.i
+),
+pt AS (
+  SELECT vec_id, label, gs.i AS i,
+         CAST(round(embedding[gs.i] * 1e6) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, 64) gs(i)
+),
+d2 AS (
+  SELECT pt.vec_id, pt.label AS plabel, c.label AS clabel,
+         CAST(sum((pt.x - c.c) * (pt.x - c.c)) AS BIGINT) AS d2
+  FROM pt JOIN cents c ON c.i = pt.i
+  GROUP BY pt.vec_id, pt.label, c.label
+),
+ab AS (
+  SELECT vec_id, plabel,
+         max(CASE WHEN clabel = plabel THEN d2 END) AS a2,
+         min(CASE WHEN clabel <> plabel THEN d2 END) AS b2
+  FROM d2 GROUP BY vec_id, plabel
+),
+s AS (
+  SELECT plabel AS label,
+         CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+                            sqrt(CAST(b2 AS DOUBLE))) = 0 THEN 0
+              ELSE CAST(round(1e6 * (sqrt(CAST(b2 AS DOUBLE))
+                                     - sqrt(CAST(a2 AS DOUBLE)))
+                        / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                   sqrt(CAST(b2 AS DOUBLE))))
+                   AS BIGINT)
+         END AS s_e6
+  FROM ab
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s_e6) AS BIGINT) AS sum_s_e6
+FROM s GROUP BY label
+"""
+
+QUERIES["embeddings_silhouette"] = embeddings_silhouette
+ORACLE_SQL["embeddings_silhouette"] = EMBEDDINGS_SILHOUETTE_SQL
