@@ -12668,3 +12668,302 @@ FROM s GROUP BY label
 
 QUERIES["embeddings_silhouette"] = embeddings_silhouette
 ORACLE_SQL["embeddings_silhouette"] = EMBEDDINGS_SILHOUETTE_SQL
+
+
+def kg_local_bridges(sf_dir: str):
+    """Local bridges of the flagship graph's STRONG core: keep edges
+    with weight >= 98% of the max co-occurrence weight (integer-exact
+    relative threshold, scale-factor invariant), then flag each kept
+    edge by whether its endpoints share a common neighbour INSIDE the
+    kept subgraph — zero closing triangles = a local bridge, the
+    classic weak-tie screen (Granovetter; Easley & Kleinberg ch. 3).
+    Pure composition: stages/graphops._closed_triangles enumerates the
+    surviving triangles once (degree-ordered wedges), the three edge
+    expansions distinct down to triangle-member edges, one left_outer
+    join emits the flag."""
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join
+    from knowledge_graph_ray.stages.graphops import (
+        _canon_distinct,
+        _closed_triangles,
+    )
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    ).materialize()
+    mrow = grouped_agg(
+        edges.map_batches(
+            lambda b: pa.table({
+                "g": pa.array(np.ones(len(b), dtype=np.int64)),
+                "weight": b.column("weight"),
+            }),
+            batch_format="pyarrow",
+        ),
+        ["g"], [("m", "weight", "max")],
+    ).take(1)
+    if not mrow:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "is_bridge": pa.array([], pa.int64())})
+    m = int(mrow[0]["m"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(
+            pc.multiply(b.column("weight").cast(pa.int64()), 1000),
+            980 * m))
+
+    und = _canon_distinct(
+        edges.map_batches(keep, batch_format="pyarrow"), "src", "dst")
+    tris = _closed_triangles(und)
+
+    def member_edges(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        def canon(p, q) -> pa.Table:
+            return pa.table({"a": pc.min_element_wise(p, q),
+                             "b": pc.max_element_wise(p, q)})
+
+        u, x, y = b.column("u"), b.column("x"), b.column("y")
+        return pa.concat_tables([canon(u, x), canon(u, y), canon(x, y)])
+
+    closed = distinct_rows(
+        tris.map_batches(member_edges, batch_format="pyarrow"),
+        ["a", "b"],
+        empty_schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+    ).map_batches(
+        lambda b: b.append_column(
+            "__closed", pa.array(np.ones(len(b), dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    flagged = hash_join(und, closed, on=["a", "b"], how="left_outer")
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_bridge = pc.cast(pc.is_null(b.column("__closed")), pa.int64())
+        return pa.table({"a": b.column("a"), "b": b.column("b"),
+                         "is_bridge": is_bridge})
+
+    return flagged.map_batches(finish, batch_format="pyarrow")
+
+
+KG_LOCAL_BRIDGES_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+pairs AS (SELECT x.name AS a, y.name AS b, count(*) AS w
+          FROM present x JOIN present y
+            ON x.doc_id = y.doc_id AND x.name < y.name
+          GROUP BY x.name, y.name),
+mw AS (SELECT max(w) AS m FROM pairs),
+e0 AS (SELECT a, b FROM pairs, mw WHERE w * 1000 >= 980 * m),
+und AS (SELECT a AS src, b AS dst FROM e0
+        UNION ALL SELECT b, a FROM e0)
+SELECT a, b,
+       CAST(CASE WHEN NOT EXISTS (
+         SELECT 1 FROM und n1 JOIN und n2 ON n1.dst = n2.dst
+         WHERE n1.src = e0.a AND n2.src = e0.b)
+       THEN 1 ELSE 0 END AS BIGINT) AS is_bridge
+FROM e0
+"""
+
+QUERIES["kg_local_bridges"] = kg_local_bridges
+ORACLE_SQL["kg_local_bridges"] = KG_LOCAL_BRIDGES_SQL
+
+
+def kg_rich_club(sf_dir: str):
+    """Rich-club profile of the flagship graph: for each degree
+    threshold k=1..8, the subgraph induced on nodes with degree > k —
+    node count, edge count, and density phi(k) = 2E/(N(N-1)) (Zhou &
+    Mondragon 2004).  Scale shape: ONE degree aggregate + one
+    edge-level min-degree join feed two tiny histograms; the 8
+    thresholds are suffix sums over those histograms on the driver
+    (bounded by max degree, not data size) — no per-k pass over the
+    edges."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.stages.graphops import _canon_distinct
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    und = _canon_distinct(edges, "src", "dst")
+    ends = und.map_batches(
+        lambda b: pa.concat_tables([pa.table({"v": b.column("a")}),
+                                    pa.table({"v": b.column("b")})]),
+        batch_format="pyarrow",
+    )
+    deg = grouped_agg(ends, ["v"], [("d", None, "count")]).materialize()
+
+    withd = hash_join(
+        hash_join(und, project(deg, {"v": "a", "d": "da"}),
+                  on=["a"], how="inner"),
+        project(deg, {"v": "b", "d": "db"}), on=["b"], how="inner",
+    )
+
+    def min_deg(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"md": pc.min_element_wise(b.column("da"),
+                                                   b.column("db"))})
+
+    # two histograms, each bounded by max degree — tiny driver pulls
+    ehist = grouped_agg(withd.map_batches(min_deg, batch_format="pyarrow"),
+                        ["md"], [("n", None, "count")]).to_pandas()
+    dhist = grouped_agg(deg, ["d"], [("n", None, "count")]).to_pandas()
+
+    import numpy as np
+
+    ks = np.arange(1, 9, dtype=np.int64)
+    n_nodes = np.array([int(dhist.n[dhist.d > k].sum()) for k in ks])
+    n_edges = np.array([int(ehist.n[ehist.md > k].sum()) for k in ks])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi = 2.0 * n_edges / (n_nodes * (n_nodes - 1.0))
+    phi_e9 = np.where(
+        n_nodes > 1,
+        np.where(phi >= 0, np.floor(phi * 1e9 + 0.5),
+                 np.ceil(phi * 1e9 - 0.5)),
+        0,
+    ).astype("int64")
+    return pa.table({
+        "k": pa.array(ks, type=pa.int64()),
+        "n_nodes": pa.array(n_nodes, type=pa.int64()),
+        "n_edges": pa.array(n_edges, type=pa.int64()),
+        "phi_e9": pa.array(phi_e9, type=pa.int64()),
+    })
+
+
+KG_RICH_CLUB_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+e0 AS (SELECT DISTINCT x.name AS a, y.name AS b
+       FROM present x JOIN present y
+         ON x.doc_id = y.doc_id AND x.name < y.name),
+deg AS (SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY v),
+ks AS (SELECT CAST(gs.k AS BIGINT) AS k FROM generate_series(1, 8) gs(k)),
+nodes_k AS (SELECT ks.k, count(*) AS n_nodes
+            FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k),
+edges_k AS (SELECT ks.k, count(*) AS n_edges
+            FROM ks JOIN e0 ON true
+            JOIN deg pa ON pa.v = e0.a
+            JOIN deg pb ON pb.v = e0.b
+            WHERE least(pa.d, pb.d) > ks.k
+            GROUP BY ks.k)
+SELECT ks.k,
+       CAST(coalesce(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+       CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       CASE WHEN coalesce(nk.n_nodes, 0) > 1
+            THEN CAST(round(2.0 * coalesce(ek.n_edges, 0)
+                      / (coalesce(nk.n_nodes, 0)
+                         * (coalesce(nk.n_nodes, 0) - 1.0)) * 1e9)
+                 AS BIGINT)
+            ELSE 0 END AS phi_e9
+FROM ks LEFT JOIN nodes_k nk ON nk.k = ks.k
+        LEFT JOIN edges_k ek ON ek.k = ks.k
+ORDER BY ks.k
+"""
+
+QUERIES["kg_rich_club"] = kg_rich_club
+ORACLE_SQL["kg_rich_club"] = KG_RICH_CLUB_SQL
+
+
+def kg_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the flagship graph (Newman 2002):
+    Pearson correlation of endpoint degrees over the DIRECTED edge
+    list (each undirected edge counted both ways, the standard
+    convention) — a pure composition: degree aggregate, two endpoint
+    joins, then functions/agg.grouped_corr's exact-int64
+    sufficient-statistics combiner on a constant key.  The output is
+    the single global r at e9 fixed point."""
+    from knowledge_graph_ray.functions.agg import grouped_agg, grouped_corr
+    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.stages.graphops import _canon_distinct
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    und = _canon_distinct(edges, "src", "dst")
+    both = und.map_batches(
+        lambda b: pa.concat_tables([
+            pa.table({"s": b.column("a"), "t": b.column("b")}),
+            pa.table({"s": b.column("b"), "t": b.column("a")}),
+        ]),
+        batch_format="pyarrow",
+    )
+    ends = und.map_batches(
+        lambda b: pa.concat_tables([pa.table({"v": b.column("a")}),
+                                    pa.table({"v": b.column("b")})]),
+        batch_format="pyarrow",
+    )
+    deg = grouped_agg(ends, ["v"], [("d", None, "count")]).materialize()
+    withd = hash_join(
+        hash_join(both, project(deg, {"v": "s", "d": "dx"}),
+                  on=["s"], how="inner"),
+        project(deg, {"v": "t", "d": "dy"}), on=["t"], how="inner",
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array(np.ones(len(b), dtype=np.int64)),
+            "dx": b.column("dx"),
+            "dy": b.column("dy"),
+        })
+
+    import numpy as np
+
+    r = grouped_corr(withd.map_batches(tag, batch_format="pyarrow"),
+                     ["g"], "dx", "dy")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_e9": scaled_int_column(b.column("r"), 1e9),
+        })
+
+    return r.map_batches(finish, batch_format="pyarrow")
+
+
+KG_DEGREE_ASSORTATIVITY_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+e0 AS (SELECT DISTINCT x.name AS a, y.name AS b
+       FROM present x JOIN present y
+         ON x.doc_id = y.doc_id AND x.name < y.name),
+deg AS (SELECT v, count(*) AS d FROM (
+          SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY v),
+both_dir AS (SELECT a AS s, b AS t FROM e0
+             UNION ALL SELECT b, a FROM e0),
+pairs AS (SELECT pa.d AS dx, pb.d AS dy
+          FROM both_dir j
+          JOIN deg pa ON pa.v = j.s
+          JOIN deg pb ON pb.v = j.t),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dx) AS DOUBLE) AS sx,
+         CAST(sum(dy) AS DOUBLE) AS sy,
+         CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+         CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+         CAST(sum(dy * dy) AS DOUBLE) AS syy
+  FROM pairs
+)
+SELECT CAST(round(
+         (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1e9
+       ) AS BIGINT) AS r_e9
+FROM s
+"""
+
+QUERIES["kg_degree_assortativity"] = kg_degree_assortativity
+ORACLE_SQL["kg_degree_assortativity"] = KG_DEGREE_ASSORTATIVITY_SQL
