@@ -12967,3 +12967,151 @@ FROM s
 
 QUERIES["kg_degree_assortativity"] = kg_degree_assortativity
 ORACLE_SQL["kg_degree_assortativity"] = KG_DEGREE_ASSORTATIVITY_SQL
+
+
+RAKE_STOPWORDS = ["a", "the", "of", "and", "in", "to"]
+
+
+def text_rake_keywords(sf_dir: str):
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-free word runs; each word
+    scores deg/freq where freq counts occurrences and deg sums the
+    length of every phrase containing it; a phrase scores the sum of
+    its words' scores; emit the global top-20 phrases.
+
+    Scale shape: phrase segmentation is a stateless vectorized polars
+    pass (split + explode + cumulative stopword boundary per doc, no
+    cross-doc state); the word-stat table is vocabulary-sized and
+    broadcast back (size_adaptive_join); phrase text + score are two
+    combiner aggregates on (doc, segment); the final top-20 is
+    grouped_topk's bounded local-k merge.  EXACT-integer discipline:
+    word scores quantize to e6 once (round(1e6*deg/freq), identical
+    float tree both engines), phrase scores are int64 sums."""
+    from knowledge_graph_ray.functions.agg import (
+        distinct_rows,
+        grouped_agg,
+        grouped_string_agg,
+    )
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+    from knowledge_graph_ray.functions.joins import (
+        hash_join,
+        size_adaptive_join,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def segments(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").fill_null("").str.split(" ")
+                          .alias("w"))
+            .drop("text")
+            .explode("w")
+            .with_columns(
+                pl.int_range(1, pl.len() + 1).over("doc_id").alias("pos"),
+                pl.col("w").is_in(RAKE_STOPWORDS).cast(pl.Int64)
+                .alias("st"),
+            )
+            .with_columns(pl.col("st").cum_sum().over("doc_id")
+                          .alias("seg"))
+            .filter((pl.col("st") == 0) & (pl.col("w") != ""))
+            .with_columns(pl.len().over(["doc_id", "seg"]).cast(pl.Int64)
+                          .alias("plen"))
+            .select(["doc_id", "seg", "pos", "w", "plen"])
+        )
+        return out.to_arrow()
+
+    words = docs.map_batches(segments,
+                             batch_format="pyarrow").materialize()
+    wstats = grouped_agg(words, ["w"],
+                         [("freq", None, "count"), ("deg", "plen", "sum")])
+
+    def score_word(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        deg = b.column("deg").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        freq = b.column("freq").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        v = 1e6 * deg / freq
+        ws = np.where(v >= 0, np.floor(v + 0.5),
+                      np.ceil(v - 0.5)).astype("int64")
+        return pa.table({"w": b.column("w"),
+                         "ws": pa.array(ws, type=pa.int64())})
+
+    wscore = wstats.map_batches(score_word, batch_format="pyarrow")
+    scored = size_adaptive_join(words, wscore, on=["w"], how="inner",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+    pscore = grouped_agg(scored, ["doc_id", "seg"],
+                         [("score_e6", "ws", "sum")])
+    ptext = grouped_string_agg(words, ["doc_id", "seg"], "w",
+                               order_cols=["pos"], sep=" ",
+                               out_col="phrase")
+    cand = distinct_rows(
+        hash_join(ptext, pscore, on=["doc_id", "seg"], how="inner")
+        .select_columns(["phrase", "score_e6"]),
+        ["phrase", "score_e6"],
+        empty_schema=pa.schema([("phrase", pa.string()),
+                                ("score_e6", pa.int64())]),
+    )
+    tagged = cand.map_batches(
+        lambda b: b.append_column(
+            "g", pa.array(np.ones(len(b), dtype=np.int64))),
+        batch_format="pyarrow",
+    )
+    top = grouped_topk(tagged, ["g"], "score_e6", 20, descending=True,
+                       tie_cols=["phrase"])
+    return top.map_batches(
+        lambda b: b.select(["rk", "phrase", "score_e6"]),
+        batch_format="pyarrow",
+    )
+
+
+TEXT_RAKE_KEYWORDS_SQL = """
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+toks AS (
+  SELECT doc_id, CAST(unnest(range(1, len(l) + 1)) AS BIGINT) AS pos,
+         unnest(l) AS w
+  FROM split
+),
+marked AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN ('a', 'the', 'of', 'and', 'in', 'to')
+              THEN 1 ELSE 0 END AS st
+  FROM toks
+),
+seg AS (
+  SELECT doc_id, pos, w, st,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM marked
+),
+pw AS (SELECT doc_id, seg, pos, w FROM seg WHERE st = 0 AND w <> ''),
+plen AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS plen
+         FROM pw GROUP BY doc_id, seg),
+pwl AS (SELECT pw.doc_id, pw.seg, pw.pos, pw.w, plen.plen
+        FROM pw JOIN plen USING (doc_id, seg)),
+wstats AS (SELECT w, count(*) AS freq, sum(plen) AS deg
+           FROM pwl GROUP BY w),
+wscore AS (SELECT w, CAST(round(1e6 * deg / freq) AS BIGINT) AS ws
+           FROM wstats),
+pscore AS (SELECT doc_id, seg, CAST(sum(ws) AS BIGINT) AS score_e6
+           FROM pwl JOIN wscore USING (w) GROUP BY doc_id, seg),
+ptext AS (SELECT doc_id, seg, string_agg(w, ' ' ORDER BY pos) AS phrase
+          FROM pw GROUP BY doc_id, seg),
+cand AS (SELECT DISTINCT phrase, score_e6
+         FROM ptext JOIN pscore USING (doc_id, seg))
+SELECT CAST(row_number() OVER (ORDER BY score_e6 DESC, phrase)
+       AS BIGINT) AS rk, phrase, score_e6
+FROM cand ORDER BY score_e6 DESC, phrase LIMIT 20
+"""
+
+QUERIES["text_rake_keywords"] = text_rake_keywords
+ORACLE_SQL["text_rake_keywords"] = TEXT_RAKE_KEYWORDS_SQL
