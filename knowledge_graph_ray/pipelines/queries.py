@@ -13115,3 +13115,239 @@ FROM cand ORDER BY score_e6 DESC, phrase LIMIT 20
 
 QUERIES["text_rake_keywords"] = text_rake_keywords
 ORACLE_SQL["text_rake_keywords"] = TEXT_RAKE_KEYWORDS_SQL
+
+
+def events_association_rules(sf_dir: str):
+    """Association rules over per-user event-type baskets: for every
+    ordered type pair A -> B, support counts users with both, conf =
+    supp(AB)/supp(A), lift = n_users * supp(AB) / (supp(A) * supp(B))
+    (Agrawal & Srikant 1994) — the market-basket primitive behind
+    behavioral cohort mining.  Scale shape: one distinct_rows combiner
+    to (user, type); the per-user type set is vocabulary-bounded so the
+    in-batch pair expansion is |types|^2-bounded per user; pair counts
+    and the three scalar supports merge in grouped_agg combiners; the
+    conf/lift ratios are exact-integer operands in one fixed float
+    tree (e6 rounding absorbs nothing — operands identical on both
+    engines)."""
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    from knowledge_graph_ray.functions.grouping import bucketed_bucket_map
+    from knowledge_graph_ray.functions.joins import hash_join, project
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+    ut = distinct_rows(
+        events, ["user_id", "event_type"],
+        empty_schema=pa.schema([("user_id", pa.int64()),
+                                ("event_type", pa.string())]),
+    ).materialize()
+    n_users = grouped_agg(
+        ut.select_columns(["user_id"]), ["user_id"],
+        [("__n", None, "count")],
+    ).count()
+    supp = grouped_agg(ut, ["event_type"],
+                       [("s", None, "count")]).materialize()
+
+    def pair_body(g: pd.DataFrame) -> pa.Table:
+        # per user: all ordered pairs of its distinct types (A != B);
+        # vocabulary-bounded fanout, vectorized via a merge on user
+        m = g.merge(g, on="user_id")
+        m = m[m.event_type_x != m.event_type_y]
+        return pa.Table.from_pandas(
+            m.rename(columns={"event_type_x": "a", "event_type_y": "b"})
+            [["a", "b"]], preserve_index=False)
+
+    pairs = bucketed_bucket_map(
+        ut, ["user_id"], pair_body, num_buckets=16,
+        empty_schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+    )
+    ab = grouped_agg(pairs, ["a", "b"], [("s_ab", None, "count")])
+    withs = hash_join(
+        hash_join(ab, project(supp, {"event_type": "a", "s": "s_a"}),
+                  on=["a"], how="inner"),
+        project(supp, {"event_type": "b", "s": "s_b"}),
+        on=["b"], how="inner",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s_ab = b.column("s_ab").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s_a = b.column("s_a").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s_b = b.column("s_b").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        conf = 1e6 * s_ab / s_a
+        lift = 1e6 * (n_users * s_ab) / (s_a * s_b)
+        r6 = lambda v: np.where(v >= 0, np.floor(v + 0.5),
+                                np.ceil(v - 0.5)).astype("int64")
+        return pa.table({
+            "a": b.column("a"), "b": b.column("b"),
+            "s_ab": b.column("s_ab"),
+            "conf_e6": pa.array(r6(conf), type=pa.int64()),
+            "lift_e6": pa.array(r6(lift), type=pa.int64()),
+        })
+
+    return withs.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_ASSOCIATION_RULES_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT count(DISTINCT user_id) AS n FROM ut),
+supp AS (SELECT event_type, count(*) AS s FROM ut GROUP BY event_type),
+ab AS (
+  SELECT x.event_type AS a, y.event_type AS b, count(*) AS s_ab
+  FROM ut x JOIN ut y
+    ON x.user_id = y.user_id AND x.event_type <> y.event_type
+  GROUP BY x.event_type, y.event_type
+)
+SELECT ab.a, ab.b, CAST(ab.s_ab AS BIGINT) AS s_ab,
+       CAST(round(1e6 * ab.s_ab / sa.s) AS BIGINT) AS conf_e6,
+       CAST(round(1e6 * ((SELECT n FROM nu) * ab.s_ab)
+                  / (sa.s * sb.s)) AS BIGINT) AS lift_e6
+FROM ab JOIN supp sa ON sa.event_type = ab.a
+        JOIN supp sb ON sb.event_type = ab.b
+"""
+
+QUERIES["events_association_rules"] = events_association_rules
+ORACLE_SQL["events_association_rules"] = EVENTS_ASSOCIATION_RULES_SQL
+
+
+def embeddings_centroid_distances(sf_dir: str):
+    """Cluster-separation map: pairwise squared distances between the
+    label centroids (upper triangle, label_a < label_b), in EXACT e6
+    fixed-point integers — with embeddings_silhouette this gives the
+    full cluster-quality report.  The heavy lifting is the one
+    vector_centroids combiner pass; the (labels x labels) matrix is
+    codebook-sized driver math."""
+    from knowledge_graph_ray.stages.similarity import vector_centroids
+
+    import numpy as np
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+    cents = vector_centroids(emb, "label", "embedding").to_pandas()
+    cents = cents.sort_values("label").reset_index(drop=True)
+    labels = np.asarray(cents["label"], dtype=np.int64)
+    cm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in cents["centroid"]])
+    q = np.where(cm >= 0, np.floor(cm * 1e6 + 0.5),
+                 np.ceil(cm * 1e6 - 0.5)).astype("int64")
+    n = len(labels)
+    ia, ib = np.triu_indices(n, k=1)
+    diff = q[ia] - q[ib]
+    d2 = np.einsum("pd,pd->p", diff, diff)
+    return pa.table({
+        "label_a": pa.array(labels[ia], type=pa.int64()),
+        "label_b": pa.array(labels[ib], type=pa.int64()),
+        "d2_e12": pa.array(d2, type=pa.int64()),
+    })
+
+
+EMBEDDINGS_CENTROID_DISTANCES_SQL = """
+WITH cents AS (
+  SELECT label, gs.i AS i,
+         CAST(round(avg(embedding[gs.i]) * 1e6) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, 64) gs(i)
+  GROUP BY label, gs.i
+)
+SELECT CAST(a.label AS BIGINT) AS label_a,
+       CAST(b.label AS BIGINT) AS label_b,
+       CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2_e12
+FROM cents a JOIN cents b ON a.i = b.i AND a.label < b.label
+GROUP BY a.label, b.label
+"""
+
+QUERIES["embeddings_centroid_distances"] = embeddings_centroid_distances
+ORACLE_SQL["embeddings_centroid_distances"] = EMBEDDINGS_CENTROID_DISTANCES_SQL
+
+
+def documents_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve: cumulative distinct word
+    count after each decile of the corpus in doc_id order — the
+    "how fast does new vocabulary appear" diagnostic for corpus
+    mixing.  Scale shape: a word's first-appearance doc is ONE
+    grouped_agg min (no ordered scan); deciles are integer doc_id
+    thresholds against the max; the cumulative curve is a 10-row
+    driver suffix sum over the decile histogram."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    import numpy as np
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import os
+
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as pl
+
+        out = (
+            pl.from_arrow(batch.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").fill_null("").str.split(" ")
+                          .alias("w"))
+            .drop("text")
+            .explode("w")
+            .filter(pl.col("w") != "")
+            .unique()
+        )
+        return out.to_arrow()
+
+    words = docs.map_batches(explode, batch_format="pyarrow")
+    first = grouped_agg(words, ["w"], [("first_doc", "doc_id", "min")])
+    mx = grouped_agg(
+        docs.map_batches(
+            lambda b: pa.table({
+                "g": pa.array(np.ones(len(b), dtype=np.int64)),
+                "doc_id": b.column("doc_id"),
+            }),
+            batch_format="pyarrow",
+        ),
+        ["g"], [("m", "doc_id", "max")],
+    ).take(1)[0]["m"]
+
+    def bucket(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        fd = b.column("first_doc").to_numpy(zero_copy_only=False)
+        dec = (10 * fd) // (int(mx) + 1)
+        return pa.table({"decile": pa.array(dec.astype("int64"))})
+
+    hist = grouped_agg(
+        first.map_batches(bucket, batch_format="pyarrow"),
+        ["decile"], [("n_new", None, "count")],
+    ).to_pandas().set_index("decile")["n_new"]
+    deciles = np.arange(10, dtype=np.int64)
+    n_new = np.array([int(hist.get(d, 0)) for d in deciles])
+    return pa.table({
+        "decile": pa.array(deciles, type=pa.int64()),
+        "n_new": pa.array(n_new, type=pa.int64()),
+        "vocab_cum": pa.array(np.cumsum(n_new), type=pa.int64()),
+    })
+
+
+DOCUMENTS_VOCAB_GROWTH_SQL = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w, doc_id FROM documents
+),
+first AS (
+  SELECT w, min(doc_id) AS first_doc FROM w WHERE w <> '' GROUP BY w
+),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+hist AS (
+  SELECT (10 * first_doc) // ((SELECT m FROM mx) + 1) AS decile,
+         count(*) AS n_new
+  FROM first GROUP BY 1
+),
+ks AS (SELECT CAST(gs.d AS BIGINT) AS decile
+       FROM generate_series(0, 9) gs(d))
+SELECT ks.decile, CAST(coalesce(h.n_new, 0) AS BIGINT) AS n_new,
+       CAST(sum(coalesce(h.n_new, 0))
+            OVER (ORDER BY ks.decile) AS BIGINT) AS vocab_cum
+FROM ks LEFT JOIN hist h ON h.decile = ks.decile
+ORDER BY ks.decile
+"""
+
+QUERIES["documents_vocab_growth"] = documents_vocab_growth
+ORACLE_SQL["documents_vocab_growth"] = DOCUMENTS_VOCAB_GROWTH_SQL
