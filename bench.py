@@ -225,6 +225,23 @@ BENCH_QUERIES = [
     "events_user_type_entropy",
     "kg_clustering_coefficient",
     "kg_ktruss",
+    # round-5 coda 9: propagation / graph-metric / mining family
+    # (appended; earlier per-query comparisons stay aligned)
+    "kg_personalized_pagerank",
+    "kg_harmonic_centrality",
+    "kg_label_spread",
+    "events_markov_stationary",
+    "documents_fd_violations",
+    "embeddings_silhouette",
+    "kg_local_bridges",
+    "kg_rich_club",
+    "kg_degree_assortativity",
+    "text_rake_keywords",
+    "events_association_rules",
+    "embeddings_centroid_distances",
+    "documents_vocab_growth",
+    "events_ks_statistic",
+    "kg_triangles_doulion",
 ]
 
 

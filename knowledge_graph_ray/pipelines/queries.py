@@ -13351,3 +13351,151 @@ ORDER BY ks.decile
 
 QUERIES["documents_vocab_growth"] = documents_vocab_growth
 ORACLE_SQL["documents_vocab_growth"] = DOCUMENTS_VOCAB_GROWTH_SQL
+
+
+def events_ks_statistic(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov distance between the click and
+    purchase value distributions, EXACT: per-cents histograms merge in
+    one grouped_agg combiner (the value domain, not the row count,
+    bounds the state); the sup over |ECDF_a - ECDF_b| runs on the
+    cross-multiplied INTEGER form |cum_a*N_b - cum_b*N_a| so there is
+    no float accumulation anywhere — the only float op is the final
+    e9-scaled ratio over identical exact operands.  The domain-bounded
+    cumulative pass is a driver suffix scan over <= ~50k distinct
+    cents (documented bound, same contract as the histogram family)."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    import numpy as np
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array(["click", "purchase"])))
+        cents = pc.cast(pc.round(pc.multiply(
+            b.column("value").cast(pa.float64()), 100.0)), pa.int64())
+        is_a = pc.cast(pc.equal(b.column("event_type"), "click"),
+                       pa.int64())
+        is_b = pc.cast(pc.equal(b.column("event_type"), "purchase"),
+                       pa.int64())
+        return pa.table({"cents": cents, "ia": is_a, "ib": is_b})
+
+    hist = grouped_agg(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["cents"], [("na", "ia", "sum"), ("nb", "ib", "sum")],
+    ).to_pandas().sort_values("cents")  # value-domain-bounded
+    na = hist["na"].to_numpy()
+    nb = hist["nb"].to_numpy()
+    ta, tb = int(na.sum()), int(nb.sum())
+    ca, cb = np.cumsum(na), np.cumsum(nb)
+    d = np.abs(ca * tb - cb * ta)
+    m = int(d.max()) if len(d) else 0
+    v = 1e9 * m / (ta * tb) if ta and tb else 0.0
+    ks_e9 = int(np.floor(v + 0.5))
+    return pa.table({
+        "n_a": pa.array([ta], type=pa.int64()),
+        "n_b": pa.array([tb], type=pa.int64()),
+        "d_num": pa.array([m], type=pa.int64()),
+        "ks_e9": pa.array([ks_e9], type=pa.int64()),
+    })
+
+
+EVENTS_KS_STATISTIC_SQL = """
+WITH v AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+h AS (
+  SELECT cents,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+  FROM v GROUP BY cents
+),
+tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+               CAST(sum(nb) AS BIGINT) AS tb FROM h),
+c AS (
+  SELECT CAST(sum(na) OVER (ORDER BY cents) AS BIGINT) AS ca,
+         CAST(sum(nb) OVER (ORDER BY cents) AS BIGINT) AS cb
+  FROM h
+)
+SELECT ta AS n_a, tb AS n_b,
+       CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS d_num,
+       CAST(round(1e9 * max(abs(ca * tb - cb * ta)) / (ta * tb))
+            AS BIGINT) AS ks_e9
+FROM c, tot GROUP BY ta, tb
+"""
+
+QUERIES["events_ks_statistic"] = events_ks_statistic
+ORACLE_SQL["events_ks_statistic"] = EVENTS_KS_STATISTIC_SQL
+
+
+def kg_triangles_doulion(sf_dir: str):
+    """DOULION (Tsourakakis et al. 2009): triangle counting on a
+    consistently p=1/4 edge-sampled subgraph, estimate = count/p^3 —
+    the sparsifier that makes trillion-edge triangle counts tractable.
+    Cross-engine determinism: the sample keeps edges whose
+    md5(a|b) hex digest starts with 0-3 (the consistent-hash sampling
+    discipline of documents_consistent_sample), so BOTH engines see
+    the identical subgraph and the estimate is exactly reproducible —
+    the oracle verifies the sampled count, not a probability bound.
+    Triangle core: stages/graphops._closed_triangles (degree-ordered
+    wedges), proven at 2M edges."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.graphops import (
+        _canon_distinct,
+        _closed_triangles,
+    )
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    und = _canon_distinct(edges, "src", "dst")
+
+    def sample(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        a = b.column("a").to_pylist()
+        c = b.column("b").to_pylist()
+        keep = [hashlib.md5(f"{x}|{y}".encode()).hexdigest()[0]
+                in "0123" for x, y in zip(a, c)]
+        return b.filter(pa.array(keep))
+
+    sampled = und.map_batches(sample, batch_format="pyarrow").materialize()
+    tri = _closed_triangles(sampled).count()
+    return pa.table({
+        "n_edges": pa.array([und.count()], type=pa.int64()),
+        "n_sampled": pa.array([sampled.count()], type=pa.int64()),
+        "tri_sampled": pa.array([tri], type=pa.int64()),
+        "tri_est": pa.array([tri * 64], type=pa.int64()),
+    })
+
+
+KG_TRIANGLES_DOULION_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+e0 AS (SELECT DISTINCT x.name AS a, y.name AS b
+       FROM present x JOIN present y
+         ON x.doc_id = y.doc_id AND x.name < y.name),
+s AS (SELECT a, b FROM e0
+      WHERE substr(md5(a || '|' || b), 1, 1) IN ('0', '1', '2', '3')),
+tri AS (
+  SELECT count(*) AS t
+  FROM s e1 JOIN s e2 ON e2.a = e1.b
+  JOIN s e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sampled,
+       CAST(t AS BIGINT) AS tri_sampled,
+       CAST(t * 64 AS BIGINT) AS tri_est
+FROM tri
+"""
+
+QUERIES["kg_triangles_doulion"] = kg_triangles_doulion
+ORACLE_SQL["kg_triangles_doulion"] = KG_TRIANGLES_DOULION_SQL
