@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "documents_vocab_growth",
     "events_ks_statistic",
     "kg_triangles_doulion",
+    "events_anova_f",
+    "events_runs_test",
 ]
 
 

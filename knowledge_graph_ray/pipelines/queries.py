@@ -13499,3 +13499,223 @@ FROM tri
 
 QUERIES["kg_triangles_doulion"] = kg_triangles_doulion
 ORACLE_SQL["kg_triangles_doulion"] = KG_TRIANGLES_DOULION_SQL
+
+
+def events_anova_f(sf_dir: str):
+    """One-way ANOVA F statistic of event value (cents) across the
+    five event types — the k-group generalization of the Welch A/B
+    gate.  Sufficient statistics (n, Σx, Σx² per type) accumulate as
+    exact int64 in the grouped_agg combiner; the between/within sum-of-
+    squares terms quantize to e2 fixed point PER GROUP (identical
+    float tree both engines, then integer sums — no float summation
+    order anywhere); F itself is one final float expression over the
+    two integer SS totals.  Output: one row (n, k, ssb_e2, ssw_e2,
+    f_e6)."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    import numpy as np
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("value").cast(pa.float64()), 100.0)), pa.int64())
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "x": cents,
+            "xx": pc.multiply(cents, cents),
+        })
+
+    stats = grouped_agg(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["event_type"],
+        [("n", None, "count"), ("s", "x", "sum"), ("q", "xx", "sum")],
+    ).to_pandas()  # k rows, one per type
+
+    n = stats["n"].to_numpy().astype(np.float64)
+    s = stats["s"].to_numpy().astype(np.float64)
+    q = stats["q"].to_numpy().astype(np.float64)
+    r2 = lambda v: np.where(v >= 0, np.floor(v + 0.5),
+                            np.ceil(v - 0.5)).astype("int64")
+    # per-group e2 quantization BEFORE the cross-group sum keeps the
+    # totals integer (DuckDB's group-sum order can then never matter)
+    t_g = r2(1e2 * (s * s / n))
+    w_g = r2(1e2 * (q - s * s / n))
+    N = int(n.sum())
+    k = len(stats)
+    S = float(s.sum())
+    ssb_e2 = int(t_g.sum()) - int(np.floor(1e2 * (S * S / N) + 0.5))
+    ssw_e2 = int(w_g.sum())
+    f_e6 = int(np.floor(
+        1e6 * (ssb_e2 * (N - k)) / (ssw_e2 * (k - 1)) + 0.5)) \
+        if ssw_e2 > 0 and k > 1 else 0
+    return pa.table({
+        "n": pa.array([N], type=pa.int64()),
+        "k": pa.array([k], type=pa.int64()),
+        "ssb_e2": pa.array([ssb_e2], type=pa.int64()),
+        "ssw_e2": pa.array([ssw_e2], type=pa.int64()),
+        "f_e6": pa.array([f_e6], type=pa.int64()),
+    })
+
+
+EVENTS_ANOVA_F_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS s,
+         CAST(sum(x * x) AS DOUBLE) AS q
+  FROM v GROUP BY event_type
+),
+terms AS (
+  SELECT n, s,
+         CAST(round(1e2 * (s * s / n)) AS BIGINT) AS t_g,
+         CAST(round(1e2 * (q - s * s / n)) AS BIGINT) AS w_g
+  FROM g
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS k,
+         sum(s) AS ss,
+         CAST(sum(t_g) AS BIGINT) AS sum_t,
+         CAST(sum(w_g) AS BIGINT) AS ssw_e2
+  FROM terms
+)
+SELECT nn AS n, k,
+       CAST(sum_t - round(1e2 * (ss * ss / nn)) AS BIGINT) AS ssb_e2,
+       ssw_e2,
+       CAST(CASE WHEN ssw_e2 > 0 AND k > 1
+            THEN round(1e6 * ((sum_t - round(1e2 * (ss * ss / nn)))
+                              * (nn - k)) / (ssw_e2 * (k - 1)))
+            ELSE 0 END AS BIGINT) AS f_e6
+FROM tot
+"""
+
+QUERIES["events_anova_f"] = events_anova_f
+ORACLE_SQL["events_anova_f"] = EVENTS_ANOVA_F_SQL
+
+
+def events_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs screen per event type: mark each event
+    above/below its type's exact median value, order each (user, type)
+    stream by time, and count sign CHANGES — the sequence-randomness
+    diagnostic (alternating = negative autocorrelation, long runs =
+    drift).  Composition of three existing operators: exact
+    grouped_quantiles median (distinct-value shuffle), a broadcast
+    median join, and window_lag on the composite (user|type) partition
+    — all counts exact int64."""
+    import ray
+
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.ranking import window_lag
+    from knowledge_graph_ray.stages.sketches import grouped_quantiles
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("value").cast(pa.float64()), 100.0)), pa.int64())
+        ts_s = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "user_id": batch.column("user_id"),
+            "ts_s": ts_s.cast(pa.int64()),
+            "event_type": batch.column("event_type"),
+            "x": cents,
+        })
+
+    prepped = events.map_batches(prep,
+                                 batch_format="pyarrow").materialize()
+    med = grouped_quantiles(prepped.select_columns(["event_type", "x"]),
+                            "event_type", "x", [0.5]).to_pandas()
+    med_ref = ray.put(dict(zip(med["event_type"], med["x"])))
+
+    def mark(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = ray.get(med_ref)
+        types = b.column("event_type").to_pandas()
+        thresh = types.map(m).to_numpy().astype(np.int64)
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        ab = (x > thresh).astype("int64")
+        key = (types + "|" + b.column("user_id").to_pandas().astype(str))
+        return pa.table({
+            "key": pa.array(key, type=pa.string()),
+            "event_type": b.column("event_type"),
+            "ts_s": b.column("ts_s"),
+            "event_id": b.column("event_id"),
+            "ab": pa.array(ab, type=pa.int64()),
+        })
+
+    marked = prepped.map_batches(mark, batch_format="pyarrow")
+    lagged = window_lag(marked, key="key",
+                        order_cols=["ts_s", "event_id"],
+                        value_col="ab", out_col="prev",
+                        driver_threshold=500_000,
+                        size_hint=prepped.count())
+
+    def change(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        prev = b.column("prev")
+        chg = pc.cast(pc.and_kleene(
+            pc.is_valid(prev),
+            pc.not_equal(prev, b.column("ab"))), pa.int64())
+        # window_lag carries only key/order/value columns — the type
+        # is the composite key's prefix
+        etype = pc.list_element(
+            pc.split_pattern(b.column("key"), "|", max_splits=1), 0)
+        return pa.table({
+            "event_type": etype,
+            "ab": b.column("ab"),
+            "chg": pc.fill_null(chg, 0),
+        })
+
+    return grouped_agg(
+        lagged.map_batches(change, batch_format="pyarrow"),
+        ["event_type"],
+        [("n", None, "count"), ("n_above", "ab", "sum"),
+         ("n_changes", "chg", "sum")],
+    )
+
+
+EVENTS_RUNS_TEST_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+med AS (SELECT event_type, quantile_disc(x, 0.5) AS m
+        FROM e GROUP BY event_type),
+ind AS (
+  SELECT e.event_type, e.user_id, e.ts_s, e.event_id,
+         CASE WHEN e.x > med.m THEN 1 ELSE 0 END AS ab
+  FROM e JOIN med USING (event_type)
+),
+lg AS (
+  SELECT event_type, ab,
+         lag(ab) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts_s, event_id) AS prev
+  FROM ind
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(ab) AS BIGINT) AS n_above,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> ab
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+FROM lg GROUP BY event_type
+"""
+
+QUERIES["events_runs_test"] = events_runs_test
+ORACLE_SQL["events_runs_test"] = EVENTS_RUNS_TEST_SQL
