@@ -13719,3 +13719,99 @@ FROM lg GROUP BY event_type
 
 QUERIES["events_runs_test"] = events_runs_test
 ORACLE_SQL["events_runs_test"] = EVENTS_RUNS_TEST_SQL
+
+
+def events_cusum_drift(sf_dir: str):
+    """CUSUM change-point statistic per event type (Page 1954): daily
+    mean deviations from the type's overall mean, quantized to e4
+    integers (identical float tree both engines), then the one-sided
+    CUSUM recursion C_k = max(0, C_{k-1} + d_k) — evaluated in closed
+    form as C_k = P_k - min_{j<=k} P_j over the prefix sums, so the
+    scan is a vectorized cumsum + running-min over the day-bounded
+    series, not a Python loop.  The oracle runs the literal recursion
+    in a recursive CTE.  Scale shape: the heavy pass is the (type,
+    day) combiner aggregate; the scan state is bounded by types x
+    days, never by row count."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    import numpy as np
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("value").cast(pa.float64()), 100.0)), pa.int64())
+        day = pc.cast(
+            pc.divide(pc.divide(batch.column("ts").cast(pa.int64()),
+                                1_000_000), 86_400), pa.int64())
+        return pa.table({"event_type": batch.column("event_type"),
+                         "day": day, "x": cents})
+
+    daily = grouped_agg(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("n", None, "count"), ("s", "x", "sum")],
+    ).to_pandas()  # types x days, bounded
+
+    rows = []
+    for etype, g in daily.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        s = g["s"].to_numpy().astype(np.float64)
+        n = g["n"].to_numpy().astype(np.float64)
+        S, N = float(s.sum()), float(n.sum())
+        v = 1e4 * (s / n - S / N)
+        dev = np.where(v >= 0, np.floor(v + 0.5),
+                       np.ceil(v - 0.5)).astype("int64")
+        p = np.cumsum(dev)
+        runmin = np.minimum.accumulate(np.concatenate(([0], p)))[:-1]
+        c = p - np.minimum(runmin, 0)
+        rows.append({"event_type": etype,
+                     "cusum_max_e4": int(c.max()) if len(c) else 0,
+                     "n_days": len(g)})
+    out = pd.DataFrame(rows)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "cusum_max_e4": pa.array(out["cusum_max_e4"], type=pa.int64()),
+        "n_days": pa.array(out["n_days"], type=pa.int64()),
+    })
+
+
+EVENTS_CUSUM_DRIFT_SQL = """
+WITH RECURSIVE e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, count(*) AS n, sum(x) AS s
+  FROM e GROUP BY event_type, day
+),
+tot AS (SELECT event_type, sum(s) AS ss, sum(n) AS nn
+        FROM daily GROUP BY event_type),
+dev AS (
+  SELECT d.event_type,
+         CAST(row_number() OVER (PARTITION BY d.event_type
+                                 ORDER BY d.day) AS BIGINT) AS rn,
+         CAST(round(1e4 * (CAST(d.s AS DOUBLE) / d.n
+                           - CAST(t.ss AS DOUBLE) / t.nn))
+              AS BIGINT) AS dv
+  FROM daily d JOIN tot t USING (event_type)
+),
+rec AS (
+  SELECT event_type, rn, greatest(0, dv) AS c FROM dev WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn, greatest(0, r.c + d.dv)
+  FROM rec r JOIN dev d
+    ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT event_type, CAST(max(c) AS BIGINT) AS cusum_max_e4,
+       CAST(max(rn) AS BIGINT) AS n_days
+FROM rec GROUP BY event_type
+"""
+
+QUERIES["events_cusum_drift"] = events_cusum_drift
+ORACLE_SQL["events_cusum_drift"] = EVENTS_CUSUM_DRIFT_SQL

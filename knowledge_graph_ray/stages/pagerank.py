@@ -499,7 +499,10 @@ def label_spread(edges, seed_labels: "dict[str, str]", src: str = "src",
     ``pagerank``.  The seed mapping ships by closure (query-sized).
     Seeds absent from the node set are dropped."""
     from knowledge_graph_ray.functions.agg import grouped_agg
-    from knowledge_graph_ray.functions.joins import hash_join, project
+    from knowledge_graph_ray.functions.joins import (
+        project,
+        size_adaptive_join,
+    )
 
     import ray.data as rd
 
@@ -550,12 +553,18 @@ def label_spread(edges, seed_labels: "dict[str, str]", src: str = "src",
         raise ValueError("label_spread: no seed present in graph")
     scores = clamp
     for _ in range(rounds):
-        ranked = hash_join(
+        # the state (scores, strength) is node-sized: broadcast it
+        # while it fits (size_adaptive_join) so the EDGES never
+        # shuffle — only beyond broadcast_max does the partitioned
+        # hash_join regime kick in (pagerank's discipline)
+        ranked = size_adaptive_join(
             fwd, project(scores, {"name": "src", "label": "label",
-                                  "score": "sc"}),
-            on=["src"], how="inner",
+                                  "score": "sc"}).materialize(),
+            on=["src"], how="inner", broadcast_max=broadcast_max,
         )
-        with_s = hash_join(ranked, strength, on=["src"], how="inner")
+        with_s = size_adaptive_join(ranked, strength, on=["src"],
+                                    how="inner",
+                                    broadcast_max=broadcast_max)
 
         def contrib(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -588,7 +597,10 @@ def label_spread(edges, seed_labels: "dict[str, str]", src: str = "src",
         b = b.filter(pc.equal(b.column("score"), b.column("mx")))
         return b.select(["name", "label", "score"])
 
-    at_max = hash_join(scores, mx, on=["name"], how="inner").map_batches(
+    at_max = size_adaptive_join(
+        scores, mx.materialize(), on=["name"], how="inner",
+        broadcast_max=broadcast_max).map_batches(
         keep_max, batch_format="pyarrow").materialize()
     win = grouped_agg(at_max, ["name"], [("label", "label", "min")])
-    return hash_join(win, at_max, on=["name", "label"], how="inner")
+    return size_adaptive_join(win, at_max, on=["name", "label"],
+                              how="inner", broadcast_max=broadcast_max)
