@@ -244,6 +244,10 @@ BENCH_QUERIES = [
     "kg_triangles_doulion",
     "events_anova_f",
     "events_runs_test",
+    "events_cusum_drift",
+    "tpch_cohort_ltv",
+    "kg_hash_walks",
+    "similarity_range_search",
 ]
 
 

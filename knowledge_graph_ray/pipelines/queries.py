@@ -13815,3 +13815,289 @@ FROM rec GROUP BY event_type
 
 QUERIES["events_cusum_drift"] = events_cusum_drift
 ORACLE_SQL["events_cusum_drift"] = EVENTS_CUSUM_DRIFT_SQL
+
+
+def tpch_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value triangle: customers cohorted by first-
+    order year, revenue accumulated by years-since-first-order — the
+    (cohort, age) LTV matrix every growth team maintains.  Scale
+    shape: first-order year is one grouped_agg min on the customer
+    key; the cohort tag is a size-adaptive join (broadcast while the
+    customer dimension fits); revenue cells merge in the combiner;
+    the cumulative pass runs on the years x years cell table, bounded
+    by the calendar, not the data."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+
+    import numpy as np
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        yr = pc.year(batch.column("o_orderdate")).cast(pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice").cast(pa.float64()), 100.0)),
+            pa.int64())
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "yr": yr, "cents": cents})
+
+    prepped = orders.map_batches(prep,
+                                 batch_format="pyarrow").materialize()
+    first = grouped_agg(prepped.select_columns(["o_custkey", "yr"]),
+                        ["o_custkey"], [("cohort", "yr", "min")])
+    tagged = size_adaptive_join(prepped, first.materialize(),
+                                on=["o_custkey"], how="inner",
+                                broadcast_max=BROADCAST_KEYS_MAX)
+
+    def age(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "cohort": b.column("cohort"),
+            "age": pc.subtract(b.column("yr"), b.column("cohort")),
+            "cents": b.column("cents"),
+        })
+
+    cells = grouped_agg(
+        tagged.map_batches(age, batch_format="pyarrow"),
+        ["cohort", "age"], [("revenue_cents", "cents", "sum")],
+    ).to_pandas()  # calendar-bounded
+    cells = cells.sort_values(["cohort", "age"]).reset_index(drop=True)
+    cells["cum_revenue_cents"] = cells.groupby("cohort")[
+        "revenue_cents"].cumsum()
+    return pa.table({
+        "cohort": pa.array(cells["cohort"], type=pa.int64()),
+        "age": pa.array(cells["age"], type=pa.int64()),
+        "revenue_cents": pa.array(cells["revenue_cents"],
+                                  type=pa.int64()),
+        "cum_revenue_cents": pa.array(cells["cum_revenue_cents"],
+                                      type=pa.int64()),
+    })
+
+
+TPCH_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, min(yr) AS cohort FROM o GROUP BY o_custkey),
+cells AS (
+  SELECT f.cohort, o.yr - f.cohort AS age, sum(o.cents) AS revenue_cents
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY f.cohort, o.yr - f.cohort
+)
+SELECT cohort, age, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age)
+            AS BIGINT) AS cum_revenue_cents
+FROM cells
+"""
+
+QUERIES["tpch_cohort_ltv"] = tpch_cohort_ltv
+ORACLE_SQL["tpch_cohort_ltv"] = TPCH_COHORT_LTV_SQL
+
+
+def kg_hash_walks(sf_dir: str):
+    """Deterministic graph walks (node2vec's sampling shape made
+    cross-engine-reproducible): from every flagship node, 6 steps,
+    each step moving to the neighbour minimizing
+    md5(cur|step|neighbour) — consistent hashing replaces RNG so BOTH
+    engines trace the identical walk (the documents_consistent_sample
+    discipline applied to walk sampling).  Scale shape: the walk state
+    is (start, cur) pairs, one row per walk; each step is one
+    size-adaptive join against the edge set plus a grouped_topk
+    (k=1) min-hash selection — walks x steps, edges never move."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.functions.grouping import grouped_topk
+    from knowledge_graph_ray.stages.graphops import _canon_distinct
+
+    edges = grouped_agg(
+        _presence_pairs(sf_dir, vocab=FLAGSHIP_GAZETTEER),
+        ["src", "dst"], [("weight", None, "count")],
+    )
+    und_c = _canon_distinct(edges, "src", "dst")
+    und = und_c.map_batches(
+        lambda b: pa.concat_tables([
+            pa.table({"src": b.column("a"), "dst": b.column("b")}),
+            pa.table({"src": b.column("b"), "dst": b.column("a")}),
+        ]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    from knowledge_graph_ray.functions.joins import size_adaptive_join
+
+    state = grouped_agg(
+        und.select_columns(["src"]), ["src"], [("__n", None, "count")],
+    ).map_batches(
+        lambda b: pa.table({"start": b.column("src"),
+                            "cur": b.column("src")}),
+        batch_format="pyarrow",
+    ).materialize()
+    out_parts = [state.map_batches(
+        lambda b: pa.table({"start": b.column("start"),
+                            "step": pa.array(
+                                np.zeros(len(b), dtype=np.int64)),
+                            "node": b.column("cur")}),
+        batch_format="pyarrow",
+    )]
+    from knowledge_graph_ray.functions.joins import project
+
+    for step in range(1, 7):
+        hop = size_adaptive_join(
+            und, project(state, {"start": "start", "cur": "src"})
+            .materialize(),
+            on=["src"], how="inner",
+            broadcast_max=BROADCAST_KEYS_MAX)
+
+        def digest(b: pa.Table, st=step) -> pa.Table:
+            import hashlib
+
+            cur = b.column("src").to_pylist()
+            nb = b.column("dst").to_pylist()
+            h = [hashlib.md5(f"{c}|{st}|{n}".encode()).hexdigest()
+                 for c, n in zip(cur, nb)]
+            return pa.table({"start": b.column("start"),
+                             "nb": b.column("dst"),
+                             "h": pa.array(h, type=pa.string())})
+
+        picks = grouped_topk(
+            hop.map_batches(digest, batch_format="pyarrow"),
+            ["start"], "h", 1, descending=False, tie_cols=["nb"],
+        )
+        state = picks.map_batches(
+            lambda b: pa.table({"start": b.column("start"),
+                                "cur": b.column("nb")}),
+            batch_format="pyarrow",
+        ).materialize()
+        out_parts.append(state.map_batches(
+            lambda b, st=step: pa.table({
+                "start": b.column("start"),
+                "step": pa.array(np.full(len(b), st, dtype=np.int64)),
+                "node": b.column("cur")}),
+            batch_format="pyarrow",
+        ))
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _hash_walk_step_sql(prev: str, cur: str, step: int) -> str:
+    return f"""
+{cur} AS (
+  SELECT start, e.dst AS cur
+  FROM {prev} w JOIN edges e ON e.src = w.cur
+  QUALIFY row_number() OVER (
+    PARTITION BY start
+    ORDER BY md5(w.cur || '|' || {step} || '|' || e.dst), e.dst) = 1
+)"""
+
+
+KG_HASH_WALKS_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents),
+present AS (SELECT DISTINCT doc_id, upper(w) AS name FROM toks
+            WHERE w IN {_FLAGSHIP_GAZETTEER_SQL}),
+e0 AS (SELECT DISTINCT x.name AS a, y.name AS b
+       FROM present x JOIN present y
+         ON x.doc_id = y.doc_id AND x.name < y.name),
+edges AS (SELECT a AS src, b AS dst FROM e0
+          UNION ALL SELECT b, a FROM e0),
+w0 AS (SELECT DISTINCT src AS start, src AS cur FROM edges),
+{_hash_walk_step_sql('w0', 'w1', 1)},
+{_hash_walk_step_sql('w1', 'w2', 2)},
+{_hash_walk_step_sql('w2', 'w3', 3)},
+{_hash_walk_step_sql('w3', 'w4', 4)},
+{_hash_walk_step_sql('w4', 'w5', 5)},
+{_hash_walk_step_sql('w5', 'w6', 6)}
+SELECT start, CAST(step AS BIGINT) AS step, node FROM (
+  SELECT start, 0 AS step, cur AS node FROM w0
+  UNION ALL SELECT start, 1, cur FROM w1
+  UNION ALL SELECT start, 2, cur FROM w2
+  UNION ALL SELECT start, 3, cur FROM w3
+  UNION ALL SELECT start, 4, cur FROM w4
+  UNION ALL SELECT start, 5, cur FROM w5
+  UNION ALL SELECT start, 6, cur FROM w6
+)
+"""
+
+QUERIES["kg_hash_walks"] = kg_hash_walks
+ORACLE_SQL["kg_hash_walks"] = KG_HASH_WALKS_SQL
+
+
+def similarity_range_search(sf_dir: str):
+    """Range search over the embedding table: every vector within a
+    fixed squared distance of the label-0 centroid — the epsilon-ball
+    companion to similarity_topk (radius queries power density
+    estimation and dedup-by-distance).  EXACT-integer discipline:
+    centroid and points quantize to e6 once, squared distances
+    accumulate in int64 via one matvec per batch, the radius compare
+    is integer — a stateless broadcast scan, zero shuffle."""
+    import ray
+
+    from knowledge_graph_ray.stages.similarity import vector_centroids
+
+    import numpy as np
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label", "embedding"])
+    cents = vector_centroids(emb.select_columns(["label", "embedding"]),
+                             "label", "embedding").to_pandas()
+    row = cents[cents["label"] == 0].iloc[0]
+    c = np.asarray(row["centroid"], dtype=np.float64)
+    cq = np.where(c >= 0, np.floor(c * 1e6 + 0.5),
+                  np.ceil(c * 1e6 - 0.5)).astype("int64")
+    ref = ray.put(cq)
+    radius2 = 950_000_000_000  # ~5th percentile of d2 at sf0.01 (probed)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from knowledge_graph_ray.stages.similarity import _column_matrix
+
+        q = ray.get(ref)
+        if len(batch) == 0:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("d2_e12", pa.int64())]).empty_table()
+        x = _column_matrix(batch.column("embedding"))
+        xq = np.where(x >= 0, np.floor(x * 1e6 + 0.5),
+                      np.ceil(x * 1e6 - 0.5)).astype("int64")
+        diff = xq - q[None, :]
+        d2 = np.einsum("bd,bd->b", diff, diff)
+        keep = d2 <= radius2
+        return pa.table({
+            "vec_id": pa.array(
+                np.asarray(batch.column("vec_id"))[keep],
+                type=pa.int64()),
+            "d2_e12": pa.array(d2[keep], type=pa.int64()),
+        })
+
+    return emb.map_batches(scan, batch_format="pyarrow")
+
+
+SIMILARITY_RANGE_SEARCH_SQL = """
+WITH cent AS (
+  SELECT gs.i AS i, CAST(round(avg(embedding[gs.i]) * 1e6) AS BIGINT) AS c
+  FROM embeddings, generate_series(1, 64) gs(i)
+  WHERE label = 0 GROUP BY gs.i
+),
+pt AS (
+  SELECT vec_id, gs.i AS i,
+         CAST(round(embedding[gs.i] * 1e6) AS BIGINT) AS x
+  FROM embeddings, generate_series(1, 64) gs(i)
+),
+d2 AS (
+  SELECT pt.vec_id,
+         CAST(sum((pt.x - cent.c) * (pt.x - cent.c)) AS BIGINT) AS d2_e12
+  FROM pt JOIN cent USING (i) GROUP BY pt.vec_id
+)
+SELECT vec_id, d2_e12 FROM d2 WHERE d2_e12 <= 950000000000
+"""
+
+QUERIES["similarity_range_search"] = similarity_range_search
+ORACLE_SQL["similarity_range_search"] = SIMILARITY_RANGE_SEARCH_SQL
