@@ -248,6 +248,8 @@ BENCH_QUERIES = [
     "tpch_cohort_ltv",
     "kg_hash_walks",
     "similarity_range_search",
+    "documents_l_diversity",
+    "events_holt_forecast",
 ]
 
 

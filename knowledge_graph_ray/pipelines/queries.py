@@ -14101,3 +14101,176 @@ SELECT vec_id, d2_e12 FROM d2 WHERE d2_e12 <= 950000000000
 
 QUERIES["similarity_range_search"] = similarity_range_search
 ORACLE_SQL["similarity_range_search"] = SIMILARITY_RANGE_SEARCH_SQL
+
+
+def documents_l_diversity(sf_dir: str):
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion
+    gate to documents_k_anonymity: within each (lang, source)
+    quasi-identifier class, count DISTINCT values of the sensitive
+    attribute (doc length bucketed to 100-char bands) — a class whose
+    members all share one sensitive value leaks it even when
+    k-anonymous.  One distinct_rows combiner + one count groupby;
+    the class-level scan is class-cardinality-bounded."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        band = pc.multiply(
+            pc.divide(batch.column("n_chars").cast(pa.int64()), 100), 100)
+        return pa.table({"lang": batch.column("lang"),
+                         "source": batch.column("source"),
+                         "band": band})
+
+    dl = distinct_rows(
+        docs.map_batches(bucket, batch_format="pyarrow"),
+        ["lang", "source", "band"],
+        empty_schema=pa.schema([("lang", pa.string()),
+                                ("source", pa.string()),
+                                ("band", pa.int64())]),
+    )
+    classes = grouped_agg(dl, ["lang", "source"], [("l", None, "count")])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "g": pa.array([1] * len(batch), type=pa.int64()),
+            "viol": pc.less(batch.column("l"), 3).cast(pa.int64()),
+            "l": batch.column("l"),
+        })
+
+    row = grouped_agg(
+        classes.map_batches(flags, batch_format="pyarrow"),
+        ["g"],
+        [("n_classes", None, "count"), ("n_below_l", "viol", "sum"),
+         ("min_l", "l", "min")],
+    )
+    return row.map_batches(
+        lambda b: b.select(["n_classes", "n_below_l", "min_l"]),
+        batch_format="pyarrow",
+    )
+
+
+DOCUMENTS_L_DIVERSITY_SQL = """
+WITH dl AS (
+  SELECT DISTINCT lang, source, (n_chars // 100) * 100 AS band
+  FROM documents
+),
+classes AS (
+  SELECT lang, source, count(*) AS l FROM dl GROUP BY lang, source
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below_l,
+       CAST(min(l) AS BIGINT) AS min_l
+FROM classes
+"""
+
+QUERIES["documents_l_diversity"] = documents_l_diversity
+ORACLE_SQL["documents_l_diversity"] = DOCUMENTS_L_DIVERSITY_SQL
+
+
+def events_holt_forecast(sf_dir: str):
+    """Holt double exponential smoothing per event type over the daily
+    mean value series, 7-day-ahead forecast — the classic trend
+    forecaster.  DETERMINISM BY CONSTRUCTION: alpha = beta = 1/2 are
+    DYADIC, and the daily means quantize to e2 integers first
+    (identical float tree both engines), so every level/trend value is
+    a dyadic rational that float64 represents exactly — the recursion
+    is bit-identical on both engines with NO rounding anywhere until
+    the final e8 output scaling.  Init l_1 = m_1, t_1 = 0.  Scale
+    shape: the (type, day) combiner aggregate carries the data; the
+    recursion state is calendar-bounded."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    import numpy as np
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("value").cast(pa.float64()), 100.0)), pa.int64())
+        day = pc.cast(
+            pc.divide(pc.divide(batch.column("ts").cast(pa.int64()),
+                                1_000_000), 86_400), pa.int64())
+        return pa.table({"event_type": batch.column("event_type"),
+                         "day": day, "x": cents})
+
+    daily = grouped_agg(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("n", None, "count"), ("s", "x", "sum")],
+    ).to_pandas()  # types x days, bounded
+
+    rows = []
+    for etype, g in daily.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        s = g["s"].to_numpy().astype(np.float64)
+        n = g["n"].to_numpy().astype(np.float64)
+        v = 1e2 * (s / n)
+        m = np.where(v >= 0, np.floor(v + 0.5),
+                     np.ceil(v - 0.5)).astype("float64")
+        l, t = m[0], 0.0
+        for k in range(1, len(m)):
+            l2 = 0.5 * m[k] + 0.5 * (l + t)
+            t = 0.5 * (l2 - l) + 0.5 * t
+            l = l2
+        f7 = l + 7.0 * t
+        r8 = lambda x: int(np.floor(x * 1e6 + 0.5)) if x >= 0 \
+            else int(np.ceil(x * 1e6 - 0.5))
+        rows.append({"event_type": etype, "n_days": len(m),
+                     "level_e8": r8(l), "trend_e8": r8(t),
+                     "forecast7_e8": r8(f7)})
+    out = pd.DataFrame(rows)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "n_days": pa.array(out["n_days"], type=pa.int64()),
+        "level_e8": pa.array(out["level_e8"], type=pa.int64()),
+        "trend_e8": pa.array(out["trend_e8"], type=pa.int64()),
+        "forecast7_e8": pa.array(out["forecast7_e8"], type=pa.int64()),
+    })
+
+
+EVENTS_HOLT_FORECAST_SQL = """
+WITH RECURSIVE e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+daily AS (
+  SELECT event_type, day, count(*) AS n, sum(x) AS s
+  FROM e GROUP BY event_type, day
+),
+dev AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY day) AS BIGINT) AS rn,
+         round(1e2 * (CAST(s AS DOUBLE) / n)) AS m
+  FROM daily
+),
+nd AS (SELECT event_type, max(rn) AS k FROM dev GROUP BY event_type),
+rec AS (
+  SELECT event_type, rn, m AS l, CAST(0 AS DOUBLE) AS t
+  FROM dev WHERE rn = 1
+  UNION ALL
+  SELECT d.event_type, d.rn,
+         0.5 * d.m + 0.5 * (r.l + r.t) AS l,
+         0.5 * ((0.5 * d.m + 0.5 * (r.l + r.t)) - r.l) + 0.5 * r.t AS t
+  FROM rec r JOIN dev d
+    ON d.event_type = r.event_type AND d.rn = r.rn + 1
+)
+SELECT r.event_type, nd.k AS n_days,
+       CAST(round(r.l * 1e6) AS BIGINT) AS level_e8,
+       CAST(round(r.t * 1e6) AS BIGINT) AS trend_e8,
+       CAST(round((r.l + 7.0 * r.t) * 1e6) AS BIGINT) AS forecast7_e8
+FROM rec r JOIN nd ON nd.event_type = r.event_type AND r.rn = nd.k
+"""
+
+QUERIES["events_holt_forecast"] = events_holt_forecast
+ORACLE_SQL["events_holt_forecast"] = EVENTS_HOLT_FORECAST_SQL
