@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "similarity_range_search",
     "documents_l_diversity",
     "events_holt_forecast",
+    "events_jackknife_mean_se",
 ]
 
 

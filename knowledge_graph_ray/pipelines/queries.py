@@ -14274,3 +14274,93 @@ FROM rec r JOIN nd ON nd.event_type = r.event_type AND r.rn = nd.k
 
 QUERIES["events_holt_forecast"] = events_holt_forecast
 ORACLE_SQL["events_holt_forecast"] = EVENTS_HOLT_FORECAST_SQL
+
+
+def events_jackknife_mean_se(sf_dir: str):
+    """Delete-a-group jackknife standard error of the mean event value
+    (Kott 2001's survey-estimation workhorse): 10 systematic folds by
+    event_id mod 10, leave-one-fold-out means, SE from the fold-mean
+    spread — the resampling-based uncertainty primitive that needs no
+    RNG.  EXACT discipline: fold sums are int64 combiner partials; the
+    leave-out means quantize to e4 once (identical tree); the spread
+    statistic J = sum((k*m_i - sum_m)^2) is pure int64; sqrt runs on
+    identical operands.  Scale: one groupby on a 10-value key."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+
+    import numpy as np
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("value").cast(pa.float64()), 100.0)), pa.int64())
+        fold = pc.cast(
+            pc.subtract(batch.column("event_id").cast(pa.int64()),
+                        pc.multiply(pc.divide(
+                            batch.column("event_id").cast(pa.int64()),
+                            10), 10)), pa.int64())
+        return pa.table({"fold": fold, "x": cents})
+
+    folds = grouped_agg(
+        events.map_batches(prep, batch_format="pyarrow"),
+        ["fold"], [("n", None, "count"), ("s", "x", "sum")],
+    ).to_pandas().sort_values("fold")
+    n = folds["n"].to_numpy().astype(np.int64)
+    s = folds["s"].to_numpy().astype(np.int64)
+    k = len(folds)
+    N, S = int(n.sum()), int(s.sum())
+    # leave-one-out means, e4-quantized (identical float tree)
+    v = 1e4 * ((S - s).astype(np.float64) / (N - n).astype(np.float64))
+    m = np.where(v >= 0, np.floor(v + 0.5),
+                 np.ceil(v - 0.5)).astype("int64")
+    T = int(m.sum())
+    j = int(((k * m - T) ** 2).sum())
+    mean_e4 = int(np.floor(1e4 * (S / N) + 0.5))
+    se_e6 = int(np.floor(
+        1e6 * np.sqrt((k - 1.0) / k * j / (k * k) / 1e8) + 0.5))
+    return pa.table({
+        "k": pa.array([k], type=pa.int64()),
+        "n": pa.array([N], type=pa.int64()),
+        "mean_e4": pa.array([mean_e4], type=pa.int64()),
+        "j_num": pa.array([j], type=pa.int64()),
+        "se_e6": pa.array([se_e6], type=pa.int64()),
+    })
+
+
+EVENTS_JACKKNIFE_MEAN_SE_SQL = """
+WITH e AS (
+  SELECT event_id % 10 AS fold,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+),
+f AS (SELECT fold, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM e GROUP BY fold),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(s) AS BIGINT) AS ss,
+               CAST(count(*) AS BIGINT) AS k FROM f),
+m AS (
+  SELECT CAST(round(1e4 * (CAST(t.ss - f.s AS DOUBLE)
+                           / (t.nn - f.n))) AS BIGINT) AS m_e4
+  FROM f, tot t
+),
+agg AS (SELECT CAST(sum(m_e4) AS BIGINT) AS tt FROM m),
+j AS (
+  SELECT CAST(sum((t.k * m.m_e4 - a.tt) * (t.k * m.m_e4 - a.tt))
+         AS BIGINT) AS j_num
+  FROM m, tot t, agg a
+)
+SELECT t.k, t.nn AS n,
+       CAST(round(1e4 * (CAST(t.ss AS DOUBLE) / t.nn)) AS BIGINT)
+         AS mean_e4,
+       j.j_num,
+       CAST(round(1e6 * sqrt((t.k - 1.0) / t.k * j.j_num
+                             / (t.k * t.k) / 1e8)) AS BIGINT) AS se_e6
+FROM tot t, j
+"""
+
+QUERIES["events_jackknife_mean_se"] = events_jackknife_mean_se
+ORACLE_SQL["events_jackknife_mean_se"] = EVENTS_JACKKNIFE_MEAN_SE_SQL
