@@ -13766,8 +13766,9 @@ def events_cusum_drift(sf_dir: str):
         dev = np.where(v >= 0, np.floor(v + 0.5),
                        np.ceil(v - 0.5)).astype("int64")
         p = np.cumsum(dev)
-        runmin = np.minimum.accumulate(np.concatenate(([0], p)))[:-1]
-        c = p - np.minimum(runmin, 0)
+        # min over j<=k INCLUDES P_k itself (with P_0 = 0 via the outer
+        # min) — exactly C_k = max(0, C_{k-1}+d_k) unrolled
+        c = p - np.minimum(np.minimum.accumulate(p), 0)
         rows.append({"event_type": etype,
                      "cusum_max_e4": int(c.max()) if len(c) else 0,
                      "n_days": len(g)})
@@ -14174,15 +14175,17 @@ ORACLE_SQL["documents_l_diversity"] = DOCUMENTS_L_DIVERSITY_SQL
 
 def events_holt_forecast(sf_dir: str):
     """Holt double exponential smoothing per event type over the daily
-    mean value series, 7-day-ahead forecast — the classic trend
-    forecaster.  DETERMINISM BY CONSTRUCTION: alpha = beta = 1/2 are
-    DYADIC, and the daily means quantize to e2 integers first
-    (identical float tree both engines), so every level/trend value is
-    a dyadic rational that float64 represents exactly — the recursion
-    is bit-identical on both engines with NO rounding anywhere until
-    the final e8 output scaling.  Init l_1 = m_1, t_1 = 0.  Scale
-    shape: the (type, day) combiner aggregate carries the data; the
-    recursion state is calendar-bounded."""
+    mean value series, 7-day-ahead forecast.  DETERMINISM: the daily
+    means quantize to e2 integers first and BOTH engines then run the
+    IDENTICAL step-by-step float64 expression tree (the recursive CTE
+    is the literal recursion), so every intermediate is the same
+    correctly-rounded IEEE value on both sides — equality comes from
+    identical operand sequences, not exactness (dyadic alpha=beta=1/2
+    keeps early steps exact, but denominators outgrow the 53-bit
+    mantissa after ~20 steps; the bit-identity does NOT rely on it).
+    Init l_1 = m_1, t_1 = 0.  Scale shape: the (type, day) combiner
+    aggregate carries the data; the recursion state is calendar-
+    bounded."""
     from knowledge_graph_ray.functions.agg import grouped_agg
 
     import numpy as np

@@ -198,3 +198,53 @@ def test_bag_set_ops_match_counter_semantics():
                             .to_pandas()["k"].tolist())
         assert got_inter == want_inter, trial
         assert got_except == want_except, trial
+
+
+@given(st.lists(st.integers(min_value=-10_000, max_value=10_000),
+                min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_cusum_closed_form_matches_recursion(devs):
+    """events_cusum_drift's vectorized prefix-sum/running-min closed
+    form C_k = P_k - min(0, min_{j<=k} P_j) equals the literal
+    recursion C_k = max(0, C_{k-1} + d_k) the SQL oracle runs."""
+    dev = np.asarray(devs, dtype=np.int64)
+    p = np.cumsum(dev)
+    closed = p - np.minimum(np.minimum.accumulate(p), 0)
+    c, rec = 0, []
+    for d in devs:
+        c = max(0, c + d)
+        rec.append(c)
+    assert closed.tolist() == rec
+
+
+@given(st.lists(st.integers(min_value=0, max_value=5_000_000),
+                min_size=1, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_holt_recursion_deterministic_and_exact_while_small(means):
+    """events_holt_forecast's cross-engine equality rests on both
+    engines running the identical float64 recursion — re-running it
+    must be bit-identical, and while the dyadic denominators still fit
+    the 53-bit mantissa (first few steps) the floats equal the exact
+    Fraction recursion."""
+    from fractions import Fraction
+
+    def run(ms):
+        l, t = float(ms[0]), 0.0
+        out = [(l, t)]
+        for m in ms[1:]:
+            l2 = 0.5 * m + 0.5 * (l + t)
+            t = 0.5 * (l2 - l) + 0.5 * t
+            l = l2
+            out.append((l, t))
+        return out
+
+    a, b = run(means), run(means)
+    assert a == b  # deterministic replay, step for step
+    # exactness holds for the first steps (denominator 2^(2k) < 2^53
+    # headroom for e2-cent magnitudes)
+    fl, ft = Fraction(means[0]), Fraction(0)
+    for k, m in enumerate(means[1:8], start=1):
+        fl2 = Fraction(1, 2) * m + Fraction(1, 2) * (fl + ft)
+        ft = Fraction(1, 2) * (fl2 - fl) + Fraction(1, 2) * ft
+        fl = fl2
+        assert Fraction(a[k][0]) == fl and Fraction(a[k][1]) == ft
