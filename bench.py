@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "documents_l_diversity",
     "events_holt_forecast",
     "events_jackknife_mean_se",
+    "trade_graph_luby_mis",
 ]
 
 

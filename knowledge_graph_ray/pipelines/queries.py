@@ -14367,3 +14367,208 @@ FROM tot t, j
 
 QUERIES["events_jackknife_mean_se"] = events_jackknife_mean_se
 ORACLE_SQL["events_jackknife_mean_se"] = EVENTS_JACKKNIFE_MEAN_SE_SQL
+
+
+def trade_graph_luby_mis(sf_dir: str):
+    """Luby's maximal-independent-set algorithm (Luby 1986) over the
+    customer-supplier trade graph, made cross-engine-deterministic by
+    replacing the random priorities with md5(node|round) consistent
+    hashes: each round every undecided node with a hash strictly below
+    ALL UNDECIDED neighbours' hashes joins the MIS, its undecided
+    neighbours are excluded, and the frontier shrinks — the canonical
+    symmetry-breaking primitive behind distributed coloring and
+    scheduling.  4 fixed rounds.  Output: (name, state, round) with
+    state in {mis, excluded, undecided}.
+
+    Scale shape: the edge set stays STATIC (it never rewrites); the
+    per-round restriction to undecided endpoints rides the hash-table
+    join itself — one broadcast join + one grouped min + two
+    anti/semi joins per round, all state node-keyed."""
+    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    from knowledge_graph_ray.functions.joins import (
+        project,
+        size_adaptive_join,
+    )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    line = project(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_suppkey"]),
+        {"l_orderkey": "o_orderkey", "l_suppkey": "s"},
+    )
+    pairs = size_adaptive_join(line, orders, on=["o_orderkey"],
+                               how="inner",
+                               broadcast_max=BROADCAST_KEYS_MAX)
+
+    def name_edges(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.binary_join_element_wise(
+            pa.array(["c"] * len(b)),
+            pc.cast(b.column("o_custkey"), pa.string()), "")
+        s = pc.binary_join_element_wise(
+            pa.array(["s"] * len(b)),
+            pc.cast(b.column("s"), pa.string()), "")
+        return pa.table({"a": c, "b": s})
+
+    und = distinct_rows(
+        pairs.map_batches(name_edges, batch_format="pyarrow"),
+        ["a", "b"],
+        empty_schema=pa.schema([("a", pa.string()), ("b", pa.string())]),
+    )
+    edges = und.map_batches(
+        lambda b: pa.concat_tables([
+            pa.table({"u": b.column("a"), "v": b.column("b")}),
+            pa.table({"u": b.column("b"), "v": b.column("a")}),
+        ]),
+        batch_format="pyarrow",
+    ).repartition(8).materialize()
+    undec = distinct_rows(
+        edges.select_columns(["u"]), ["u"],
+        empty_schema=pa.schema([("u", pa.string())]),
+    ).materialize()
+
+    decided = []
+    for rnd in range(1, 5):
+        if undec.count() == 0:
+            break
+
+        def with_hash(b: pa.Table, r=rnd) -> pa.Table:
+            import hashlib
+
+            names = b.column("u").to_pylist()
+            h = [hashlib.md5(f"{n}|{r}".encode()).hexdigest()
+                 for n in names]
+            return pa.table({"u": b.column("u"),
+                             "h": pa.array(h, type=pa.string())})
+
+        hs = undec.map_batches(with_hash,
+                               batch_format="pyarrow").materialize()
+        # min hash over UNDECIDED neighbours (the hash join on v is the
+        # restriction — the static edge set never rewrites)
+        ewh = size_adaptive_join(
+            edges, project(hs, {"u": "v", "h": "nh"}), on=["v"],
+            how="inner", broadcast_max=BROADCAST_KEYS_MAX)
+        minnb = grouped_agg(ewh.select_columns(["u", "nh"]), ["u"],
+                            [("mn", "nh", "min")])
+        joined = size_adaptive_join(hs, minnb.materialize(), on=["u"],
+                                    how="left_outer",
+                                    broadcast_max=BROADCAST_KEYS_MAX)
+
+        def decide(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # an all-null min column arrives untyped — force the
+            # string comparison type before the kernel dispatch
+            mn = b.column("mn")
+            if not pa.types.is_string(mn.type):
+                mn = pc.cast(mn, pa.string())
+            win = pc.or_kleene(pc.is_null(mn),
+                               pc.less(b.column("h"), mn))
+            return b.filter(pc.fill_null(win, True)).select(["u"])
+
+        mis = joined.map_batches(decide,
+                                 batch_format="pyarrow").materialize()
+        # excluded = undecided neighbours of the new MIS, minus the MIS
+        nb = distinct_rows(
+            size_adaptive_join(edges, mis, on=["u"], how="left_semi",
+                               broadcast_max=BROADCAST_KEYS_MAX)
+            .select_columns(["v"]).map_batches(
+                lambda b: pa.table({"u": b.column("v")}),
+                batch_format="pyarrow"),
+            ["u"],
+            empty_schema=pa.schema([("u", pa.string())]),
+        )
+        excl = size_adaptive_join(
+            size_adaptive_join(nb, undec, on=["u"], how="left_semi",
+                               broadcast_max=BROADCAST_KEYS_MAX),
+            mis, on=["u"], how="left_anti",
+            broadcast_max=BROADCAST_KEYS_MAX,
+        ).materialize()
+
+        def tag(ds, state, r=rnd):
+            return ds.map_batches(
+                lambda b: pa.table({
+                    "name": b.column("u"),
+                    "state": pa.array([state] * len(b)),
+                    "round": pa.array(
+                        np.full(len(b), r, dtype=np.int64)),
+                }),
+                batch_format="pyarrow",
+            )
+
+        decided.append(tag(mis, "mis"))
+        decided.append(tag(excl, "excluded"))
+        gone = mis.union(excl).materialize()
+        undec = size_adaptive_join(undec, gone, on=["u"],
+                                   how="left_anti",
+                                   broadcast_max=BROADCAST_KEYS_MAX
+                                   ).materialize()
+    out = undec.map_batches(
+        lambda b: pa.table({
+            "name": b.column("u"),
+            "state": pa.array(["undecided"] * len(b)),
+            "round": pa.array(np.full(len(b), 4, dtype=np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    for d in decided:
+        out = out.union(d)
+    return out
+
+
+def _luby_round_sql(u_prev: str, rnd: int) -> str:
+    return f"""
+h{rnd} AS MATERIALIZED (SELECT u, md5(u || '|' || {rnd}) AS h
+                        FROM {u_prev}),
+mn{rnd} AS MATERIALIZED (
+  SELECT e.u, min(nh.h) AS mn
+  FROM e0 e JOIN h{rnd} nh ON nh.u = e.v
+  GROUP BY e.u
+),
+mis{rnd} AS MATERIALIZED (
+  SELECT h.u FROM h{rnd} h LEFT JOIN mn{rnd} m ON m.u = h.u
+  WHERE m.mn IS NULL OR h.h < m.mn
+),
+excl{rnd} AS MATERIALIZED (
+  SELECT DISTINCT e.v AS u FROM e0 e
+  JOIN mis{rnd} m ON m.u = e.u
+  JOIN {u_prev} uu ON uu.u = e.v
+  WHERE e.v NOT IN (SELECT u FROM mis{rnd})
+),
+u{rnd} AS MATERIALIZED (
+  SELECT u FROM {u_prev}
+  WHERE u NOT IN (SELECT u FROM mis{rnd})
+    AND u NOT IN (SELECT u FROM excl{rnd})
+)"""
+
+
+TRADE_GRAPH_LUBY_MIS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                  's' || CAST(l_suppkey AS VARCHAR) AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs
+       UNION ALL SELECT b, a FROM pairs),
+u0 AS MATERIALIZED (SELECT DISTINCT u FROM e0),
+{_luby_round_sql('u0', 1)},
+{_luby_round_sql('u1', 2)},
+{_luby_round_sql('u2', 3)},
+{_luby_round_sql('u3', 4)}
+SELECT name, state, CAST(round AS BIGINT) AS round FROM (
+  SELECT u AS name, 'mis' AS state, 1 AS round FROM mis1
+  UNION ALL SELECT u, 'excluded', 1 FROM excl1
+  UNION ALL SELECT u, 'mis', 2 FROM mis2
+  UNION ALL SELECT u, 'excluded', 2 FROM excl2
+  UNION ALL SELECT u, 'mis', 3 FROM mis3
+  UNION ALL SELECT u, 'excluded', 3 FROM excl3
+  UNION ALL SELECT u, 'mis', 4 FROM mis4
+  UNION ALL SELECT u, 'excluded', 4 FROM excl4
+  UNION ALL SELECT u, 'undecided', 4 FROM u4
+)
+"""
+
+QUERIES["trade_graph_luby_mis"] = trade_graph_luby_mis
+ORACLE_SQL["trade_graph_luby_mis"] = TRADE_GRAPH_LUBY_MIS_SQL
