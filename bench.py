@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "events_holt_forecast",
     "events_jackknife_mean_se",
     "trade_graph_luby_mis",
+    "tpch_duplicate_invoices",
 ]
 
 

@@ -14572,3 +14572,65 @@ SELECT name, state, CAST(round AS BIGINT) AS round FROM (
 
 QUERIES["trade_graph_luby_mis"] = trade_graph_luby_mis
 ORACLE_SQL["trade_graph_luby_mis"] = TRADE_GRAPH_LUBY_MIS_SQL
+
+
+def tpch_duplicate_invoices(sf_dir: str):
+    """Billing-anomaly audit: customers placing MORE than one order on
+    the same calendar day — the double-submission screen.  One
+    combiner groupby on the (custkey, day) business key plus a sorted
+    string_agg of the colliding order keys for the case file; the
+    shuffle carries only key+count partials and the duplicate-group
+    key lists."""
+    from knowledge_graph_ray.functions.agg import (
+        grouped_agg,
+        grouped_string_agg,
+    )
+    from knowledge_graph_ray.functions.joins import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        day = pc.cast(
+            pc.divide(pc.divide(
+                batch.column("o_orderdate").cast(pa.int64()),
+                1_000_000), 86_400), pa.int64())
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "day": day,
+                         "o_orderkey": batch.column("o_orderkey")})
+
+    prepped = orders.map_batches(prep,
+                                 batch_format="pyarrow").materialize()
+    counts = grouped_agg(prepped, ["o_custkey", "day"],
+                         [("n_orders", None, "count")])
+
+    def dup_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater(b.column("n_orders"), 1))
+
+    dups = counts.map_batches(dup_only, batch_format="pyarrow")
+    keys = grouped_string_agg(prepped, ["o_custkey", "day"],
+                              "o_orderkey", order_cols=["o_orderkey"],
+                              sep=",", out_col="orderkeys")
+    return hash_join(dups, keys, on=["o_custkey", "day"], how="inner")
+
+
+TPCH_DUPLICATE_INVOICES_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+  FROM orders
+)
+SELECT o_custkey, day, CAST(count(*) AS BIGINT) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_orderkey) AS orderkeys
+FROM o GROUP BY o_custkey, day HAVING count(*) > 1
+"""
+
+QUERIES["tpch_duplicate_invoices"] = tpch_duplicate_invoices
+ORACLE_SQL["tpch_duplicate_invoices"] = TPCH_DUPLICATE_INVOICES_SQL
