@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "events_jackknife_mean_se",
     "trade_graph_luby_mis",
     "tpch_duplicate_invoices",
+    "tpch_customer_migration",
 ]
 
 

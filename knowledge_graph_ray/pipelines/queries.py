@@ -14634,3 +14634,115 @@ FROM o GROUP BY o_custkey, day HAVING count(*) > 1
 
 QUERIES["tpch_duplicate_invoices"] = tpch_duplicate_invoices
 ORACLE_SQL["tpch_duplicate_invoices"] = TPCH_DUPLICATE_INVOICES_SQL
+
+
+def tpch_customer_migration(sf_dir: str):
+    """Segment-migration matrix: customers quartiled by yearly spend
+    (NTILE(4), spend-descending with custkey tie-break), transitions
+    counted between CONSECUTIVE years — the churn/upsell flow picture
+    behind every retention deck.  Composition: one (cust, year)
+    combiner aggregate, one per-year window_ntile, one per-customer
+    window_lag over a packed (quartile, year) int code (the lag
+    carries exactly key/order/value, so the code packs both fields),
+    one pair-count combiner."""
+    from knowledge_graph_ray.functions.agg import grouped_agg
+    from knowledge_graph_ray.stages.ranking import window_lag, window_ntile
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        yr = pc.year(batch.column("o_orderdate")).cast(pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice").cast(pa.float64()), 100.0)),
+            pa.int64())
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "yr": yr, "cents": cents})
+
+    yearly = grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey", "yr"], [("spend", "cents", "sum")],
+    ).materialize()
+
+    def neg(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.append_column(
+            "neg_spend", pc.negate(b.column("spend")))
+
+    tiled = window_ntile(
+        yearly.map_batches(neg, batch_format="pyarrow"),
+        key="yr", order_cols=["neg_spend", "o_custkey"], n_tiles=4,
+        out_col="q", driver_threshold=500_000,
+        size_hint=yearly.count())
+
+    def pack(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        code = pc.add(pc.multiply(b.column("q").cast(pa.int64()),
+                                  100_000), b.column("yr"))
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "yr": b.column("yr"), "code": code})
+
+    lagged = window_lag(
+        tiled.map_batches(pack, batch_format="pyarrow"),
+        key="o_custkey", order_cols=["yr"], value_col="code",
+        out_col="prev", driver_threshold=500_000)
+
+    def transitions(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # the lag column arrives as float64 (pandas shift NaN-null) —
+        # restore int64 BEFORE the integer decode arithmetic
+        b = b.filter(pc.is_valid(b.column("prev")))
+        prev = pc.cast(b.column("prev"), pa.int64())
+        ok = pc.equal(
+            pc.subtract(prev, pc.multiply(pc.divide(prev, 100_000),
+                                          100_000)),
+            pc.subtract(b.column("yr"), 1))
+        b = b.append_column("prev_i", prev).filter(ok)
+        return pa.table({
+            "q_from": pc.divide(b.column("prev_i"), 100_000),
+            "q_to": pc.divide(b.column("code"), 100_000),
+        })
+
+    return grouped_agg(
+        lagged.map_batches(transitions, batch_format="pyarrow"),
+        ["q_from", "q_to"], [("n", None, "count")],
+    )
+
+
+TPCH_CUSTOMER_MIGRATION_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+yearly AS (
+  SELECT o_custkey, yr, sum(cents) AS spend FROM o GROUP BY o_custkey, yr
+),
+tiled AS (
+  SELECT o_custkey, yr,
+         CAST(ntile(4) OVER (PARTITION BY yr
+                             ORDER BY -spend, o_custkey) AS BIGINT) AS q
+  FROM yearly
+),
+lagged AS (
+  SELECT o_custkey, yr, q,
+         lag(q * 100000 + yr) OVER (PARTITION BY o_custkey
+                                    ORDER BY yr) AS prev
+  FROM tiled
+)
+SELECT prev // 100000 AS q_from, q AS q_to,
+       CAST(count(*) AS BIGINT) AS n
+FROM lagged
+WHERE prev IS NOT NULL AND prev % 100000 = yr - 1
+GROUP BY q_from, q_to
+"""
+
+QUERIES["tpch_customer_migration"] = tpch_customer_migration
+ORACLE_SQL["tpch_customer_migration"] = TPCH_CUSTOMER_MIGRATION_SQL
