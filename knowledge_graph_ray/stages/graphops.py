@@ -659,6 +659,12 @@ def multi_source_bfs(edges, seeds: "list[str]", hops: int = 4,
 
     import ray.data as rd
 
+    if und.count() == 0:
+        return rd.from_arrow(pa.table({
+            "seed": pa.array([], pa.string()),
+            "name": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+        }))
     nodes = distinct_rows(
         und.select_columns(["src"]),
         ["src"], empty_schema=pa.schema([("src", pa.string())]),

@@ -225,3 +225,40 @@ def test_coda8_operators_handle_empty_inputs():
     }))
     out = grouped_chi2_gof(one_cat, "g", "c").to_pandas()
     assert sorted(out.dof) == [0, 0] and sorted(out.chi2_e6) == [0, 0]
+
+
+def test_coda9_operators_handle_empty_inputs():
+    """Empty/degenerate inputs through every coda-9 stage operator
+    (100-TB runs hit empty partitions and empty filter results
+    constantly)."""
+    import pyarrow as pa
+
+    from knowledge_graph_ray.stages.graphops import multi_source_bfs
+    from knowledge_graph_ray.stages.pagerank import (
+        label_spread,
+        personalized_pagerank,
+    )
+
+    empty_edges = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string()),
+    }))
+    # empty graph: PPR yields the empty node set (no seed to raise on)
+    assert personalized_pagerank(empty_edges, ["x"]).count() == 0
+    # BFS from seeds absent in an empty graph: nothing reached
+    assert multi_source_bfs(empty_edges, ["x"], hops=2).count() == 0
+    # label_spread on an empty graph has no present seed: must raise,
+    # not silently return garbage
+    import pytest
+
+    with pytest.raises(ValueError):
+        label_spread(empty_edges, {"x": "l"})
+
+    # single-node self-loop-free degenerate: one edge, both regimes
+    one = rd.from_arrow(pa.table({
+        "src": pa.array(["a"]), "dst": pa.array(["b"]),
+    }))
+    pr = personalized_pagerank(one, ["a"], iterations=2).to_pandas()
+    assert set(pr.name) == {"a", "b"} and abs(pr.ppr.sum()) <= 1.0 + 1e-9
+    d = multi_source_bfs(one, ["a", "b"], hops=1).to_pandas()
+    assert len(d) == 4  # both seeds reach both nodes at dist <= 1
